@@ -1,0 +1,75 @@
+"""DuckDB-oracle equivalence harness (SURVEY.md §5.2 item 1).
+
+Mirrors the driver's check: run the Spark query and the oracle SQL on
+the same parquet, sort columns by name, sort rows, compare values.
+Stricter than the driver (exact equality for non-floats, near-exact for
+floats) so passing here implies passing there.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from developing_img_etl_spark.catalog import TABLES
+
+
+def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for name in TABLES:
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+            )
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def assert_matches(
+    spark_df, sql: str, sf_dir: str, *, float_tol: float = 0.0, require_rows: bool = False
+) -> None:
+    actual = _canon(spark_df.toPandas())
+    expected = _canon(duckdb_run(sql, sf_dir))
+    if require_rows:
+        assert len(expected) > 0, "oracle returned no rows — query is vacuous at this SF"
+
+    assert list(actual.columns) == list(expected.columns), (
+        f"column mismatch: spark={list(actual.columns)} oracle={list(expected.columns)}"
+    )
+    assert len(actual) == len(expected), (
+        f"row-count mismatch: spark={len(actual)} oracle={len(expected)}"
+    )
+    for c in actual.columns:
+        a, e = actual[c], expected[c]
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(e):
+            a = a.astype(float)
+            e = e.astype(float)
+            bad = []
+            for i, (x, y) in enumerate(zip(a, e)):
+                if pd.isna(x) and pd.isna(y):
+                    continue
+                if pd.isna(x) != pd.isna(y) or not math.isclose(
+                    x, y, rel_tol=float_tol, abs_tol=float_tol
+                ):
+                    bad.append((i, x, y))
+                if len(bad) >= 5:
+                    break
+            assert not bad, f"column {c!r} float mismatch (first rows): {bad}"
+        else:
+            neq = ~(a.eq(e) | (a.isna() & e.isna()))
+            assert not neq.any(), (
+                f"column {c!r} mismatch at rows {list(actual.index[neq][:5])}: "
+                f"spark={list(a[neq][:5])} oracle={list(e[neq][:5])}"
+            )
