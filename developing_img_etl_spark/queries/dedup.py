@@ -1,4 +1,132 @@
-"""Placeholder — populated in a later milestone."""
+"""Q14 family — deduplication (SURVEY.md §2.8 M4 + training-data
+mandate): exact (hash-groupBy), content-hash canonicalization, and
+n-gram Jaccard near-dup pairs. MinHash-LSH / SimHash scale paths live
+in operators/dedup.py (approximate — recall-checked, not value-hashed).
 
-QUERIES = {}
-ORACLES = {}
+The reference's dedup is composite-key based
+(/root/reference/test.py:103-107,143-146); M4 generalizes it to
+content-addressed dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import text as TXT
+
+
+def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize duplicates: the documents table unioned with itself."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.unionByName(docs)
+
+
+# ---------------------------------------------------------------------------
+# Q14a — exact dedup via DISTINCT on content-identical rows.
+# ---------------------------------------------------------------------------
+def q14a_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doubled = _doubled_docs(spark, sf_dir)
+    return (
+        doubled.select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash"), "lang", "source"
+        )
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+Q14A_SQL = """
+SELECT DISTINCT doc_id, md5(text) AS text_hash, lang, source
+FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14b — content-hash canonicalization: group by hash, keep min doc_id as
+# canonical, count copies (the hash-groupBy dedup shape that scales:
+# one shuffle on a 32-byte key regardless of document size).
+# ---------------------------------------------------------------------------
+def q14b_hash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doubled = _doubled_docs(spark, sf_dir)
+    return (
+        doubled.select(F.md5(F.col("text").cast("binary")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("canonical_id")
+    )
+
+
+Q14B_SQL = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+GROUP BY md5(text)
+ORDER BY canonical_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14c — n-gram Jaccard near-dup pairs within each source (blocking key),
+# word-3-gram shingles, threshold 0.2. Exact set-Jaccard — the
+# deterministic ground truth MinHash-LSH is recall-checked against.
+# ---------------------------------------------------------------------------
+def q14c_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", TXT.shingles(F.col("text"), 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("source"), F.col("sh").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("source"), F.col("sh").alias("sh_b")
+    )
+    pairs = a.join(b, "source").filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        pairs.select("source", "id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") > 0.2)
+        .orderBy("source", "id_a", "id_b")
+    )
+
+
+Q14C_SQL = r"""
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct(
+           list_transform(
+             range(1, greatest(len(string_split_regex(lower(text), '\s+')) - 1, 1)),
+             i -> concat_ws(' ',
+                  string_split_regex(lower(text), '\s+')[i],
+                  string_split_regex(lower(text), '\s+')[i+1],
+                  string_split_regex(lower(text), '\s+')[i+2])
+           )
+         ) AS s
+  FROM documents
+  WHERE len(string_split_regex(lower(text), '\s+')) >= 3
+)
+SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.s, b.s)) * 1.0 /
+             len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+      len(list_distinct(list_concat(a.s, b.s))) > 0.2
+ORDER BY a.source, id_a, id_b
+"""
+
+
+QUERIES = {
+    "q14a_exact_dedup": q14a_exact_dedup,
+    "q14b_hash_canonical": q14b_hash_canonical,
+    "q14c_ngram_jaccard_pairs": q14c_ngram_jaccard_pairs,
+}
+
+ORACLES = {
+    "q14a_exact_dedup": Q14A_SQL,
+    "q14b_hash_canonical": Q14B_SQL,
+    "q14c_ngram_jaccard_pairs": Q14C_SQL,
+}

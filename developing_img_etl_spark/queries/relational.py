@@ -94,12 +94,406 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+# ---------------------------------------------------------------------------
+# Q3 — 5-way join chain (J4/J6): region⋈nation⋈customer⋈orders⋈lineitem,
+# revenue per nation. The generalization of the reference's planned FK model
+# (/root/reference/test.mmd:71-78). Dimensions (region, nation) broadcast.
+# ---------------------------------------------------------------------------
+def q3_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(dsum(disc_price).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q3_SQL = """
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q4 — anti/semi joins (J1/J6). The reference's incremental skip is a
+# left-anti join (/root/reference/test.py:143-146); the semi is its dual.
+# ---------------------------------------------------------------------------
+def q4a_customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+Q4A_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
+def q4b_parts_with_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        part.filter(F.col("p_size") > 40)
+        .join(lineitem, part.p_partkey == lineitem.l_partkey, "left_semi")
+        .select("p_partkey", "p_name", "p_size")
+        .orderBy("p_partkey")
+    )
+
+
+Q4B_SQL = """
+SELECT p_partkey, p_name, p_size
+FROM part
+WHERE p_size > 40
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q5 — window suite (W1-W5): row_number / dense_rank / lag / running sum /
+# ntile / percent_rank / first_value over orders per customer.
+# Deterministic total order inside each partition: (o_orderdate, o_orderkey).
+# ---------------------------------------------------------------------------
+def q5_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.row_number().over(w).alias("rn"),
+        F.dense_rank().over(w).alias("drk"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.round(F.sum(_dec("o_totalprice")).over(frame), 2).cast("double").alias("running_total"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.first("o_orderkey").over(frame).alias("first_order"),
+    ).orderBy("o_custkey", "rn")
+
+
+Q5_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       ROW_NUMBER()   OVER w AS rn,
+       DENSE_RANK()   OVER w AS drk,
+       LAG(o_totalprice) OVER w AS prev_price,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total,
+       NTILE(4)       OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q6 — rollup (A4): revenue by (nation, year) with subtotal and grand-total
+# rows. Rollup NULL markers are coalesced to sentinels ('ALL' / -1) so the
+# result has no nullable-int columns (cross-engine pandas dtype stability).
+# ---------------------------------------------------------------------------
+def q6_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    base = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("n_name", F.year("o_orderdate").cast("long").alias("o_year"), "o_totalprice")
+    )
+    return (
+        base.rollup("n_name", "o_year")
+        .agg(dsum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("o_year"), F.lit(-1).cast("long")).alias("o_year"),
+            "revenue",
+            "n_orders",
+        )
+        .orderBy("nation", "o_year")
+    )
+
+
+Q6_SQL = """
+SELECT COALESCE(n_name, 'ALL') AS nation,
+       COALESCE(year(o_orderdate), -1) AS o_year,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, year(o_orderdate))
+ORDER BY nation, o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q7 — top-k (O2): top-10 customers by revenue. Spark plans
+# TakeOrderedAndProject (no global sort). Tie-broken on c_custkey.
+# ---------------------------------------------------------------------------
+def q7_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum("o_totalprice").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+Q7_SQL = """
+SELECT c_custkey, c_name,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q8 — set ops (O3/O4): tagged symmetric difference of two customer-key
+# slices via union/intersect/except (the reference's key-set membership
+# check /root/reference/test.py:144 is the degenerate form).
+# ---------------------------------------------------------------------------
+def q8_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    a = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    b = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    both = a.intersect(b).withColumn("tag", F.lit("both"))
+    only_a = a.subtract(b).withColumn("tag", F.lit("only_a"))
+    only_b = b.subtract(a).withColumn("tag", F.lit("only_b"))
+    return both.unionByName(only_a).unionByName(only_b).orderBy("tag", "c_custkey")
+
+
+Q8_SQL = """
+SELECT c_custkey, 'both' AS tag
+FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+UNION ALL
+SELECT c_custkey, 'only_a' AS tag
+FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+UNION ALL
+SELECT c_custkey, 'only_b' AS tag
+FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+ORDER BY tag, c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9a — scalar string suite (F1-F8) on part. Each column mirrors one
+# reference string op (citations in SURVEY.md §2.7).
+# ---------------------------------------------------------------------------
+def q9a_scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    path = F.concat_ws("/", F.lit("parts"), F.col("p_brand"), F.col("p_name"))
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.translate(F.col("p_name"), " ", "_").alias("name_norm"),
+        F.regexp_extract(path, "[^/]*$", 0).alias("basename"),
+        F.substring_index(F.col("p_type"), " ", 1).alias("type_head"),
+        F.concat_ws("_", F.col("p_brand"), F.col("p_size").cast("string")).alias("composite_key"),
+        F.url_decode(F.regexp_replace(F.col("p_name"), " ", "%20")).alias("url_dec"),
+        F.base64(F.col("p_name").cast("binary")).alias("name_b64"),
+        F.length("p_name").cast("long").alias("name_len"),
+    ).orderBy("p_partkey")
+
+
+Q9A_SQL = """
+SELECT p_partkey,
+       lower(p_name) AS name_lower,
+       replace(p_name, ' ', '_') AS name_norm,
+       regexp_extract(concat_ws('/', 'parts', p_brand, p_name), '[^/]*$') AS basename,
+       split_part(p_type, ' ', 1) AS type_head,
+       concat_ws('_', p_brand, CAST(p_size AS VARCHAR)) AS composite_key,
+       p_name AS url_dec,
+       base64(encode(p_name)) AS name_b64,
+       CAST(length(p_name) AS BIGINT) AS name_len
+FROM part
+ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9b — scalar date/math suite (F9-F15) on orders. Integer outputs cast to
+# BIGINT on both sides; transcendentals rounded to 6dp (libm is not
+# cross-engine correctly-rounded); squares via plain multiply (exact IEEE).
+# ---------------------------------------------------------------------------
+def q9b_scalar_dates_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("days_to_y2k"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        (F.col("o_orderkey") % 7).cast("long").alias("key_mod7"),
+        F.round(price.cast("decimal(12,2)"), 1).cast("double").alias("price_r1"),
+        F.abs(price - 100000.0).alias("abs_dev"),
+        F.sqrt(price).alias("price_sqrt"),
+        (price * price).alias("price_sq"),
+        F.round(F.log(price), 6).alias("price_ln"),
+        F.signum(price - 100000.0).cast("long").alias("price_sign"),
+    ).orderBy("o_orderkey")
+
+
+Q9B_SQL = """
+SELECT o_orderkey,
+       year(o_orderdate) AS o_year,
+       month(o_orderdate) AS o_month,
+       quarter(o_orderdate) AS o_quarter,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+       strftime(o_orderdate, '%Y-%m') AS ym,
+       o_orderkey % 7 AS key_mod7,
+       CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)), 1) AS DOUBLE) AS price_r1,
+       abs(o_totalprice - 100000.0) AS abs_dev,
+       sqrt(o_totalprice) AS price_sqrt,
+       o_totalprice * o_totalprice AS price_sq,
+       round(ln(o_totalprice), 6) AS price_ln,
+       CAST(sign(o_totalprice - 100000.0) AS BIGINT) AS price_sign
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10a — unpivot (UDTF analogue): stack part attribute columns long + count.
+# The reference's hand-rolled unpivot is the 8 photo/desc column pairs →
+# rows loop (/root/reference/test.py:128-134).
+# ---------------------------------------------------------------------------
+def q10a_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    long = part.unpivot(
+        ids=["p_partkey"],
+        values=["p_brand", "p_type"],
+        variableColumnName="attr",
+        valueColumnName="val",
+    )
+    return long.groupBy("attr", "val").agg(F.count(F.lit(1)).alias("n")).orderBy("attr", "val")
+
+
+Q10A_SQL = """
+SELECT attr, val, COUNT(*) AS n
+FROM (
+  SELECT 'p_brand' AS attr, p_brand AS val FROM part
+  UNION ALL
+  SELECT 'p_type' AS attr, p_type AS val FROM part
+)
+GROUP BY attr, val
+ORDER BY attr, val
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10b — pivot (A6): order counts per year pivoted by status. The inverse of
+# the unpivot — the reference's 8-wide report shape.
+# ---------------------------------------------------------------------------
+def q10b_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select(F.year("o_orderdate").cast("long").alias("o_year"), "o_orderstatus")
+        .groupBy("o_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_year",
+            F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_f"),
+            F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_o"),
+            F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_p"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q10B_SQL = """
+SELECT year(o_orderdate) AS o_year,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders
+GROUP BY year(o_orderdate)
+ORDER BY o_year
+"""
+
+
 QUERIES = {
     "q1_incremental_antijoin": q1_incremental_antijoin,
     "q2_grouped_agg": q2_grouped_agg,
+    "q3_join_chain": q3_join_chain,
+    "q4a_customers_without_urgent_orders": q4a_customers_without_urgent_orders,
+    "q4b_parts_with_sales": q4b_parts_with_sales,
+    "q5_window_suite": q5_window_suite,
+    "q6_rollup": q6_rollup,
+    "q7_topk": q7_topk,
+    "q8_setops": q8_setops,
+    "q9a_scalar_strings": q9a_scalar_strings,
+    "q9b_scalar_dates_math": q9b_scalar_dates_math,
+    "q10a_unpivot": q10a_unpivot,
+    "q10b_pivot": q10b_pivot,
 }
 
 ORACLES = {
     "q1_incremental_antijoin": Q1_SQL,
     "q2_grouped_agg": Q2_SQL,
+    "q3_join_chain": Q3_SQL,
+    "q4a_customers_without_urgent_orders": Q4A_SQL,
+    "q4b_parts_with_sales": Q4B_SQL,
+    "q5_window_suite": Q5_SQL,
+    "q6_rollup": Q6_SQL,
+    "q7_topk": Q7_SQL,
+    "q8_setops": Q8_SQL,
+    "q9a_scalar_strings": Q9A_SQL,
+    "q9b_scalar_dates_math": Q9B_SQL,
+    "q10a_unpivot": Q10A_SQL,
+    "q10b_pivot": Q10B_SQL,
 }

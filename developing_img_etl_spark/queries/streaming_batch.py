@@ -1,4 +1,214 @@
-"""Placeholder — populated in a later milestone."""
+"""Q11 family — event-time windows + temporal joins, batch analogues of
+the streaming surface (SURVEY.md §2.9 ST4, §2.3 J7).
 
-QUERIES = {}
-ORACLES = {}
+The reference's weekly grouping key `minggu` is a hand-rolled tumbling
+window (/root/reference/test.py:130); these queries are the general
+forms on the `events` table. The streaming (readStream) versions of the
+same logic live in developing_img_etl_spark/streaming/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.asof import asof_join, range_join_buckets
+from ._det import davg, dsum
+
+WEEK_SECONDS = 7 * 86400
+
+
+# ---------------------------------------------------------------------------
+# Q11a — tumbling 7-day window aggregation. Spark's F.window is
+# epoch-aligned; the oracle mirrors that with pure naive-timestamp epoch
+# arithmetic (no TIMESTAMPTZ — session-timezone-proof).
+# ---------------------------------------------------------------------------
+def q11a_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "7 days").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+            davg("value").alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+        .orderBy("w_start")
+    )
+
+
+Q11A_SQL = f"""
+SELECT TIMESTAMP '1970-01-01' + INTERVAL (CAST(floor(epoch(ts) / {WEEK_SECONDS}) AS BIGINT) * {WEEK_SECONDS}) SECOND AS w_start,
+       TIMESTAMP '1970-01-01' + INTERVAL (CAST(floor(epoch(ts) / {WEEK_SECONDS}) AS BIGINT) * {WEEK_SECONDS} + {WEEK_SECONDS}) SECOND AS w_end,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) / COUNT(*) AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY w_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11b — as-of join events→orders: each event picks the user's most
+# recent order at event time. Orders are pre-reduced to one row per
+# (custkey, orderdate) so the as-of value is well-defined (see
+# operators/asof.py). Oracle uses DuckDB's native ASOF JOIN.
+# ---------------------------------------------------------------------------
+def q11b_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+    latest = orders.groupBy(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderdate")
+    ).agg(F.max("o_totalprice").alias("last_order_price"))
+    joined = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        latest,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["last_order_price"],
+    )
+    return joined.select("event_id", "user_id", "ts", "last_order_price").orderBy("event_id")
+
+
+Q11B_SQL = """
+WITH latest AS (
+  SELECT o_custkey AS user_id, o_orderdate, MAX(o_totalprice) AS last_order_price
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts, l.last_order_price
+FROM events e
+ASOF LEFT JOIN latest l ON e.user_id = l.user_id AND e.ts >= l.o_orderdate
+ORDER BY e.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11c — equi + range-predicate join: lineitems shipped within 90 days of
+# their order's date. The range predicate rides on the equi-key shuffle
+# (sort-merge join with post-filter — no extra pass).
+# ---------------------------------------------------------------------------
+def q11c_range_predicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    cond = (
+        (lineitem.l_orderkey == orders.o_orderkey)
+        & (lineitem.l_shipdate >= orders.o_orderdate)
+        & (lineitem.l_shipdate < orders.o_orderdate + F.expr("INTERVAL 90 DAYS"))
+    )
+    return (
+        lineitem.join(orders, cond)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_extendedprice").alias("sum_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q11C_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_price
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+           AND l_shipdate >= o_orderdate
+           AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11d — pure range join against a broadcast bucket dimension
+# (operators/asof.py range_join_buckets): BroadcastNestedLoopJoin, no
+# shuffle of the fact side. Oracle = the arithmetic-equivalent floor().
+# ---------------------------------------------------------------------------
+def q11d_bucket_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    buckets = spark.range(50).select(
+        F.col("id").alias("bucket_id"),
+        (F.col("id") * 10.0).alias("lo"),
+        ((F.col("id") + 1) * 10.0).alias("hi"),
+    )
+    return (
+        range_join_buckets(events, buckets, value_col="value")
+        .groupBy("bucket_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("bucket_id")
+    )
+
+
+Q11D_SQL = """
+SELECT CAST(floor(value / 10) AS BIGINT) AS bucket_id, COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+ORDER BY bucket_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11e — session windows (gap 1 hour) per user, batch form of ST4.
+# Spark: F.session_window. Oracle: gaps-and-islands CTE.
+# ---------------------------------------------------------------------------
+def q11e_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+Q11E_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 1 HOUR
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 1 HOUR AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+QUERIES = {
+    "q11a_tumbling_window": q11a_tumbling_window,
+    "q11b_asof_join": q11b_asof_join,
+    "q11c_range_predicate_join": q11c_range_predicate_join,
+    "q11d_bucket_range_join": q11d_bucket_range_join,
+    "q11e_session_window": q11e_session_window,
+}
+
+ORACLES = {
+    "q11a_tumbling_window": Q11A_SQL,
+    "q11b_asof_join": Q11B_SQL,
+    "q11c_range_predicate_join": Q11C_SQL,
+    "q11d_bucket_range_join": Q11D_SQL,
+    "q11e_session_window": Q11E_SQL,
+}

@@ -1,4 +1,160 @@
-"""Placeholder — populated in a later milestone."""
+"""Q12 family — text analysis + JSON extraction (SURVEY.md §2.11 Q12,
+§2.8 M6, F14), over `documents` and `events.props`.
 
-QUERIES = {}
-ORACLES = {}
+The column logic lives in functions/text.py; each query's oracle
+mirrors the exact same formula in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import text as TXT
+from ._det import davg, dsum
+
+# ---------------------------------------------------------------------------
+# Q12a — token counts per language (A1/A2/M6).
+# ---------------------------------------------------------------------------
+
+
+def q12a_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", "source", "n_chars", TXT.token_count(F.col("text")).alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            davg("n_chars").alias("avg_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q12A_SQL = r"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS total_tokens,
+       CAST(ROUND(SUM(CAST(n_chars AS DECIMAL(12,4))), 2) AS DOUBLE) / COUNT(*) AS avg_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12b — JSON field extraction from events.props (F14).
+# ---------------------------------------------------------------------------
+def q12b_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+            "value",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k_val").alias("sum_k"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q12B_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12c — per-document quality scoring (M6: token counting, punctuation /
+# stopword ratios, quality gate).
+# ---------------------------------------------------------------------------
+def q12c_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TXT.token_count(t).alias("n_tokens"),
+        TXT.subtoken_count(t).alias("n_subtokens"),
+        TXT.punct_ratio(t).alias("punct_ratio"),
+        TXT.stopword_ratio(t).alias("stopword_ratio"),
+        TXT.avg_token_len(t).alias("avg_token_len"),
+        TXT.quality_ok(t).alias("quality_ok"),
+    ).orderBy("doc_id")
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in TXT.STOPWORDS)
+
+Q12C_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(text), '\s+') AS toks,
+         len(string_split_regex(lower(text), '\s+')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subtokens,
+       round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text), 6) AS punct_ratio,
+       round(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) * 1.0 / n_tokens, 6) AS stopword_ratio,
+       round(list_sum(list_transform(toks, t -> length(t))) * 1.0 / n_tokens, 6) AS avg_token_len,
+       (n_tokens >= 5 AND n_tokens <= 100000
+        AND (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 1.0 / length(text) < 0.1) AS quality_ok
+FROM base
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12d — language-ID heuristic + normalization fingerprint (M6).
+# ---------------------------------------------------------------------------
+def q12d_langid_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        TXT.lang_id(t).alias("lang_pred"),
+        TXT.fingerprint(t).alias("fp"),
+    ).orderBy("doc_id")
+
+
+Q12D_SQL = r"""
+SELECT doc_id, lang,
+       CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+            WHEN regexp_matches(text, '[ñ¿¡]') THEN 'es'
+            WHEN regexp_matches(text, '[àâçèêëîïôùûœ]') THEN 'fr'
+            WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+            ELSE 'en' END AS lang_pred,
+       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "q12a_token_stats": q12a_token_stats,
+    "q12b_json_extract": q12b_json_extract,
+    "q12c_quality_scores": q12c_quality_scores,
+    "q12d_langid_fingerprint": q12d_langid_fingerprint,
+}
+
+ORACLES = {
+    "q12a_token_stats": Q12A_SQL,
+    "q12b_json_extract": Q12B_SQL,
+    "q12c_quality_scores": Q12C_SQL,
+    "q12d_langid_fingerprint": Q12D_SQL,
+}

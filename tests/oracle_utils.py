@@ -40,8 +40,14 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 def assert_matches(
     spark_df, sql: str, sf_dir: str, *, float_tol: float = 0.0, require_rows: bool = False
 ) -> None:
-    actual = _canon(spark_df.toPandas())
+    import time as _t
+    _t0 = _t.time()
+    _pdf = spark_df.toPandas()
+    _t1 = _t.time()
+    actual = _canon(_pdf)
     expected = _canon(duckdb_run(sql, sf_dir))
+    _t2 = _t.time()
+    print(f"[timing] spark={_t1-_t0:.1f}s canon+duck={_t2-_t1:.1f}s")
     if require_rows:
         assert len(expected) > 0, "oracle returned no rows — query is vacuous at this SF"
 
