@@ -73,22 +73,34 @@ ORDER BY canonical_id
 # deterministic ground truth MinHash-LSH is recall-checked against.
 # ---------------------------------------------------------------------------
 def q14c_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Inverted-index formulation, NOT a block-wise array self-join: a join
+    # on `source` alone has ~20 keys (≤20 tasks, each shuffling every
+    # shingle array in the block, then one core grinding array_intersect
+    # per pair). Exploding to (source, shingle, doc) and self-joining on
+    # the high-cardinality (source, shingle) key keeps parallelism at
+    # shuffle-partition granularity and never moves an array — the only
+    # state per row is two longs. common/(|A|+|B|-common) == set Jaccard.
     docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", "source", TXT.shingles(F.col("text"), 3).alias("sh")
-    ).filter(F.size("sh") > 0)
+    sh = (
+        docs.select("doc_id", "source", TXT.shingles(F.col("text"), 3).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", "source", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+    )
     a = sh.select(
-        F.col("doc_id").alias("id_a"), F.col("source"), F.col("sh").alias("sh_a")
+        F.col("source"), F.col("s"), F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")
     )
     b = sh.select(
-        F.col("doc_id").alias("id_b"), F.col("source"), F.col("sh").alias("sh_b")
+        F.col("source"), F.col("s"), F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")
     )
-    pairs = a.join(b, "source").filter(F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = inter.cast("double") / union.cast("double")
+    common = (
+        a.join(b, ["source", "s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("source", "id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        pairs.select("source", "id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        common.select("source", "id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") > 0.2)
         .orderBy("source", "id_a", "id_b")
     )

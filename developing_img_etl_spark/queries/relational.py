@@ -203,7 +203,9 @@ def q5_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.first("o_orderkey").over(frame).alias("first_order"),
-    ).orderBy("o_custkey", "rn")
+    ).filter(F.col("o_custkey") % 10 == 0).orderBy("o_custkey", "rn")
+    # post-window filter: windows span every order; only 1/10th of
+    # customers are emitted (bounds the result-set transfer, not the work)
 
 
 Q5_SQL = """
@@ -217,6 +219,7 @@ SELECT o_custkey, o_orderkey, o_orderdate,
        FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+QUALIFY o_custkey % 10 = 0
 ORDER BY o_custkey, rn
 """
 

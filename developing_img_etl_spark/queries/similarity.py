@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.vectors import cosine
+from ..functions.vectors import dot, norm
 
 N_PROBES = 10
 TOP_K = 5
@@ -23,17 +23,21 @@ TOP_K = 5
 
 def q13_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    # Norms are materialized per side BELOW the join (projections don't
+    # collapse across a join), so each pair pays ONE interpreted
+    # aggregate-fold (the dot) instead of three — HOFs aren't codegen'd,
+    # the fold is the per-pair cost that dominates at scale.
+    cand = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    probes = cand.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_emb"),
+        F.col("nrm").alias("probe_nrm"),
     )
     # Broadcast the tiny probe side; candidates stream map-side — no shuffle
     # of the big embedding table, scales linearly with candidate count.
-    pairs = emb.crossJoin(F.broadcast(probes)).filter(F.col("vec_id") != F.col("probe_id"))
-    scored = pairs.select(
-        "probe_id",
-        "vec_id",
-        F.round(cosine(F.col("probe_emb"), F.col("embedding")), 6).alias("sim"),
-    )
+    pairs = cand.crossJoin(F.broadcast(probes)).filter(F.col("vec_id") != F.col("probe_id"))
+    sim = dot(F.col("probe_emb"), F.col("embedding")) / (F.col("probe_nrm") * F.col("nrm"))
+    scored = pairs.select("probe_id", "vec_id", F.round(sim, 6).alias("sim"))
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "vec_id")
     return (
         scored.withColumn("rk", F.row_number().over(w))

@@ -1,0 +1,40 @@
+"""Partitioned sinks (SURVEY.md §2.1 S6, S8).
+
+The reference's output layout `weekly_photos/{kode_proyek}/{minggu}/{file}`
+(/root/reference/test.py:172-173) is exactly a Hive-style partitioned
+write; partition pruning on (kode_proyek, minggu) then comes free for
+every downstream read. Keys must be normalized BEFORE reaching here
+(§1.4 — the reference wrote two partition trees for one project).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_cols: list[str] = ("kode_proyek", "minggu"),
+    mode: str = "append",
+) -> None:
+    """Hive-partitioned parquet write. Binary `content` columns ride
+    along as a regular column — never a shuffle key (SURVEY §4.2)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def overwrite_catalog(catalog: DataFrame, path: str) -> None:
+    """The catalog overwrite-save (test.py:200-201). Parquet overwrite is
+    atomic-enough locally; on a real deployment this is the one table
+    that wants a transactional format (Delta/Iceberg)."""
+    catalog.write.mode("overwrite").parquet(path)
+
+
+def read_catalog(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read the catalog, or an empty frame on first run
+    (test.py:99-111 'if exists' semantics)."""
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except Exception:  # noqa: BLE001 — first run: no catalog yet
+        return spark.createDataFrame([], schema)
