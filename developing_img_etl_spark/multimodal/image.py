@@ -1,0 +1,157 @@
+"""Image operators M1-M3 (SURVEY.md §2.8): compress, metadata,
+unreadable-guard — the reference's core custom compute
+(/root/reference/test.py:44-59) as vectorized pandas UDFs.
+
+Codec strategy: cv2/PIL are NOT in this container, so the pixel codec
+is pluggable. When a real codec is importable it is used; otherwise a
+deterministic FAKE codec handles the engine's own synthetic format
+(`FAKEIMG:{w}:{h}:` header + payload bytes). The Spark-side plumbing —
+BinaryType columns, Arrow batch shape, null-on-unreadable semantics,
+aspect-preserving resize arithmetic, JPEG-quality knob — is identical
+either way, which is what the engine actually owns. The codec boundary
+is the only NotImplemented-ish seam, exactly as mandated.
+
+Scale rules (SURVEY.md §4.2): images are transformed map-side and never
+used as a shuffle key; Arrow batches are kept small
+(spark.sql.execution.arrow.maxRecordsPerBatch=1024 in session.py)
+because rows carry ~50-100 KB payloads (reference corpus stats).
+"""
+
+from __future__ import annotations
+
+import io
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+MAX_DIM = 1024  # MAX_WIDTH, test.py:35
+JPEG_QUALITY = 65  # QUALITY, test.py:36
+
+_FAKE_MAGIC = b"FAKEIMG:"
+
+
+# --------------------------------------------------------------------------
+# codec seam — real codec if available, deterministic fake otherwise
+# --------------------------------------------------------------------------
+def _try_real_codec():
+    try:
+        from PIL import Image  # noqa: F401
+
+        return "pil"
+    except Exception:  # noqa: BLE001
+        try:
+            import cv2  # noqa: F401
+
+            return "cv2"
+        except Exception:  # noqa: BLE001
+            return None
+
+
+_CODEC = _try_real_codec()
+
+
+def make_fake_image(width: int, height: int, seed: bytes = b"x") -> bytes:
+    """Deterministic synthetic image: header + pseudo-pixel payload whose
+    length tracks w*h (so recompression visibly shrinks it)."""
+    payload = (seed * ((width * height) // max(len(seed), 1) + 1))[: width * height]
+    return b"FAKEIMG:%d:%d:" % (width, height) + payload
+
+
+def _decode_dims(data: bytes | None) -> tuple[int, int] | None:
+    """(width, height), or None if unreadable (test.py:45-48 guard)."""
+    if data is None:
+        return None
+    if data.startswith(_FAKE_MAGIC):
+        try:
+            parts = bytes(data).split(b":", 3)
+            return int(parts[1]), int(parts[2])
+        except Exception:  # noqa: BLE001
+            return None
+    if _CODEC == "pil":
+        from PIL import Image
+
+        try:
+            with Image.open(io.BytesIO(data)) as im:
+                return im.size
+        except Exception:  # noqa: BLE001
+            return None
+    return None
+
+
+def _recompress(data: bytes | None, max_dim: int, quality: int) -> bytes | None:
+    """Aspect-preserving downscale to max_dim + re-encode (test.py:44-59).
+    Images already under the cap are re-encoded only (resize no-op)."""
+    dims = _decode_dims(data)
+    if dims is None:
+        return None
+    w, h = dims
+    if max(w, h) > max_dim:
+        scale = max_dim / float(max(w, h))
+        # reference: int(dim * scale) truncation (test.py:52-53)
+        w, h = int(w * scale), int(h * scale)
+    if data.startswith(_FAKE_MAGIC):
+        # fake "encode": payload shrinks to w*h * quality%
+        body_len = int(w * h * (quality / 100.0))
+        payload = bytes(data).split(b":", 3)[3][:body_len]
+        return b"FAKEIMG:%d:%d:" % (w, h) + payload
+    if _CODEC == "pil":
+        from PIL import Image
+
+        with Image.open(io.BytesIO(data)) as im:
+            im = im.resize((w, h))
+            out = io.BytesIO()
+            im.convert("RGB").save(out, "JPEG", quality=quality)
+            return out.getvalue()
+    return None
+
+
+# --------------------------------------------------------------------------
+# pandas UDFs — the Spark surface
+# --------------------------------------------------------------------------
+@pandas_udf(T.BinaryType())
+def compress_image(content: pd.Series) -> pd.Series:
+    """M1: decode → resize-if-needed → re-encode. Null = unreadable (M3)."""
+    return content.map(lambda b: _recompress(b, MAX_DIM, JPEG_QUALITY))
+
+
+@pandas_udf(
+    T.StructType(
+        [T.StructField("width", T.IntegerType()), T.StructField("height", T.IntegerType())]
+    )
+)
+def image_dims(content: pd.Series) -> pd.DataFrame:
+    """M2: width/height extraction; nulls for unreadable inputs."""
+    dims = content.map(_decode_dims)
+    return pd.DataFrame(
+        {
+            "width": dims.map(lambda d: d[0] if d else None),
+            "height": dims.map(lambda d: d[1] if d else None),
+        }
+    )
+
+
+def with_image_stats(df, content_col: str = "content"):
+    """Attach dims + size-KB + readable flag to a binary-image frame.
+    size_gambar_kb = round(length/1024, 2) (test.py:58-59) — computed
+    JVM-side, no Python round-trip."""
+    c = F.col(content_col)
+    return (
+        df.withColumn("__dims", image_dims(c))
+        .withColumn("width", F.col("__dims.width"))
+        .withColumn("height", F.col("__dims.height"))
+        .withColumn("size_gambar_kb", F.round(F.length(c) / 1024.0, 2))
+        .withColumn("readable", F.col("width").isNotNull())
+        .drop("__dims")
+    )
+
+
+def compress_pipeline(df, content_col: str = "content"):
+    """M1+M3 composed: recompress, keep per-record status instead of
+    failing the job (v2 skip-and-continue semantics, test.py:179-183)."""
+    out = df.withColumn("content_out", compress_image(F.col(content_col)))
+    return out.withColumn(
+        "status",
+        F.when(F.col("content_out").isNotNull(), F.lit("ok")).otherwise(F.lit("unreadable")),
+    )

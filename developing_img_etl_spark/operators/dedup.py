@@ -1,0 +1,165 @@
+"""Near-duplicate detection at scale (SURVEY.md §2.8 M4/M5 +
+training-data mandate): MinHash + LSH banding, SimHash.
+
+Design for 100 TB:
+  - signatures are built by EXPLODE + codegen'd hash expressions +
+    groupBy-min/sum — never a Python UDF, never an interpreted
+    higher-order fold in the hot path;
+  - LSH banding turns all-pairs O(n²) into groupBy buckets: only
+    documents sharing a band bucket are ever paired;
+  - candidate verification (exact Jaccard) runs only on LSH survivors.
+
+The exact n-gram Jaccard ground truth these are recall-checked against
+is queries/dedup.py::q14c (inverted-index formulation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+
+
+def shingle_rows(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+                 n: int = 3) -> DataFrame:
+    """(id, shingle) exploded rows + per-doc shingle count."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        TXT.shingles(F.col(text_col), n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    return sh.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+
+
+def minhash_signatures(shingled: DataFrame, *, k: int = 64) -> DataFrame:
+    """k-permutation MinHash via seeded xxhash64 (codegen'd): one explode
+    is already done, so this is k column expressions + ONE groupBy with
+    k min() aggregates — a single shuffle on doc_id."""
+    hashed = shingled.select(
+        "doc_id",
+        *[F.xxhash64(F.col("s"), F.lit(i)).alias(f"h{i}") for i in range(k)],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(k)]
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, *, bands: int = 16, rows: int = 4) -> DataFrame:
+    """Band the signature (bands × rows = k) and bucket-join: documents
+    agreeing on ALL rows of any band become candidate pairs.
+
+    Pair generation is a self-join on (band_id, band_hash) — same
+    inverted-index shape as q14c, parallel in the bucket key."""
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select("doc_id", *band_cols)
+    long = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("g"),
+    ).select("doc_id", F.col("g.band_id").alias("band_id"), F.col("g.bh").alias("bh"))
+    a = long.select("band_id", "bh", F.col("doc_id").alias("id_a"))
+    b = long.select("band_id", "bh", F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, ["band_id", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def verify_jaccard(candidates: DataFrame, shingled: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs only: count common shingles via
+    the inverted index restricted to candidates (semi-join), then
+    common/(|A|+|B|-common)."""
+    sizes = shingled.groupBy("doc_id").agg(F.first("n_sh").alias("n_sh"))
+    # Restrict the inverted index to candidate documents BEFORE pairing —
+    # otherwise verification re-pays the full all-pairs cost LSH avoided.
+    cand_ids = candidates.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).distinct()
+    occ = shingled.join(cand_ids, "doc_id", "left_semi").select("doc_id", "s")
+    pairs_common = (
+        occ.alias("x")
+        .join(occ.alias("y"), "s")
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(candidates, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = pairs_common.join(na, "id_a").join(nb, "id_b")
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return out.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+    k: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pairs with exact verification."""
+    shingled = shingle_rows(docs, id_col=id_col, text_col=text_col)
+    sigs = minhash_signatures(shingled, k=k)
+    cands = lsh_candidate_pairs(sigs, bands=bands, rows=rows)
+    return verify_jaccard(cands, shingled).filter(F.col("jaccard") >= threshold)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sum +1/-1 by the
+    bit of xxhash64(token); sign → bit. Explode + codegen'd bit math +
+    one groupBy — the same single-shuffle shape as MinHash."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TXT.tokens(F.col(text_col))).alias("t"),
+    )
+    h = F.xxhash64(F.col("t"))
+    contrib = toks.select(
+        "doc_id",
+        *[
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{i}")
+            for i in range(bits)
+        ],
+    )
+    summed = contrib.groupBy("doc_id").agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)]
+    )
+    sig = summed.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long")).otherwise(0) * F.lit(2**i).cast("long")
+             for i in range(bits - 1)),  # bit 63 omitted: keep the value positive in a signed long
+            start=F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sig
+
+
+def simhash_dup_groups(docs: DataFrame, **kw) -> DataFrame:
+    """Documents sharing an identical SimHash (candidate near-dups)."""
+    sig = simhash(docs, **kw)
+    w = Window.partitionBy("simhash")
+    return (
+        sig.withColumn("group_size", F.count(F.lit(1)).over(w))
+        .filter(F.col("group_size") > 1)
+        .select("simhash", "doc_id", "group_size")
+    )

@@ -1,0 +1,158 @@
+"""Approximate nearest neighbor over embedding columns (SURVEY.md §2.8
+M5 + training-data mandate).
+
+Three tiers:
+  1. brute_force_topk — Catalyst zip_with/aggregate fold (oracle path,
+     queries/similarity.py::q13). Exact, scales linearly, but the fold
+     is interpreted: right for small probe sets.
+  2. numpy_topk — mapInPandas with a broadcast probe matrix: each Arrow
+     batch does ONE numpy matmul (vectorized, no per-row Python). The
+     exact baseline at scale; shuffle-free (probes broadcast, top-k
+     merged per partition then globally).
+  3. rp_lsh_topk — random-hyperplane LSH: sign-bit sketch → Hamming
+     bucket join → exact cosine only within buckets. Approximate;
+     recall-checked against tier 1/2 in tests (never value-hashed).
+
+Embedding-cosine near-dup pairs (cosine ≥ τ) reuse tier 3's bucketing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import dot, norm
+
+
+def brute_force_topk(emb: DataFrame, probes: DataFrame, k: int = 5) -> DataFrame:
+    """Exact cosine top-k, pure Catalyst (see queries/similarity.py)."""
+    cand = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    p = probes.select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_emb"),
+        norm(F.col("embedding")).alias("probe_nrm"),
+    )
+    pairs = cand.crossJoin(F.broadcast(p)).filter(F.col("vec_id") != F.col("probe_id"))
+    sim = dot(F.col("probe_emb"), F.col("embedding")) / (F.col("probe_nrm") * F.col("nrm"))
+    scored = pairs.select("probe_id", "vec_id", F.round(sim, 6).alias("sim"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "vec_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
+def numpy_topk(emb: DataFrame, probes_pd: pd.DataFrame, k: int = 5) -> DataFrame:
+    """Exact cosine top-k with one matmul per Arrow batch.
+
+    ``probes_pd``: pandas frame with columns (vec_id, embedding list).
+    The probe matrix rides to executors inside the serialized closure
+    (same effect as a broadcast variable at this size); candidates are
+    scanned once, map-side; per-partition top-k keeps the shuffle to
+    k rows per probe per partition."""
+    pm = np.array(probes_pd["embedding"].tolist(), dtype=np.float64)
+    pm /= np.linalg.norm(pm, axis=1, keepdims=True)
+    probe_ids = probes_pd["vec_id"].to_numpy()
+
+    out_schema = "probe_id long, vec_id long, sim double"
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            cm = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm @ pm.T  # (batch, n_probes)
+            for j, pid in enumerate(probe_ids):
+                mask = ids != pid
+                # rank by (rounded sim desc, vec_id asc) — the same total
+                # order the Catalyst/oracle path uses, so per-partition
+                # pruning can never drop a global winner on a rounding tie
+                r = np.round(sims[:, j][mask], 6)
+                cand_ids = ids[mask]
+                order = np.lexsort((cand_ids, -r))[: min(k, len(r))]
+                yield pd.DataFrame(
+                    {"probe_id": pid, "vec_id": cand_ids[order], "sim": r[order]}
+                )
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(score, out_schema)
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "vec_id")
+    return partial.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
+def rp_sketch(emb: DataFrame, *, bits: int = 8, dim: int = 64, seed: int = 42) -> DataFrame:
+    """Random-hyperplane sign sketch as a compact long, via ONE
+    vectorized pandas UDF (matmul per Arrow batch, map-side, no
+    shuffle). The plane matrix is a deterministic seeded RNG draw
+    closed over the UDF — identical on every executor. (A Catalyst
+    zip_with version was tried first: bits×dim literal nodes bloat the
+    plan and the interpreted fold costs more than the Arrow hop.)"""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bits, dim))
+    weights = (2 ** np.arange(bits)).astype(np.int64)
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    @pandas_udf(T.LongType())
+    def sketch_udf(embedding: pd.Series) -> pd.Series:
+        m = np.array(embedding.tolist(), dtype=np.float64)
+        signs = (m @ planes.T) > 0
+        return pd.Series(signs @ weights)
+
+    return emb.withColumn("sketch", sketch_udf(F.col("embedding")))
+
+
+def rp_lsh_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    *,
+    k: int = 5,
+    bits: int = 4,
+    tables: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-table random-hyperplane LSH top-k: candidates = vectors
+    sharing a sketch with the probe in ANY table; exact cosine ranks the
+    survivors. Recall grows with `tables`; cost stays
+    O(candidates-in-matching-buckets) instead of O(n)."""
+    scored = None
+    for t in range(tables):
+        c = rp_sketch(emb, bits=bits, dim=dim, seed=100 + t).select(
+            "vec_id", "embedding", "sketch"
+        )
+        p = rp_sketch(probes, bits=bits, dim=dim, seed=100 + t).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_emb"),
+            F.col("sketch"),
+        )
+        cand = c.join(F.broadcast(p), "sketch").filter(F.col("vec_id") != F.col("probe_id"))
+        scored = cand if scored is None else scored.unionByName(cand)
+
+    uniq = scored.dropDuplicates(["probe_id", "vec_id"])
+    pn = norm(F.col("probe_emb"))
+    cn = norm(F.col("embedding"))
+    sim = dot(F.col("probe_emb"), F.col("embedding")) / (pn * cn)
+    ranked = uniq.select("probe_id", "vec_id", F.round(sim, 6).alias("sim"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "vec_id")
+    return ranked.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
+
+def cosine_near_dup_pairs(
+    emb: DataFrame, *, threshold: float = 0.9, bits: int = 8, dim: int = 64
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: bucket by sketch, exact cosine
+    within buckets only (all-pairs never materialized)."""
+    sk = rp_sketch(emb, bits=bits, dim=dim).select("vec_id", "embedding", "sketch")
+    a = sk.select(
+        F.col("sketch"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a")
+    )
+    b = sk.select(
+        F.col("sketch"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b")
+    )
+    pairs = a.join(b, "sketch").filter(F.col("id_a") < F.col("id_b"))
+    sim = dot(F.col("emb_a"), F.col("emb_b")) / (
+        norm(F.col("emb_a")) * norm(F.col("emb_b"))
+    )
+    return (
+        pairs.select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

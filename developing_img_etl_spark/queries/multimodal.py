@@ -1,4 +1,229 @@
-"""Placeholder — populated in a later milestone."""
+"""Multimodal + near-dup query entries (SURVEY.md §2.8 M1-M7).
 
-QUERIES = {}
-ORACLES = {}
+Image queries synthesize deterministic FAKEIMG binary columns from the
+`part` table JVM-side (no image fixtures in the testdata), push them
+through the REAL pandas-UDF surface (multimodal/image.py), and — because
+the fake codec's arithmetic is integer-exact — the DuckDB oracle can
+mirror the whole decode→resize→encode pipeline in SQL. The plumbing
+being verified (Arrow batches, BinaryType columns, null-guard, resize
+truncation arithmetic) is exactly what the engine owns; only the pixel
+codec itself is swapped at the seam.
+
+MinHash/SimHash/LSH queries are approximate or Spark-hash-specific →
+rows-only here, recall-checked against exact ground truth in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..multimodal.image import compress_pipeline, with_image_stats
+from ..operators import dedup as DD
+from ..operators import similarity as SIM
+
+# --------------------------------------------------------------------------
+# Synthetic image corpus: deterministic dims from part attributes; every
+# 97th part is corrupt (M3 guard); parts with p_size > 48 exceed the
+# 1024 cap (M1 resize path). Payload bounded to 4 KB.
+# --------------------------------------------------------------------------
+
+
+def _fake_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    w = F.when(F.col("p_size") > 48, 1200 + F.col("p_size")).otherwise(32 + F.col("p_size"))
+    h = (w * 3 / 4).cast("int")
+    payload_len = F.least(w * h, F.lit(4096))
+    content = F.concat(
+        F.lit("FAKEIMG:"),
+        w.cast("string"),
+        F.lit(":"),
+        h.cast("string"),
+        F.lit(":"),
+        F.repeat(F.lit("x"), payload_len),
+    ).cast("binary")
+    corrupt = F.col("p_partkey") % 97 == 0
+    return part.select(
+        "p_partkey",
+        F.when(corrupt, F.lit("GARBAGE").cast("binary")).otherwise(content).alias("content"),
+    )
+
+
+_FAKE_SQL_BASE = """
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 97 = 0 THEN NULL
+              WHEN p_size > 48 THEN 1200 + p_size
+              ELSE 32 + p_size END AS w,
+         -- floor before CAST: DuckDB int-casts ROUND, Spark/Python truncate
+         CAST(floor(CASE WHEN p_partkey % 97 = 0 THEN NULL
+              WHEN p_size > 48 THEN (1200 + p_size) * 3 / 4.0
+              ELSE (32 + p_size) * 3 / 4.0 END) AS INT) AS h
+  FROM part
+"""
+
+
+# --------------------------------------------------------------------------
+# M2/M3 — metadata extraction + unreadable guard through the pandas UDF.
+# --------------------------------------------------------------------------
+def m2_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = _fake_images(spark, sf_dir)
+    stats = with_image_stats(imgs)
+    return stats.select(
+        "p_partkey",
+        "width",
+        "height",
+        F.col("size_gambar_kb"),
+        "readable",
+    ).orderBy("p_partkey")
+
+
+M2_SQL = f"""
+WITH dims AS ({_FAKE_SQL_BASE})
+SELECT p_partkey,
+       w AS width,
+       h AS height,
+       ROUND(CASE WHEN w IS NULL THEN length('GARBAGE')
+                  ELSE length('FAKEIMG:' || w || ':' || h || ':') + least(w * h, 4096)
+             END / 1024.0, 2) AS size_gambar_kb,
+       w IS NOT NULL AS readable
+FROM dims
+ORDER BY p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# M1 — compress: resize-if-over-cap arithmetic + re-encode through the
+# pandas UDF; per-record status (v2 skip-and-continue).
+# --------------------------------------------------------------------------
+def m1_image_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = _fake_images(spark, sf_dir)
+    out = compress_pipeline(imgs)
+    return out.select(
+        "p_partkey",
+        "status",
+        F.length("content_out").cast("long").alias("out_bytes"),
+    ).orderBy("p_partkey")
+
+
+# int(dim*scale) truncation and int(w*h*0.65) body both mirror exactly:
+# positive values → CAST AS INT == Python int() truncation.
+M1_SQL = f"""
+WITH dims AS ({_FAKE_SQL_BASE}),
+resized AS (
+  SELECT p_partkey, w, h,
+         CASE WHEN greatest(w, h) > 1024
+              THEN CAST(floor(w * (1024.0 / greatest(w, h))) AS INT) ELSE w END AS w2,
+         CASE WHEN greatest(w, h) > 1024
+              THEN CAST(floor(h * (1024.0 / greatest(w, h))) AS INT) ELSE h END AS h2
+  FROM dims
+)
+SELECT p_partkey,
+       CASE WHEN w IS NULL THEN 'unreadable' ELSE 'ok' END AS status,
+       CASE WHEN w IS NULL THEN NULL
+            ELSE CAST(length('FAKEIMG:' || w2 || ':' || h2 || ':')
+                 + least(CAST(floor(w2 * h2 * 0.65) AS INT), least(w * h, 4096)) AS BIGINT)
+       END AS out_bytes
+FROM resized
+ORDER BY p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# M7 — multimodal binding: binary + text + embedding columns in one
+# frame, joined on key; aggregates per readability flag.
+# --------------------------------------------------------------------------
+def m7_multimodal_bind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = with_image_stats(_fake_images(spark, sf_dir))
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    bound = (
+        imgs.join(docs, imgs.p_partkey == docs.doc_id)
+        .join(emb, docs.doc_id == emb.vec_id)
+        .select("doc_id", "readable", "lang", F.size("embedding").alias("dim"), "n_chars")
+    )
+    return (
+        bound.groupBy("readable", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.max("dim").alias("max_dim"),
+        )
+        .orderBy("readable", "lang")
+    )
+
+
+M7_SQL = f"""
+WITH dims AS ({_FAKE_SQL_BASE})
+SELECT d.w IS NOT NULL AS readable, doc.lang,
+       COUNT(*) AS n,
+       CAST(SUM(doc.n_chars) AS BIGINT) AS sum_chars,
+       CAST(MAX(len(e.embedding)) AS INT) AS max_dim
+FROM dims d
+JOIN documents doc ON d.p_partkey = doc.doc_id
+JOIN embeddings e ON doc.doc_id = e.vec_id
+GROUP BY 1, 2
+ORDER BY readable, lang
+"""
+
+
+# --------------------------------------------------------------------------
+# M5/M4 extensions — approximate dedup/ANN paths (rows-only; recall
+# tests in tests/test_approx_ops.py pin them to exact ground truth).
+# --------------------------------------------------------------------------
+def m4_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    doubled = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+        )
+    )
+    return DD.minhash_near_dups(doubled, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def m5_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    doubled = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+        )
+    )
+    return DD.simhash_dup_groups(doubled).orderBy("simhash", "doc_id")
+
+
+def m6_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return SIM.rp_lsh_topk(emb, probes, k=5).orderBy("probe_id", F.desc("sim"), "vec_id")
+
+
+def m8_numpy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas/numpy exact path — must equal q13 (same oracle)."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes_pd = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding").toPandas()
+    out = SIM.numpy_topk(emb, probes_pd, k=5)
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "vec_id")
+    return out.select(
+        "probe_id", "vec_id", "sim", F.row_number().over(w).cast("long").alias("rk")
+    ).orderBy("probe_id", "rk")
+
+
+QUERIES = {
+    "m1_image_compress": m1_image_compress,
+    "m2_image_metadata": m2_image_metadata,
+    "m7_multimodal_bind": m7_multimodal_bind,
+    "m4_minhash_near_dups": m4_minhash_near_dups,
+    "m5_simhash_groups": m5_simhash_groups,
+    "m6_ann_lsh_topk": m6_ann_lsh_topk,
+    "m8_numpy_topk": m8_numpy_topk,
+}
+
+from .similarity import Q13_SQL  # noqa: E402  (m8 is exact — same oracle)
+
+ORACLES = {
+    "m1_image_compress": M1_SQL,
+    "m2_image_metadata": M2_SQL,
+    "m7_multimodal_bind": M7_SQL,
+    "m8_numpy_topk": Q13_SQL,
+    # m4/m5/m6: approximate or Spark-hash-specific → rows-only
+}

@@ -1,0 +1,100 @@
+"""Recall + property tests for the approximate operators (SURVEY.md
+§5.2 items 3-4): MinHash-LSH vs exact Jaccard, RP-LSH ANN vs brute
+force, image-UDF properties.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from developing_img_etl_spark.operators import dedup as DD
+from developing_img_etl_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from developing_img_etl_spark.catalog import load
+
+    return load(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from developing_img_etl_spark.catalog import load
+
+    return load(spark, sf_dir, "embeddings")
+
+
+def test_minhash_recall_vs_exact(docs):
+    """MinHash-LSH must recover ≥90% of true Jaccard≥0.5 pairs."""
+    shingled = DD.shingle_rows(docs)
+    # exact ground truth: all-pairs jaccard via the inverted index
+    all_ids = docs.select(F.col("doc_id").alias("id_a")).crossJoin(
+        docs.select(F.col("doc_id").alias("id_b"))
+    ).filter(F.col("id_a") < F.col("id_b"))
+    exact = DD.verify_jaccard(all_ids, shingled).filter(F.col("jaccard") >= 0.5)
+    truth = {(r.id_a, r.id_b) for r in exact.collect()}
+
+    found = {
+        (r.id_a, r.id_b)
+        for r in DD.minhash_near_dups(docs, threshold=0.5).collect()
+    }
+    if not truth:
+        pytest.skip("no true near-dup pairs at this SF")
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, f"minhash recall {recall:.2f} over {len(truth)} pairs"
+    # verification step guarantees precision = 1.0 (exact jaccard on survivors)
+    assert found <= truth | found
+
+
+def test_minhash_catches_identical_dups(docs):
+    """Identical texts share the full signature → always candidate pairs."""
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 10**6).alias("doc_id"), "text", "lang", "source", "n_chars")
+    )
+    pairs = DD.minhash_near_dups(doubled, threshold=0.99)
+    ids = {(r.id_a, r.id_b) for r in pairs.collect()}
+    n_docs = docs.count()
+    exact_dups = {(i, i + 10**6) for i in range(n_docs) if (i, i + 10**6) in ids}
+    assert len(exact_dups) >= n_docs * 0.99
+
+
+def test_simhash_identical_texts_collide(docs):
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 10**6).alias("doc_id"), "text", "lang", "source", "n_chars")
+    )
+    groups = DD.simhash_dup_groups(doubled)
+    assert groups.count() >= docs.count() * 2 * 0.99
+
+
+def test_rp_lsh_recall_vs_brute_force(emb):
+    probes = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.probe_id, r.vec_id)
+        for r in SIM.brute_force_topk(emb, probes, k=5).collect()
+    }
+    approx = {
+        (r.probe_id, r.vec_id)
+        for r in SIM.rp_lsh_topk(emb, probes, k=5).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.8, f"rp-lsh recall {recall:.2f}"
+
+
+def test_numpy_equals_brute_force(emb):
+    probes = emb.filter(F.col("vec_id") < 10)
+    probes_pd = probes.select("vec_id", "embedding").toPandas()
+    a = {(r.probe_id, r.vec_id, r.sim) for r in SIM.brute_force_topk(emb, probes, k=5).collect()}
+    b = {(r.probe_id, r.vec_id, r.sim) for r in SIM.numpy_topk(emb, probes_pd, k=5).collect()}
+    assert a == b
+
+
+def test_cosine_near_dup_pairs_finds_planted(spark, emb):
+    """Plant an exact duplicate vector — the bucketed near-dup op must
+    find it (cosine 1.0 ⇒ identical sketch ⇒ same bucket always)."""
+    v = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    planted = spark.createDataFrame([(10**6, v, 0)], "vec_id long, embedding array<float>, label int")
+    pairs = SIM.cosine_near_dup_pairs(emb.unionByName(planted), threshold=0.999)
+    hits = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert (0, 10**6) in hits
