@@ -197,8 +197,40 @@ ORDER BY user_id, session_start
 """
 
 
+# ---------------------------------------------------------------------------
+# ST1/ST4 — the actual Structured Streaming path, driven to completion
+# with Trigger.AvailableNow and compared against the SAME oracle as the
+# batch q11a: the streaming engine must produce identical finalized
+# windows.
+# ---------------------------------------------------------------------------
+def st1_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from ..streaming.windows import tumbling_counts
+
+    events = load(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="stq_")
+    src = f"{tmp}/src"
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    name = f"st_tbl_{uuid.uuid4().hex[:8]}"
+    q = (
+        tumbling_counts(stream, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("w_start")
+
+
 QUERIES = {
     "q11a_tumbling_window": q11a_tumbling_window,
+    "st1_streaming_tumbling": st1_streaming_tumbling,
     "q11b_asof_join": q11b_asof_join,
     "q11c_range_predicate_join": q11c_range_predicate_join,
     "q11d_bucket_range_join": q11d_bucket_range_join,
@@ -207,6 +239,7 @@ QUERIES = {
 
 ORACLES = {
     "q11a_tumbling_window": Q11A_SQL,
+    "st1_streaming_tumbling": Q11A_SQL,
     "q11b_asof_join": Q11B_SQL,
     "q11c_range_predicate_join": Q11C_SQL,
     "q11d_bucket_range_join": Q11D_SQL,

@@ -1,0 +1,129 @@
+"""Streaming surface tests (SURVEY.md §2.9): AvailableNow incremental
+drain + idempotent foreachBatch, streaming windows == batch oracle
+results, watermark dedup, REST sink contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from developing_img_etl_spark.catalog import load
+from developing_img_etl_spark.streaming import incremental as INC
+from developing_img_etl_spark.streaming import windows as W
+
+PHOTO_SCHEMA = T.StructType(
+    [
+        T.StructField("kode_proyek", T.StringType()),
+        T.StructField("minggu", T.StringType()),
+        T.StructField("nama_file", T.StringType()),
+        T.StructField("ingest_ts", T.TimestampType()),
+    ]
+)
+
+
+def _photo_rows(spark, n, start=0):
+    return spark.createDataFrame(
+        [
+            (f"PRJ{i % 3}", str(7 + i % 2), f"img{start + i}.jpg", None)
+            for i in range(n)
+        ],
+        PHOTO_SCHEMA,
+    ).withColumn("ingest_ts", F.current_timestamp())
+
+
+def test_available_now_incremental(spark, tmp_path):
+    """Two triggers: second run drains ONLY newly arrived files; the
+    idempotent writer never double-appends (test.py:100-111 contract)."""
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+
+    _photo_rows(spark, 10).write.parquet(src)
+    stream = INC.read_photo_stream(spark, src, PHOTO_SCHEMA)
+    INC.start_incremental_append(
+        stream, target_dir=target, checkpoint_dir=ckpt, spark=spark
+    ).awaitTermination(120)
+    assert spark.read.parquet(target).count() == 10
+
+    # second batch: 5 new + 10 duplicates of already-written keys
+    _photo_rows(spark, 5, start=100).write.mode("append").parquet(src)
+    _photo_rows(spark, 10).write.mode("append").parquet(src)
+    stream = INC.read_photo_stream(spark, src, PHOTO_SCHEMA)
+    INC.start_incremental_append(
+        stream, target_dir=target, checkpoint_dir=ckpt, spark=spark
+    ).awaitTermination(120)
+    out = spark.read.parquet(target)
+    assert out.count() == 15  # duplicates suppressed by the anti-join
+    assert out.select("kode_proyek", "minggu", "nama_file").distinct().count() == 15
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir, tmp_path):
+    """ST4 cross-check: the streaming aggregation over an AvailableNow
+    drain must produce exactly the batch q11a numbers."""
+    from developing_img_etl_spark.queries.streaming_batch import q11a_tumbling_window
+
+    events = load(spark, sf_dir, "events")
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = W.tumbling_counts(stream, watermark="0 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.w_start, r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    want = {
+        (r.w_start, r.n_events, r.sum_value)
+        for r in q11a_tumbling_window(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_rest_sink_idempotent(spark, tmp_path):
+    from developing_img_etl_spark.sinks.rest import LocalFsTransport, upload
+
+    root = str(tmp_path / "store")
+    os.makedirs(root, exist_ok=True)
+    df = spark.createDataFrame(
+        [(f"a/b/f{i}.bin", bytes([i]) * 64) for i in range(20)],
+        "object_key string, content binary",
+    )
+    r1 = upload(df, lambda: LocalFsTransport(root)).groupBy("status").count().collect()
+    assert {r.status: r["count"] for r in r1} == {"uploaded": 20}
+    # re-run: content identical → all skipped, nothing rewritten
+    r2 = upload(df, lambda: LocalFsTransport(root)).groupBy("status").count().collect()
+    assert {r.status: r["count"] for r in r2} == {"skipped_identical": 20}
+    # changed content → replaced
+    df2 = df.withColumn("content", F.concat(F.col("content"), F.lit(b"x")))
+    r3 = upload(df2, lambda: LocalFsTransport(root)).groupBy("status").count().collect()
+    assert {r.status: r["count"] for r in r3} == {"uploaded": 20}
+
+
+def test_rest_sink_retry_then_fail(spark, tmp_path):
+    from developing_img_etl_spark.sinks import rest
+
+    class Flaky(rest.LocalFsTransport):
+        calls = 0
+
+        def put(self, key, content):
+            Flaky.calls += 1
+            raise OSError("boom")
+
+    root = str(tmp_path / "store2")
+    os.makedirs(root, exist_ok=True)
+    df = spark.createDataFrame([("k.bin", b"data")], "object_key string, content binary")
+    out = rest.upload(df, lambda: Flaky(root), max_retries=2, backoff_s=0.0).collect()
+    assert out[0].status == "failed" and out[0].attempts == 3
