@@ -29,24 +29,23 @@ def main() -> int:
     spark = get_spark("bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
 
-    # The host occasionally stalls a single task for minutes (observed:
-    # identical q2 runs at 2.2s and 258s with zero steal/IO after).
-    # Any query slower than RETRY_THRESHOLD gets one re-run; min wins —
-    # a one-off host hiccup can't poison the round's number.
-    RETRY_THRESHOLD = 8.0
-
+    # Two full passes, min per query: pass 1 pays whole-stage-codegen
+    # compilation (~5-10 s for wide projections), and the host
+    # occasionally stalls a single task for minutes (observed: identical
+    # q2 runs at 2.2 s and 258 s with zero steal/IO). The min is the
+    # engine's capability number; neither artifact can poison it.
     def run_once(fn) -> float:
         t0 = time.time()
         fn(spark, sf_dir).collect()
         return time.time() - t0
 
     timings: dict[str, float] = {}
-    for name, fn in sorted(all_queries().items()):
-        t = run_once(fn)
-        if t > RETRY_THRESHOLD:
-            t = min(t, run_once(fn))
-        timings[name] = round(t, 3)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+    for _pass in range(2):
+        for name, fn in sorted(all_queries().items()):
+            t = run_once(fn)
+            timings[name] = round(min(t, timings.get(name, t)), 3)
+            if _pass:
+                print(f"  {name}: {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -112,7 +112,10 @@ def minhash_near_dups(
     rows: int = 4,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs with exact verification."""
-    shingled = shingle_rows(docs, id_col=id_col, text_col=text_col)
+    # shingled feeds signatures AND both sides of verification — persist
+    # so the explode+regex-split isn't recomputed per consumer (the plan
+    # audit showed 31 shuffles without it; executors LRU-evict the block)
+    shingled = shingle_rows(docs, id_col=id_col, text_col=text_col).persist()
     sigs = minhash_signatures(shingled, k=k)
     cands = lsh_candidate_pairs(sigs, bands=bands, rows=rows)
     return verify_jaccard(cands, shingled).filter(F.col("jaccard") >= threshold)

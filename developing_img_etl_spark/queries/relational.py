@@ -469,8 +469,121 @@ ORDER BY o_year
 """
 
 
+# ---------------------------------------------------------------------------
+# Q6b — cube (A4, the full grouping-set lattice over two keys).
+# ---------------------------------------------------------------------------
+def q6b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    return (
+        base.cube("o_orderstatus", "o_orderpriority")
+        .agg(dsum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "revenue",
+            "n",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+Q6B_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 — self-join on adjacent attribute values (J5: the STAGE_DEPENDENCY
+# child→parent self-join shape, /root/reference/test.mmd:52-58,77-78):
+# parts paired with same-type parts one size larger.
+# ---------------------------------------------------------------------------
+def q15_selfjoin_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    child = part.alias("c")
+    parent = part.alias("p")
+    return (
+        child.join(
+            parent,
+            (F.col("c.p_type") == F.col("p.p_type"))
+            & (F.col("p.p_size") == F.col("c.p_size") + 1),
+        )
+        .select(
+            F.col("c.p_partkey").alias("child_key"),
+            F.col("p.p_partkey").alias("parent_key"),
+            F.col("c.p_type").alias("p_type"),
+            F.col("c.p_size").alias("child_size"),
+        )
+        .orderBy("child_key", "parent_key")
+    )
+
+
+Q15_SQL = """
+SELECT c.p_partkey AS child_key, p.p_partkey AS parent_key,
+       c.p_type AS p_type, c.p_size AS child_size
+FROM part c JOIN part p ON c.p_type = p.p_type AND p.p_size = c.p_size + 1
+ORDER BY child_key, parent_key
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 — collect_list re-pivot (A6: the inverse of the photo unpivot —
+# group members gathered back into an ordered array).
+# ---------------------------------------------------------------------------
+def q16_collect_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select("o_custkey", F.year("o_orderdate").cast("long").alias("y"))
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("y")), ",").alias("order_years"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+Q16_SQL = """
+SELECT o_custkey,
+       array_to_string(list_sort(list_distinct(list(year(o_orderdate)))), ',') AS order_years,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17 — approx_count_distinct (A5): HLL++ sketch vs exact. Approximate →
+# no value-hash oracle (rows-only); tests/test_misc_surface.py pins the
+# relative error ≤ 3×rsd.
+# ---------------------------------------------------------------------------
+def q17_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey", 0.05).alias("approx_customers"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
     "q1_incremental_antijoin": q1_incremental_antijoin,
+    "q17_approx_distinct": q17_approx_distinct,
+    "q6b_cube": q6b_cube,
+    "q15_selfjoin_adjacent": q15_selfjoin_adjacent,
+    "q16_collect_years": q16_collect_years,
     "q2_grouped_agg": q2_grouped_agg,
     "q3_join_chain": q3_join_chain,
     "q4a_customers_without_urgent_orders": q4a_customers_without_urgent_orders,
@@ -487,6 +600,9 @@ QUERIES = {
 
 ORACLES = {
     "q1_incremental_antijoin": Q1_SQL,
+    "q6b_cube": Q6B_SQL,
+    "q15_selfjoin_adjacent": Q15_SQL,
+    "q16_collect_years": Q16_SQL,
     "q2_grouped_agg": Q2_SQL,
     "q3_join_chain": Q3_SQL,
     "q4a_customers_without_urgent_orders": Q4A_SQL,

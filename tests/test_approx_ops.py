@@ -27,7 +27,12 @@ def emb(spark, sf_dir):
 
 
 def test_minhash_recall_vs_exact(docs):
-    """MinHash-LSH must recover ≥90% of true Jaccard≥0.5 pairs."""
+    """MinHash-LSH must recover ≥90% of true Jaccard≥0.5 pairs.
+
+    Ground truth is exact all-pairs Jaccard — quadratic, so restricted
+    to a 5-source slice (~125 docs → ~8k pairs); recall statistics
+    don't need the full corpus."""
+    docs = docs.filter(F.col("source").isin("src0", "src1", "src2", "src3", "src4"))
     shingled = DD.shingle_rows(docs)
     # exact ground truth: all-pairs jaccard via the inverted index
     all_ids = docs.select(F.col("doc_id").alias("id_a")).crossJoin(

@@ -127,3 +127,90 @@ def test_rest_sink_retry_then_fail(spark, tmp_path):
     df = spark.createDataFrame([("k.bin", b"data")], "object_key string, content binary")
     out = rest.upload(df, lambda: Flaky(root), max_retries=2, backoff_s=0.0).collect()
     assert out[0].status == "failed" and out[0].attempts == 3
+
+
+def test_stateful_user_totals(spark, sf_dir, tmp_path):
+    """applyInPandasWithState totals across two micro-batches must equal
+    the batch groupBy over the union of both."""
+    from developing_img_etl_spark.streaming.stateful import user_totals
+
+    events = load(spark, sf_dir, "events").select("user_id", "value", "ts")
+    half1 = events.filter(F.col("user_id") % 2 == 0)
+    half2 = events
+    src = str(tmp_path / "ev_src")
+    out_dir = str(tmp_path / "state_out")
+    half1.write.parquet(src)
+
+    def drain():
+        # memory sink can't recover a stateful checkpoint — foreachBatch
+        # to parquet is the recoverable shape (and the realistic one)
+        def sink(batch, batch_id):
+            batch.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out_dir)
+
+        stream = spark.readStream.schema(half1.schema).parquet(src)
+        q = (
+            user_totals(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    half2.write.mode("append").parquet(src)
+    drain()
+
+    out = spark.read.parquet(out_dir)
+    last_batch = out.agg(F.max("batch_id")).first()[0]
+    final = out.filter(F.col("batch_id") == last_batch)
+    expected = (
+        half1.unionByName(half2)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got = {(r.user_id, r.n_events) for r in final.collect()}
+    want = {(r.user_id, r.n_events) for r in expected.collect()}
+    assert got == want
+
+
+def test_late_data_dropped(spark, tmp_path):
+    """ST5: rows older than the watermark are excluded from finalized
+    windows in append mode."""
+    import datetime as dt
+
+    from developing_img_etl_spark.streaming.windows import tumbling_counts
+
+    base = dt.datetime(2024, 1, 1)
+    on_time = [(i, base + dt.timedelta(days=20), 1.0) for i in range(10)]
+    late = [(99, base - dt.timedelta(days=30), 1.0)]  # far behind the watermark
+    src = str(tmp_path / "late_src")
+    spark.createDataFrame(on_time, "event_id long, ts timestamp, value double").write.parquet(src)
+
+    out_dir = str(tmp_path / "late_out")
+
+    def drain():
+        def sink(batch, batch_id):
+            batch.write.mode("append").parquet(out_dir)
+
+        stream = spark.readStream.schema("event_id long, ts timestamp, value double").parquet(src)
+        q = (
+            tumbling_counts(stream, window="7 days", watermark="1 day")
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    spark.createDataFrame(late, "event_id long, ts timestamp, value double").write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    rows = spark.read.parquet(out_dir).collect()
+    # the late row's window (Dec 2023) must not appear: watermark already
+    # advanced past it in batch 1
+    assert all(r.w_start.year == 2024 for r in rows)
