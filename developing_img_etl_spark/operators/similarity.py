@@ -65,8 +65,11 @@ def numpy_topk(emb: DataFrame, probes_pd: pd.DataFrame, k: int = 5) -> DataFrame
                 mask = ids != pid
                 # rank by (rounded sim desc, vec_id asc) — the same total
                 # order the Catalyst/oracle path uses, so per-partition
-                # pruning can never drop a global winner on a rounding tie
-                r = np.round(sims[:, j][mask], 6)
+                # pruning can never drop a global winner on a rounding tie.
+                # Half-AWAY-FROM-ZERO like Catalyst F.round / DuckDB ROUND
+                # (np.round is banker's half-to-even and can flip ties).
+                s = sims[:, j][mask]
+                r = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
                 cand_ids = ids[mask]
                 order = np.lexsort((cand_ids, -r))[: min(k, len(r))]
                 yield pd.DataFrame(
@@ -101,6 +104,31 @@ def rp_sketch(emb: DataFrame, *, bits: int = 8, dim: int = 64, seed: int = 42) -
     return emb.withColumn("sketch", sketch_udf(F.col("embedding")))
 
 
+def rp_multi_sketch(
+    emb: DataFrame, *, tables: int = 16, bits: int = 4, dim: int = 64, seed: int = 42,
+    out_col: str = "sketches",
+) -> DataFrame:
+    """ALL `tables` sign sketches in ONE pandas-UDF pass: a single
+    (tables·bits × dim) matmul per Arrow batch, returned as
+    `array<long>` of length `tables`. One corpus scan regardless of
+    table count — the round-1 per-table loop cost 16 scans + 16 UDF
+    launches for the same information."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((tables * bits, dim))
+    weights = (2 ** np.arange(bits)).astype(np.int64)
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sketch_udf(embedding: pd.Series) -> pd.Series:
+        m = np.array(embedding.tolist(), dtype=np.float64)
+        signs = (m @ planes.T).reshape(len(m), tables, bits) > 0
+        return pd.Series(list(signs @ weights))
+
+    return emb.withColumn(out_col, sketch_udf(F.col("embedding")))
+
+
 def rp_lsh_topk(
     emb: DataFrame,
     probes: DataFrame,
@@ -113,25 +141,47 @@ def rp_lsh_topk(
     """Multi-table random-hyperplane LSH top-k: candidates = vectors
     sharing a sketch with the probe in ANY table; exact cosine ranks the
     survivors. Recall grows with `tables`; cost stays
-    O(candidates-in-matching-buckets) instead of O(n)."""
-    scored = None
-    for t in range(tables):
-        c = rp_sketch(emb, bits=bits, dim=dim, seed=100 + t).select(
-            "vec_id", "embedding", "sketch"
-        )
-        p = rp_sketch(probes, bits=bits, dim=dim, seed=100 + t).select(
-            F.col("vec_id").alias("probe_id"),
-            F.col("embedding").alias("probe_emb"),
-            F.col("sketch"),
-        )
-        cand = c.join(F.broadcast(p), "sketch").filter(F.col("vec_id") != F.col("probe_id"))
-        scored = cand if scored is None else scored.unionByName(cand)
+    O(candidates-in-matching-buckets) instead of O(n).
 
-    uniq = scored.dropDuplicates(["probe_id", "vec_id"])
-    pn = norm(F.col("probe_emb"))
-    cn = norm(F.col("embedding"))
-    sim = dot(F.col("probe_emb"), F.col("embedding")) / (pn * cn)
-    ranked = uniq.select("probe_id", "vec_id", F.round(sim, 6).alias("sim"))
+    Plan shape (the round-1 16-scan loop rewritten):
+      1. ONE sketch pass over the corpus (`rp_multi_sketch`) and one
+         over the probes; posexplode to (table_id, sketch) id rows —
+         embeddings are pruned before the explode, so nothing fat is
+         ever duplicated 16×.
+      2. ONE broadcast join on (table_id, sketch) + ids-only distinct:
+         the dedup shuffle carries two longs per row, never arrays.
+      3. Embeddings re-attached by key — candidate ids broadcast back
+         against the corpus (map-side; the corpus never shuffles), probe
+         vectors broadcast. Exact cosine only on survivors.
+    The candidate-id set is ~n_probes·tables·n/2^bits before dedup; with
+    a large probe set raise `bits` so the broadcast stays small."""
+    c_long = rp_multi_sketch(
+        emb.select("vec_id", "embedding"), tables=tables, bits=bits, dim=dim
+    ).select("vec_id", F.posexplode("sketches").alias("table_id", "sketch"))
+    p_long = rp_multi_sketch(
+        probes.select("vec_id", "embedding"), tables=tables, bits=bits, dim=dim
+    ).select(
+        F.col("vec_id").alias("probe_id"),
+        F.posexplode("sketches").alias("table_id", "sketch"),
+    )
+    pairs = (
+        c_long.join(F.broadcast(p_long), ["table_id", "sketch"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
+        .distinct()
+    )
+    pe = probes.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    scored = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(pairs), "vec_id")
+        .join(F.broadcast(pe), "probe_id")
+    )
+    sim = dot(F.col("probe_emb"), F.col("embedding")) / (
+        norm(F.col("probe_emb")) * norm(F.col("embedding"))
+    )
+    ranked = scored.select("probe_id", "vec_id", F.round(sim, 6).alias("sim"))
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "vec_id")
     return ranked.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
 
