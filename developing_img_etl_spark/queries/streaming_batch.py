@@ -176,7 +176,10 @@ Q11E_SQL = """
 WITH flagged AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-              OR ts - lag(ts) OVER w > INTERVAL 1 HOUR
+              -- >= not >: Spark's session_window starts a NEW session
+              -- when the gap equals the gap duration; an event exactly
+              -- 1h after its predecessor splits, it doesn't merge.
+              OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -203,6 +206,32 @@ ORDER BY user_id, session_start
 # batch q11a: the streaming engine must produce identical finalized
 # windows.
 # ---------------------------------------------------------------------------
+_STREAM_SRC_CACHE: dict[str, str] = {}
+
+
+def _staged_stream_dir(sf_dir: str) -> str:
+    """Directory wrapping the events table for the file stream source,
+    built once per (process, sf_dir): hardlink when possible (zero
+    copy), else a one-time copy."""
+    if sf_dir not in _STREAM_SRC_CACHE:
+        import os
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="stsrc_")
+        src = f"{sf_dir}/events.parquet"
+        if os.path.isdir(src):
+            _STREAM_SRC_CACHE[sf_dir] = src
+            return src
+        dst = f"{d}/events-0.parquet"
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copyfile(src, dst)
+        _STREAM_SRC_CACHE[sf_dir] = d
+    return _STREAM_SRC_CACHE[sf_dir]
+
+
 def st1_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
@@ -210,10 +239,31 @@ def st1_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import tumbling_counts
 
     events = load(spark, sf_dir, "events")
+    # FileStreamSource needs a DIRECTORY; the testdata table is a single
+    # file. Stage it once per process via hardlink (the round-1 version
+    # rewrote the whole table per invocation, so the bench billed a full
+    # table write as query time — VERDICT r1 #5). Only the checkpoint is
+    # per-run (AvailableNow drains everything each time).
+    src = _staged_stream_dir(sf_dir)
     tmp = tempfile.mkdtemp(prefix="stq_")
-    src = f"{tmp}/src"
-    events.write.parquet(src)
-    stream = spark.readStream.schema(events.schema).parquet(src)
+    # Same TIMESTAMP(NANOS) handling as catalog.load: read the physical
+    # INT64 (legacy conf, set there) and truncate to micros.
+    import copy
+
+    from pyspark.sql import types as T
+
+    raw_schema = T.StructType(
+        [
+            T.StructField("ts", T.LongType()) if f.name == "ts" else copy.copy(f)
+            for f in events.schema.fields
+        ]
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
     name = f"st_tbl_{uuid.uuid4().hex[:8]}"
     q = (
         tumbling_counts(stream, watermark="0 seconds")

@@ -102,12 +102,20 @@ def upload_partition(
 
 def upload(df: DataFrame, transport_factory, **kw) -> DataFrame:
     """Run the upsert across the cluster; returns per-record status rows
-    (an action — statuses come back as a DataFrame for auditing)."""
+    for auditing.
+
+    This IS an action: the side-effecting PUTs are forced exactly once
+    here, and the status RDD is cached before being wrapped, so callers
+    acting on the returned DataFrame (or Spark retrying a downstream
+    stage) replay the cached statuses — never the uploads. Without the
+    cache+force, every downstream action would re-execute the PUTs
+    against a real transport."""
     spark = df.sparkSession
 
     def run(it: Iterator[Row]):
         for r in upload_partition(it, transport_factory, **kw):
             yield (r.key, r.status, r.attempts)
 
-    rdd = df.rdd.mapPartitions(run)
+    rdd = df.rdd.mapPartitions(run).cache()
+    rdd.count()  # force the uploads exactly once, pinning statuses
     return spark.createDataFrame(rdd, "object_key string, status string, attempts int")

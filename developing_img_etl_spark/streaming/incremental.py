@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.strings import composite_key
+from ..sinks.partitioned import path_exists
 
 
 def read_photo_stream(spark: SparkSession, src_dir: str, schema: T.StructType) -> DataFrame:
@@ -54,17 +55,25 @@ def start_incremental_append(
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         key = composite_key("kode_proyek", "minggu", "nama_file")
         fresh = batch.dropDuplicates(["kode_proyek", "minggu", "nama_file"])
-        try:
-            existing = batch.sparkSession.read.parquet(target_dir).select(
+        sess = batch.sparkSession
+        # Probe sink existence explicitly via the Hadoop FS — a blanket
+        # except around the read would also swallow real failures
+        # (corrupt footer, permissions, transient FS) and silently skip
+        # the anti-join, double-appending. Only a genuinely absent sink
+        # may skip it; any other read error must fail the batch.
+        if path_exists(sess, target_dir):
+            existing = sess.read.parquet(target_dir).select(
                 composite_key("kode_proyek", "minggu", "nama_file").alias("__key")
             )
             fresh = (
                 fresh.withColumn("__key", key)
                 .join(existing, "__key", "left_anti")
                 .drop("__key")
+                # The append below writes into the same path the
+                # anti-join reads; materialize first so the write job
+                # never races its own input file listing.
+                .localCheckpoint(eager=True)
             )
-        except Exception:  # noqa: BLE001 — first batch: sink doesn't exist yet
-            pass
         fresh.write.mode("append").parquet(target_dir)
 
     return (

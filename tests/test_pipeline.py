@@ -134,3 +134,36 @@ def test_unpivot_partitioned_write_roundtrip(spark, forms, files, empty_catalog,
     # partition pruning visible in the physical plan
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or one.count() == 8
+
+
+def test_catalog_read_union_overwrite_roundtrip(spark, tmp_path):
+    """The reference's catalog lifecycle (test.py:99-111, 200-201):
+    read existing catalog -> union new records -> overwrite the SAME
+    path. overwrite_catalog must break lineage first, or Spark refuses
+    to overwrite a path that is also being read from."""
+    from developing_img_etl_spark.sinks import partitioned as PS
+
+    schema = (
+        "kode_proyek string, minggu string, link_foto string, "
+        "deskripsi_foto string, nama_file string, size_gambar_kb double"
+    )
+    path = str(tmp_path / "catalog")
+
+    # first run: path absent -> empty frame (FS-exists probe, not except)
+    cat0 = PS.read_catalog(spark, path, schema)
+    assert cat0.count() == 0
+    seed = spark.createDataFrame(
+        [("PRJ1", "7", "u1", "d1", "a.jpg", 10.0)], schema
+    )
+    PS.overwrite_catalog(cat0.unionByName(seed), path)
+
+    # second run: read the path, union, overwrite the same path
+    cat1 = PS.read_catalog(spark, path, schema)
+    more = spark.createDataFrame(
+        [("PRJ2", "9", "u2", "d2", "b.jpg", 20.0)], schema
+    )
+    PS.overwrite_catalog(cat1.unionByName(more), path)
+
+    out = PS.read_catalog(spark, path, schema)
+    assert out.count() == 2
+    assert {r.nama_file for r in out.collect()} == {"a.jpg", "b.jpg"}

@@ -214,3 +214,31 @@ def test_late_data_dropped(spark, tmp_path):
     # the late row's window (Dec 2023) must not appear: watermark already
     # advanced past it in batch 1
     assert all(r.w_start.year == 2024 for r in rows)
+
+
+def test_corrupt_sink_fails_batch_not_double_append(spark, tmp_path):
+    """A sink path that EXISTS but cannot be read must fail the batch —
+    never be treated as 'first batch' (which would skip the idempotency
+    anti-join and double-append). Guards the explicit FS-exists probe in
+    start_incremental_append."""
+    src = str(tmp_path / "src")
+    target_dir = tmp_path / "target"
+    ckpt = str(tmp_path / "ckpt")
+
+    _photo_rows(spark, 5).write.parquet(src)
+    # fabricate a corrupt sink: directory exists, file is not parquet
+    target_dir.mkdir()
+    (target_dir / "part-00000.parquet").write_bytes(b"not a parquet file")
+
+    stream = INC.read_photo_stream(spark, src, PHOTO_SCHEMA)
+    q = INC.start_incremental_append(
+        stream, target_dir=str(target_dir), checkpoint_dir=ckpt, spark=spark
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+        # StreamingQuery surfaces foreachBatch errors on stop/exception
+        if q.exception() is not None:
+            raise q.exception()
+    # the corrupt marker is still the only file — nothing was appended
+    names = [p.name for p in target_dir.iterdir() if not p.name.startswith((".", "_"))]
+    assert names == ["part-00000.parquet"]
