@@ -59,13 +59,54 @@ def make_fake_image(width: int, height: int, seed: bytes = b"x") -> bytes:
     return b"FAKEIMG:%d:%d:" % (width, height) + payload
 
 
+def _jpeg_dims(data: bytes) -> tuple[int, int] | None:
+    """Stdlib JPEG dimension parse: walk the marker segments to the
+    first SOF frame header (ITU T.81 §B.2.2 — height then width,
+    big-endian, at offsets 3/5 of the segment payload). Headers only;
+    no pixel decode, so real JPEGs get real metadata (M2) even in
+    codec-less containers."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        return None
+    i = 2
+    n = len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            return None
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
+            i += 2
+            continue
+        seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+        # SOF0-SOF15 minus DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > n:
+                return None
+            h = int.from_bytes(data[i + 5 : i + 7], "big")
+            w = int.from_bytes(data[i + 7 : i + 9], "big")
+            return (w, h)
+        i += 2 + seg_len
+    return None
+
+
+def _png_dims(data: bytes) -> tuple[int, int] | None:
+    """Stdlib PNG dimension parse: IHDR is always the first chunk."""
+    if len(data) < 24 or data[0:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    if data[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(data[16:20], "big")
+    h = int.from_bytes(data[20:24], "big")
+    return (w, h)
+
+
 def _decode_dims(data: bytes | None) -> tuple[int, int] | None:
     """(width, height), or None if unreadable (test.py:45-48 guard)."""
     if data is None:
         return None
+    data = bytes(data)
     if data.startswith(_FAKE_MAGIC):
         try:
-            parts = bytes(data).split(b":", 3)
+            parts = data.split(b":", 3)
             return int(parts[1]), int(parts[2])
         except Exception:  # noqa: BLE001
             return None
@@ -77,7 +118,8 @@ def _decode_dims(data: bytes | None) -> tuple[int, int] | None:
                 return im.size
         except Exception:  # noqa: BLE001
             return None
-    return None
+    # codec-less: header-level metadata for the common formats
+    return _jpeg_dims(data) or _png_dims(data)
 
 
 def _recompress(data: bytes | None, max_dim: int, quality: int) -> bytes | None:

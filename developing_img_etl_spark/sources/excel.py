@@ -3,16 +3,94 @@
 
 Excel files are small driver-local artifacts by nature (a Forms export
 is thousands of rows, not billions) — the right Spark shape is
-driver-side pandas parse → createDataFrame with an explicit schema,
-NOT a distributed source. Import is gated: the container may lack an
-xlsx engine, in which case the caller gets a clear error instead of a
-deep pandas stack.
+driver-side parse → createDataFrame with an explicit schema, NOT a
+distributed source.
+
+Two engines, tried in order:
+  1. pandas + openpyxl when importable (full xlsx feature coverage);
+  2. a stdlib fallback (zipfile + xml.etree) good enough for the plain
+     tabular sheets Forms exports produce — shared strings, inline
+     strings, numeric cells; first row is the header. This keeps the
+     source usable (and the reference fixture ingestible) in containers
+     without an xlsx engine.
 """
 
 from __future__ import annotations
 
+import re
+import zipfile
+from xml.etree import ElementTree as ET
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _col_index(cell_ref: str) -> int:
+    """'A1' -> 0, 'BC7' -> 54."""
+    letters = re.match(r"[A-Z]+", cell_ref).group(0)
+    idx = 0
+    for ch in letters:
+        idx = idx * 26 + (ord(ch) - ord("A") + 1)
+    return idx - 1
+
+
+def _cell_text(cell: ET.Element, shared: list[str]) -> str | None:
+    t = cell.get("t", "n")
+    if t == "s":  # shared-string index
+        v = cell.find(f"{_NS}v")
+        return shared[int(v.text)] if v is not None else None
+    if t == "inlineStr":
+        si = cell.find(f"{_NS}is")
+        return "".join(n.text or "" for n in si.iter(f"{_NS}t")) if si is not None else None
+    v = cell.find(f"{_NS}v")
+    if v is None or v.text is None:
+        return None
+    # numeric cell: render integers without a trailing .0 (matches the
+    # reference's str(row[...]) on an int-typed column)
+    txt = v.text
+    if t == "n" or t == "b":
+        try:
+            f = float(txt)
+            if f.is_integer():
+                return str(int(f))
+        except ValueError:
+            pass
+    return txt
+
+
+def _read_xlsx_stdlib(path: str, sheet_name: int | str = 0) -> tuple[list[str], list[list[str | None]]]:
+    """Parse one worksheet into (header, rows) of strings."""
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            sst = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in sst.iter(f"{_NS}si"):
+                shared.append("".join(n.text or "" for n in si.iter(f"{_NS}t")))
+        # resolve the sheet: workbook.xml order == sheetN.xml order for
+        # the simple exports this fallback targets
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        sheets = [s.get("name") for s in wb.iter(f"{_NS}sheet")]
+        if isinstance(sheet_name, str):
+            n = sheets.index(sheet_name) + 1
+        else:
+            n = sheet_name + 1
+        ws = ET.fromstring(z.read(f"xl/worksheets/sheet{n}.xml"))
+
+    grid: list[list[str | None]] = []
+    for row in ws.iter(f"{_NS}row"):
+        cells: dict[int, str | None] = {}
+        for c in row.iter(f"{_NS}c"):
+            cells[_col_index(c.get("r"))] = _cell_text(c, shared)
+        width = max(cells) + 1 if cells else 0
+        grid.append([cells.get(i) for i in range(width)])
+    if not grid:
+        return [], []
+    width = max(len(r) for r in grid)
+    grid = [r + [None] * (width - len(r)) for r in grid]
+    header = [h if h is not None else f"col{i}" for i, h in enumerate(grid[0])]
+    return header, grid[1:]
 
 
 def read_excel(
@@ -24,15 +102,24 @@ def read_excel(
 ) -> DataFrame:
     try:
         import openpyxl  # noqa: F401
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "Excel source requires openpyxl (not installed in this "
-            "container). Convert the workbook to parquet/csv, or install "
-            "an xlsx engine."
-        ) from e
-    import pandas as pd
+        import pandas as pd
 
-    pdf = pd.read_excel(path, sheet_name=sheet_name, dtype=str)
+        pdf = pd.read_excel(path, sheet_name=sheet_name, dtype=str)
+        header = list(pdf.columns)
+        rows = [[None if pd.isna(v) else str(v) for v in r] for r in pdf.itertuples(index=False)]
+    except ImportError:
+        header, rows = _read_xlsx_stdlib(path, sheet_name)
+
     if schema is not None:
-        return spark.createDataFrame(pdf[[f.name for f in schema.fields]], schema)
-    return spark.createDataFrame(pdf)
+        pos = {name: i for i, name in enumerate(header)}
+        missing = [f.name for f in schema.fields if f.name not in pos]
+        if missing:
+            raise ValueError(f"xlsx {path}: missing columns {missing}; has {header}")
+        data = [tuple(r[pos[f.name]] for f in schema.fields) for r in rows]
+        str_schema = T.StructType([T.StructField(f.name, T.StringType()) for f in schema.fields])
+        df = spark.createDataFrame(data, str_schema)
+        return df.select(
+            *[df[f.name].cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+    str_schema = T.StructType([T.StructField(h, T.StringType()) for h in header])
+    return spark.createDataFrame([tuple(r) for r in rows], str_schema)

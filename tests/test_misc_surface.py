@@ -38,25 +38,65 @@ def test_unpivot_groups_order_and_values(spark):
     assert [(r.pos, r.u, r.v) for r in out] == [(1, "a", "p"), (2, "b", "q")]
 
 
-def test_excel_source_gated(spark, tmp_path):
+def _write_minimal_xlsx(path, header, rows):
+    """Hand-rolled minimal xlsx (inline strings) — lets the source be
+    tested without any xlsx writer in the container."""
+    import zipfile
+
+    def cell(ref, v):
+        if v is None:
+            return ""
+        return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+
+    def row_xml(i, values):
+        cols = "".join(cell(f"{chr(65 + j)}{i}", v) for j, v in enumerate(values))
+        return f'<row r="{i}">{cols}</row>'
+
+    body = row_xml(1, header) + "".join(
+        row_xml(i + 2, r) for i, r in enumerate(rows)
+    )
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="xml" ContentType="application/xml"/></Types>',
+        )
+        z.writestr(
+            "xl/workbook.xml",
+            f'<?xml version="1.0"?><workbook xmlns="{ns}"><sheets>'
+            f'<sheet name="Sheet1" sheetId="1"/></sheets></workbook>',
+        )
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<?xml version="1.0"?><worksheet xmlns="{ns}"><sheetData>{body}</sheetData></worksheet>',
+        )
+
+
+def test_excel_source_stdlib_fallback(spark, tmp_path):
+    """The source must work with NO xlsx engine installed: stdlib
+    zip+XML parse, strings throughout, header from row 1."""
     from developing_img_etl_spark.sources.excel import read_excel
 
-    try:
-        import openpyxl  # noqa: F401
+    p = str(tmp_path / "t.xlsx")
+    _write_minimal_xlsx(p, ["a", "b"], [["1", "x"], ["2", None]])
+    out = read_excel(spark, p)
+    assert out.columns == ["a", "b"]
+    got = {(r.a, r.b) for r in out.collect()}
+    assert got == {("1", "x"), ("2", None)}
 
-        has_engine = True
-    except ImportError:
-        has_engine = False
 
-    if not has_engine:
-        with pytest.raises(NotImplementedError, match="openpyxl"):
-            read_excel(spark, str(tmp_path / "missing.xlsx"))
-    else:
-        import pandas as pd
+def test_excel_source_reads_reference_fixture(spark):
+    """S1 against the real reference artifact: 24 catalog rows, shared
+    strings + numeric cells (/root/reference/foto_metadata.xlsx)."""
+    from developing_img_etl_spark.sources.excel import read_excel
 
-        p = str(tmp_path / "t.xlsx")
-        pd.DataFrame({"a": ["1", "2"], "b": ["x", "y"]}).to_excel(p, index=False)
-        assert read_excel(spark, p).count() == 2
+    out = read_excel(spark, "/root/reference/foto_metadata.xlsx")
+    assert out.columns == [
+        "kode_proyek", "minggu", "link_foto",
+        "deskripsi_foto", "nama_file", "size_gambar_kb",
+    ]
+    assert out.count() == 24
 
 
 def test_approx_count_distinct_tolerance(spark, sf_dir):
