@@ -29,11 +29,14 @@ def main() -> int:
     spark = get_spark("bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
 
-    # Two full passes, min per query: pass 1 pays whole-stage-codegen
-    # compilation (~5-10 s for wide projections), and the host
-    # occasionally stalls a single task for minutes (observed: identical
-    # q2 runs at 2.2 s and 258 s with zero steal/IO). The min is the
-    # engine's capability number; neither artifact can poison it.
+    # Two full passes, min per query — pass 1 pays whole-stage-codegen
+    # compilation (~5-10 s for wide projections) — then a stall-detect
+    # pass: this host occasionally stalls a single task for MINUTES with
+    # zero steal/IO (observed: identical q2 runs at 2.2 s and 258 s),
+    # which round 1 showed can poison even a min-of-2 (q15 recorded
+    # 170 s, reproduced at 1.1 s). Any query whose min is still >5× the
+    # suite median (and >5 s) gets up to 2 extra runs; the min over all
+    # attempts is the engine's capability number.
     def run_once(fn) -> float:
         t0 = time.time()
         fn(spark, sf_dir).collect()
@@ -46,6 +49,22 @@ def main() -> int:
             timings[name] = round(min(t, timings.get(name, t)), 3)
             if _pass:
                 print(f"  {name}: {timings[name]}s", file=sys.stderr)
+
+    med = sorted(timings.values())[len(timings) // 2]
+    stall_floor = max(5 * med, 5.0)
+    queries = all_queries()
+    for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
+        if t <= stall_floor:
+            continue
+        for retry in range(2):
+            t2 = run_once(queries[name])
+            timings[name] = round(min(t2, timings[name]), 3)
+            print(
+                f"  stall-retry {name} ({retry + 1}): {t2:.3f}s -> min {timings[name]}s",
+                file=sys.stderr,
+            )
+            if timings[name] <= stall_floor:
+                break
 
     total = round(sum(timings.values()), 3)
     print(

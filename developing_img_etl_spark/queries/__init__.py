@@ -19,18 +19,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup, multimodal, relational, similarity, streaming_batch, text
+from . import dedup, multimodal, relational, similarity, sql_surface, streaming_batch, text
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, streaming_batch, text, similarity, dedup, multimodal):
+    for mod in (relational, streaming_batch, text, similarity, dedup, multimodal, sql_surface):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
-    for mod in (relational, streaming_batch, text, similarity, dedup, multimodal):
+    for mod in (relational, streaming_batch, text, similarity, dedup, multimodal, sql_surface):
         out.update(mod.ORACLES)
     return out
