@@ -1,0 +1,175 @@
+"""Audio/video multimodal operators (training-data mandate: treat
+audio/video as opaque binary columns with typed metadata; decode /
+feature-extract / frame-sample as pandas UDFs).
+
+Codec strategy mirrors image.py: no audio/video library ships in this
+container, so the DECODE step is stubbed behind a deterministic fake
+format — `FAKEAUD:{rate}:{n_samples}:` and
+`FAKEVID:{w}:{h}:{fps}:{n_frames}:` headers — while everything Spark
+owns is real and tested: BinaryType columns, Arrow batch shape,
+null-on-unreadable guard semantics, the mapInPandas row-explosion for
+frame sampling, and the typed metadata structs. A real decoder
+(soundfile / PyAV) slots in at _decode_* exactly like PIL/cv2 does in
+image.py; until one is importable, real container bytes return null
+(the M3 guard), never a wrong answer.
+
+Frame sampling emits frames as FAKEIMG bytes, so the image UDF surface
+(image_dims, compress_image) composes directly with sampled frames —
+the video path IS the image path after sampling.
+
+Scale: all metadata/feature extraction is map-side (no shuffle touches
+the binary payload); frame sampling multiplies rows map-side before
+any shuffle, and downstream grouping keys are (id, frame_idx) longs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .image import make_fake_image
+
+_AUD_MAGIC = b"FAKEAUD:"
+_VID_MAGIC = b"FAKEVID:"
+
+
+def make_fake_audio(sample_rate: int, n_samples: int, seed: bytes = b"a") -> bytes:
+    payload = (seed * (n_samples // max(len(seed), 1) + 1))[:n_samples]
+    return b"FAKEAUD:%d:%d:" % (sample_rate, n_samples) + payload
+
+
+def make_fake_video(width: int, height: int, fps: int, n_frames: int) -> bytes:
+    return b"FAKEVID:%d:%d:%d:%d:" % (width, height, fps, n_frames)
+
+
+def _decode_audio_meta(data: bytes | None) -> tuple[int, int] | None:
+    """(sample_rate, n_samples) or None if unreadable (M3 guard)."""
+    if data is None:
+        return None
+    data = bytes(data)
+    if not data.startswith(_AUD_MAGIC):
+        return None  # real decoder seam: soundfile.info would go here
+    try:
+        parts = data.split(b":", 3)
+        return int(parts[1]), int(parts[2])
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _decode_video_meta(data: bytes | None) -> tuple[int, int, int, int] | None:
+    """(width, height, fps, n_frames) or None if unreadable."""
+    if data is None:
+        return None
+    data = bytes(data)
+    if not data.startswith(_VID_MAGIC):
+        return None  # real decoder seam: av.open would go here
+    try:
+        parts = data.split(b":", 5)
+        return int(parts[1]), int(parts[2]), int(parts[3]), int(parts[4])
+    except Exception:  # noqa: BLE001
+        return None
+
+
+@pandas_udf(
+    T.StructType(
+        [
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("duration_s", T.DoubleType()),
+        ]
+    )
+)
+def audio_metadata(content: pd.Series) -> pd.DataFrame:
+    """Typed audio metadata; nulls for unreadable inputs."""
+    meta = content.map(_decode_audio_meta)
+    return pd.DataFrame(
+        {
+            "sample_rate": meta.map(lambda m: m[0] if m else None),
+            "n_samples": meta.map(lambda m: m[1] if m else None),
+            "duration_s": meta.map(lambda m: round(m[1] / m[0], 6) if m else None),
+        }
+    )
+
+
+@pandas_udf(T.ArrayType(T.DoubleType()))
+def audio_frame_energy(content: pd.Series) -> pd.Series:
+    """Per-frame mean byte energy (1024-sample frames) — the
+    feature-extract step as a vectorized UDF. Deterministic on the fake
+    format; a real decoder would PCM-decode then window identically."""
+
+    def energy(data):
+        meta = _decode_audio_meta(data)
+        if meta is None:
+            return None
+        payload = bytes(data).split(b":", 3)[3]
+        frames = [payload[i : i + 1024] for i in range(0, len(payload), 1024)]
+        return [round(sum(f) / max(len(f), 1), 6) for f in frames]
+
+    return content.map(energy)
+
+
+@pandas_udf(
+    T.StructType(
+        [
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("fps", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+        ]
+    )
+)
+def video_metadata(content: pd.Series) -> pd.DataFrame:
+    meta = content.map(_decode_video_meta)
+    return pd.DataFrame(
+        {
+            "width": meta.map(lambda m: m[0] if m else None),
+            "height": meta.map(lambda m: m[1] if m else None),
+            "fps": meta.map(lambda m: m[2] if m else None),
+            "n_frames": meta.map(lambda m: m[3] if m else None),
+        }
+    )
+
+
+def sample_frames(
+    videos: DataFrame,
+    *,
+    id_col: str = "video_id",
+    content_col: str = "content",
+    every_n: int = 2,
+) -> DataFrame:
+    """Frame sampling as mapInPandas row explosion: one input video row
+    → one output row per sampled frame, map-side (no shuffle touches
+    frame bytes). Output frames are FAKEIMG binaries, so image UDFs
+    compose downstream. Unreadable videos yield zero rows (M3 guard)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("video_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, data in zip(pdf[id_col], pdf[content_col]):
+                meta = _decode_video_meta(data)
+                if meta is None:
+                    continue
+                w, h, _fps, n = meta
+                for idx in range(0, n, every_n):
+                    rows.append(
+                        (vid, idx, w, h, make_fake_image(w, h, seed=b"%d:%d" % (vid, idx)))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["video_id", "frame_idx", "width", "height", "frame"]
+            )
+
+    return videos.mapInPandas(explode_frames, out_schema)

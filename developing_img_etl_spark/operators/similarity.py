@@ -206,3 +206,107 @@ def cosine_near_dup_pairs(
         pairs.select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means-bucketed tier
+# --------------------------------------------------------------------------
+def ivf_train_centroids(
+    emb: DataFrame, *, n_centroids: int = 16, dim: int = 64,
+    sample_target: int = 4096, iters: int = 10, seed: int = 42,
+) -> np.ndarray:
+    """Driver-side Lloyd's k-means on a deterministic hash-sample of the
+    corpus. The sample is bounded (≤ ~sample_target rows collected)
+    regardless of corpus size — training cost does not grow with the
+    data; only the assignment pass does, and that is one matmul per
+    Arrow batch. Deterministic: hash-based sampling + fixed seed."""
+    n = emb.count()
+    step = max(1, n // sample_target)
+    sample_pd = (
+        emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(step)) == 0)
+        .select("embedding")
+        .toPandas()
+    )
+    x = np.array(sample_pd["embedding"].tolist(), dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T  # cosine on normalized vectors
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def _assign_udf(centroids: np.ndarray, nprobe: int):
+    """pandas UDF: nprobe nearest centroid ids per vector (one matmul
+    per Arrow batch). nprobe=1 for corpus assignment."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(embedding: pd.Series) -> pd.Series:
+        m = np.array(embedding.tolist(), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ centroids.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(top))
+
+    return assign
+
+
+def ivf_topk(
+    emb: DataFrame,
+    probes: DataFrame,
+    *,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 10,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF ANN top-k: corpus vectors are inverted-listed under their
+    nearest centroid; each probe searches only its nprobe closest
+    lists. Same slim-shuffle discipline as rp_lsh_topk: the bucket join
+    carries (id, cluster) longs only; embeddings are re-attached by key
+    for the exact-cosine rerank of survivors.
+
+    Scale: centroids train on a bounded driver-side sample; the corpus
+    assignment is one map-side pandas-UDF pass; candidate volume is
+    ~ n·nprobe/n_centroids per probe. Raise n_centroids with corpus
+    size (√n rule of thumb) to keep lists short. The default nprobe is
+    tuned for UNSTRUCTURED embeddings (the synthetic fixture is nearly
+    isotropic, so neighbors spread across many lists — recall 0.9 at
+    nprobe=10/16); genuinely clustered real-world embeddings reach the
+    same recall at far smaller nprobe/n_centroids ratios."""
+    cent = ivf_train_centroids(emb, n_centroids=n_centroids, dim=dim)
+    c_assign = emb.select("vec_id", "embedding").withColumn(
+        "cluster", F.element_at(_assign_udf(cent, 1)(F.col("embedding")), 1)
+    )
+    p_assign = probes.select(
+        F.col("vec_id").alias("probe_id"),
+        F.explode(_assign_udf(cent, nprobe)(F.col("embedding"))).alias("cluster"),
+    )
+    pairs = (
+        c_assign.select("vec_id", "cluster")
+        .join(F.broadcast(p_assign), "cluster")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id")
+    )
+    pe = probes.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    scored = (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(pairs), "vec_id")
+        .join(F.broadcast(pe), "probe_id")
+    )
+    sim = dot(F.col("probe_emb"), F.col("embedding")) / (
+        norm(F.col("probe_emb")) * norm(F.col("embedding"))
+    )
+    ranked = scored.select("probe_id", "vec_id", F.round(sim, 6).alias("sim"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "vec_id")
+    return ranked.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")

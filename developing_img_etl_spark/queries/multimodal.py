@@ -197,6 +197,14 @@ def m6_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.rp_lsh_topk(emb, probes, k=5).orderBy("probe_id", F.desc("sim"), "vec_id")
 
 
+def m9_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means inverted-list) ANN tier — recall-checked vs brute
+    force in tests, rows-only here (approximate by design)."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk(emb, probes, k=5).orderBy("probe_id", F.desc("sim"), "vec_id")
+
+
 def m8_numpy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mapInPandas/numpy exact path — must equal q13 (same oracle)."""
     emb = load(spark, sf_dir, "embeddings")
@@ -216,6 +224,7 @@ QUERIES = {
     "m5_simhash_groups": m5_simhash_groups,
     "m6_ann_lsh_topk": m6_ann_lsh_topk,
     "m8_numpy_topk": m8_numpy_topk,
+    "m9_ann_ivf_topk": m9_ann_ivf_topk,
 }
 
 from .similarity import Q13_SQL  # noqa: E402  (m8 is exact — same oracle)
@@ -227,3 +236,108 @@ ORACLES = {
     "m8_numpy_topk": Q13_SQL,
     # m4/m5/m6: approximate or Spark-hash-specific → rows-only
 }
+
+
+# --------------------------------------------------------------------------
+# M10/M11 — audio/video plumbing (multimodal/av.py) through the REAL
+# pandas-UDF / mapInPandas surface, oracle-mirrored arithmetic: fake
+# binaries are synthesized from `documents` attributes JVM-side, parsed
+# back by the UDFs, so DuckDB can compute the same metadata directly.
+# --------------------------------------------------------------------------
+def _fake_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    rate = (8000 * (1 + F.col("doc_id") % 3)).cast("int")
+    n_samples = (1000 + (F.col("doc_id") % 50) * 100).cast("long")
+    content = F.concat(
+        F.lit("FAKEAUD:"),
+        rate.cast("string"),
+        F.lit(":"),
+        n_samples.cast("string"),
+        F.lit(":"),
+        F.repeat(F.lit("a"), F.least(n_samples, F.lit(4096)).cast("int")),
+    ).cast("binary")
+    corrupt = F.col("doc_id") % 89 == 0
+    return docs.select(
+        "doc_id",
+        F.when(corrupt, F.lit("NOISE").cast("binary")).otherwise(content).alias("content"),
+    )
+
+
+def m10_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.av import audio_metadata
+
+    audio = _fake_audio(spark, sf_dir)
+    meta = audio.select("doc_id", audio_metadata(F.col("content")).alias("m"))
+    return (
+        meta.select(
+            "doc_id",
+            F.col("m.sample_rate").alias("sample_rate"),
+            F.col("m.n_samples").alias("n_samples"),
+            F.col("m.duration_s").alias("duration_s"),
+        )
+        .filter(F.col("sample_rate").isNotNull())  # M3 guard drops corrupt
+        .orderBy("doc_id")
+    )
+
+
+M10_SQL = """
+SELECT doc_id,
+       CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+       CAST(1000 + (doc_id % 50) * 100 AS BIGINT) AS n_samples,
+       ROUND((1000 + (doc_id % 50) * 100) / (8000.0 * (1 + doc_id % 3)), 6) AS duration_s
+FROM documents
+WHERE doc_id % 89 <> 0
+ORDER BY doc_id
+"""
+
+
+def _fake_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_frames = (3 + F.col("doc_id") % 5).cast("int")
+    content = F.concat(
+        F.lit("FAKEVID:64:48:24:"),
+        n_frames.cast("string"),
+        F.lit(":"),
+    ).cast("binary")
+    corrupt = F.col("doc_id") % 89 == 0
+    return docs.select(
+        F.col("doc_id").alias("video_id"),
+        F.when(corrupt, F.lit("NOISE").cast("binary")).otherwise(content).alias("content"),
+    )
+
+
+def m11_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (every 2nd frame) + image-UDF composition: the
+    sampled FAKEIMG frame bytes flow through image_dims, proving the
+    video path IS the image path after sampling."""
+    from ..multimodal.av import sample_frames
+    from ..multimodal.image import image_dims
+
+    vids = _fake_videos(spark, sf_dir)
+    frames = sample_frames(vids, id_col="video_id", every_n=2)
+    dims = frames.select(
+        "video_id", "frame_idx", image_dims(F.col("frame")).alias("d")
+    )
+    return dims.select(
+        "video_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("d.width").alias("frame_w"),
+        F.col("d.height").alias("frame_h"),
+    ).orderBy("video_id", "frame_idx")
+
+
+M11_SQL = """
+SELECT doc_id AS video_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       64 AS frame_w,
+       48 AS frame_h
+FROM documents, UNNEST(range(0, 3 + doc_id % 5, 2)) AS t(frame_idx)
+WHERE doc_id % 89 <> 0
+ORDER BY video_id, frame_idx
+"""
+
+
+QUERIES["m10_audio_metadata"] = m10_audio_metadata
+QUERIES["m11_video_frame_sample"] = m11_video_frame_sample
+ORACLES["m10_audio_metadata"] = M10_SQL
+ORACLES["m11_video_frame_sample"] = M11_SQL

@@ -103,3 +103,17 @@ def test_cosine_near_dup_pairs_finds_planted(spark, emb):
     pairs = SIM.cosine_near_dup_pairs(emb.unionByName(planted), threshold=0.999)
     hits = [(r.id_a, r.id_b) for r in pairs.collect()]
     assert (0, 10**6) in hits
+
+
+def test_ivf_recall_vs_brute_force(emb):
+    probes = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.probe_id, r.vec_id)
+        for r in SIM.brute_force_topk(emb, probes, k=5).collect()
+    }
+    approx = {
+        (r.probe_id, r.vec_id)
+        for r in SIM.ivf_topk(emb, probes, k=5).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.8, f"ivf recall {recall:.2f}"

@@ -57,3 +57,45 @@ def test_size_kb_matches_length(corpus):
         F.abs(F.col("size_gambar_kb") - F.round(F.length("content") / 1024.0, 2)) > 1e-9
     )
     assert bad.count() == 0
+
+
+# --------------------------------------------------------------------------
+# audio/video plumbing (multimodal/av.py)
+# --------------------------------------------------------------------------
+def test_audio_metadata_and_guard(spark):
+    from developing_img_etl_spark.multimodal.av import audio_metadata, make_fake_audio
+
+    rows = [
+        (1, make_fake_audio(16000, 32000)),
+        (2, None),
+        (3, b"not audio"),
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = {r.id: r for r in df.select("id", audio_metadata("content").alias("m")).select("id", "m.*").collect()}
+    assert (out[1].sample_rate, out[1].n_samples, out[1].duration_s) == (16000, 32000, 2.0)
+    assert out[2].sample_rate is None and out[3].sample_rate is None
+
+
+def test_audio_frame_energy_shape(spark):
+    from developing_img_etl_spark.multimodal.av import audio_frame_energy, make_fake_audio
+
+    df = spark.createDataFrame(
+        [(1, make_fake_audio(8000, 3000, seed=b"q"))], "id long, content binary"
+    )
+    e = df.select(audio_frame_energy("content").alias("e")).collect()[0].e
+    # 3000-byte payload -> 3 frames of 1024/1024/952; constant seed byte
+    assert len(e) == 3
+    assert all(v == float(ord("q")) for v in e)
+
+
+def test_video_frame_sampling_composes_with_image_udfs(spark):
+    from developing_img_etl_spark.multimodal.av import make_fake_video, sample_frames
+    from developing_img_etl_spark.multimodal.image import image_dims
+
+    rows = [(1, make_fake_video(64, 48, 24, 5)), (2, b"junk"), (3, None)]
+    vids = spark.createDataFrame(rows, "video_id long, content binary")
+    frames = sample_frames(vids, every_n=2)
+    got = frames.select("video_id", "frame_idx", image_dims("frame").alias("d")).collect()
+    # video 1: frames 0,2,4; corrupt/null videos contribute zero rows
+    assert sorted((r.video_id, r.frame_idx) for r in got) == [(1, 0), (1, 2), (1, 4)]
+    assert all((r.d.width, r.d.height) == (64, 48) for r in got)
