@@ -106,3 +106,18 @@ def test_approx_count_distinct_tolerance(spark, sf_dir):
     for r in q17_approx_distinct(spark, sf_dir).collect():
         rel_err = abs(r.approx_customers - r.exact_customers) / max(r.exact_customers, 1)
         assert rel_err <= 0.15, f"{r.o_orderpriority}: rel_err={rel_err:.3f}"
+
+
+def test_fuzzy_resolve_unblocked_refuses_huge_listing(spark):
+    """Scale guard: an unblocked fuzzy_resolve must refuse to broadcast
+    a file listing beyond max_broadcast_files instead of silently
+    planning a quadratic scan."""
+    from developing_img_etl_spark.operators.fuzzy import fuzzy_resolve
+
+    expected = spark.createDataFrame([("a.jpg",)], "nama_file string")
+    files = spark.range(10).selectExpr("concat('f', id, '.jpg') AS file_name")
+    with pytest.raises(ValueError, match="block_cols"):
+        fuzzy_resolve(expected, files, row_key=["nama_file"], max_broadcast_files=5)
+    # under the limit: resolves fine
+    out = fuzzy_resolve(expected, files, row_key=["nama_file"], max_broadcast_files=100)
+    assert out.count() == 1
