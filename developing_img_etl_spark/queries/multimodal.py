@@ -206,7 +206,13 @@ def m9_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def m8_numpy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The mapInPandas/numpy exact path — must equal q13 (same oracle)."""
+    """The mapInPandas/numpy exact path — must equal q13 (same oracle).
+
+    NOTE: building this query runs a bounded Spark job (collecting the
+    10 probe rows to the driver) — the numpy tier broadcasts the probe
+    MATRIX into the UDF closure by design, so probe collection is part
+    of plan construction, not execution. Callers who need a fully lazy
+    build should use q13 (Catalyst) or m6/m9 (LSH/IVF) instead."""
     emb = load(spark, sf_dir, "embeddings")
     probes_pd = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding").toPandas()
     out = SIM.numpy_topk(emb, probes_pd, k=5)
