@@ -85,10 +85,14 @@ def range_join_buckets(
     value_col: str,
     lo_col: str = "lo",
     hi_col: str = "hi",
+    how: str = "left",
 ) -> DataFrame:
     """Non-equi range join: attach the bucket whose [lo, hi) interval
     contains ``value_col``. The bucket side must be small — it is
     broadcast, so the plan is BroadcastNestedLoopJoin (no shuffle of the
-    fact side), the only sane physical strategy for pure range joins."""
+    fact side), the only sane physical strategy for pure range joins.
+
+    ``how``: 'left' keeps out-of-domain facts with NULL bucket columns
+    (the guard shape); 'inner' drops them (the histogram shape)."""
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
-    return facts.join(F.broadcast(buckets), cond, "left")
+    return facts.join(F.broadcast(buckets), cond, how)

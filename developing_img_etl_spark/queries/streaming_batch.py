@@ -138,7 +138,10 @@ def q11d_bucket_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("id") + 1) * 10.0).alias("hi"),
     )
     return (
-        range_join_buckets(events, buckets, value_col="value")
+        # inner: events outside the bucket dimension drop (at sf0.1
+        # values run past the [0,500) domain — the scale probe caught
+        # the left-join NULL group diverging from the bounded oracle)
+        range_join_buckets(events, buckets, value_col="value", how="inner")
         .groupBy("bucket_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("bucket_id")
@@ -146,8 +149,13 @@ def q11d_bucket_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q11D_SQL = """
+-- the bucket DIMENSION covers [0, 500) only: events outside every
+-- bucket drop in the inner range join, so the oracle must bound the
+-- domain too (at sf0.1 values reach past 500 — caught by the scale
+-- probe, round 2)
 SELECT CAST(floor(value / 10) AS BIGINT) AS bucket_id, COUNT(*) AS n_events
 FROM events
+WHERE value >= 0 AND value < 500
 GROUP BY 1
 ORDER BY bucket_id
 """

@@ -121,3 +121,39 @@ def test_fuzzy_resolve_unblocked_refuses_huge_listing(spark):
     # under the limit: resolves fine
     out = fuzzy_resolve(expected, files, row_key=["nama_file"], max_broadcast_files=100)
     assert out.count() == 1
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Co-located join contract: two tables bucketed on the same key
+    with equal bucket counts join via SortMergeJoin with NO
+    ShuffleExchange on either side — the 100 TB path for repeated
+    fact-fact joins on a hot key."""
+    from developing_img_etl_spark.catalog import load
+    from developing_img_etl_spark.sinks.bucketed import bucketed_join, write_bucketed
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "orderkey"),
+        "b_orders", bucket_cols=["orderkey"], n_buckets=8, sort_cols=["orderkey"],
+    )
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "orderkey"),
+        "b_lineitem", bucket_cols=["orderkey"], n_buckets=8, sort_cols=["orderkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at test SF both sides fit the broadcast threshold, which would
+        # mask the bucketing (at fleet scale neither side broadcasts) —
+        # force the sort-merge path the contract is about
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", on=["orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"unexpected shuffle in bucketed join:\n{plan[:800]}"
+        # and it actually computes
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
