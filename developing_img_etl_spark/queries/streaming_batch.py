@@ -286,6 +286,48 @@ def st1_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("w_start")
 
 
+
+# ---------------------------------------------------------------------------
+# Q11f — sliding 7-day window, 1-day slide (ST4 completeness: tumbling
+# q11a, session q11e, sliding here). Spark emits one row per window an
+# event falls into (7 per event at this duration/slide); the oracle
+# mirrors that with an explicit series of the 7 covering windows.
+# ---------------------------------------------------------------------------
+def q11f_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "7 days", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("w_start")
+    )
+
+
+DAY = 86400
+
+Q11F_SQL = f"""
+WITH covering AS (
+  SELECT e.*,
+         -- last window starting at or before ts, then the 6 earlier slides
+         (CAST(floor(epoch(ts) / {DAY}) AS BIGINT) - s.i) * {DAY} AS w_epoch
+  FROM events e, UNNEST(range(0, 7)) AS s(i)
+  WHERE (CAST(floor(epoch(ts) / {DAY}) AS BIGINT) - s.i) * {DAY} + {7 * DAY} > epoch(ts)
+)
+SELECT TIMESTAMP '1970-01-01' + INTERVAL (w_epoch) SECOND AS w_start,
+       TIMESTAMP '1970-01-01' + INTERVAL (w_epoch + {7 * DAY}) SECOND AS w_end,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value
+FROM covering
+GROUP BY w_epoch
+ORDER BY w_start
+"""
+
+
 QUERIES = {
     "q11a_tumbling_window": q11a_tumbling_window,
     "st1_streaming_tumbling": st1_streaming_tumbling,
@@ -293,6 +335,7 @@ QUERIES = {
     "q11c_range_predicate_join": q11c_range_predicate_join,
     "q11d_bucket_range_join": q11d_bucket_range_join,
     "q11e_session_window": q11e_session_window,
+    "q11f_sliding_window": q11f_sliding_window,
 }
 
 ORACLES = {
@@ -302,4 +345,5 @@ ORACLES = {
     "q11c_range_predicate_join": Q11C_SQL,
     "q11d_bucket_range_join": Q11D_SQL,
     "q11e_session_window": Q11E_SQL,
+    "q11f_sliding_window": Q11F_SQL,
 }

@@ -157,3 +157,31 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be invisible in the result: row-identical to the
+    plain join on a fixture with one hot key (90% of facts)."""
+    from developing_img_etl_spark.operators.skew import salted_join
+
+    facts = spark.createDataFrame(
+        [(1 if i % 10 else i, i) for i in range(1000)], "k long, fact_id long"
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(0, 1000, 7)], "k long, label string")
+    plain = {(r.k, r.fact_id, r.label) for r in facts.join(dim, ["k"]).collect()}
+    salted = {(r.k, r.fact_id, r.label) for r in salted_join(facts, dim, ["k"]).collect()}
+    assert salted == plain
+    left_plain = {(r.k, r.fact_id, r.label) for r in facts.join(dim, ["k"], "left").collect()}
+    left_salted = {(r.k, r.fact_id, r.label) for r in salted_join(facts, dim, ["k"], how="left").collect()}
+    assert left_salted == left_plain
+
+
+def test_salted_distinct_count_exact(spark):
+    from developing_img_etl_spark.operators.skew import salted_distinct_count
+
+    df = spark.createDataFrame(
+        [("hot", i % 37) for i in range(500)] + [("cold", i) for i in range(5)],
+        "g string, v long",
+    )
+    got = {r.g: r.n_distinct for r in salted_distinct_count(df, "g", "v").collect()}
+    assert got == {"hot": 37, "cold": 5}
