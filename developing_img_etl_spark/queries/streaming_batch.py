@@ -328,6 +328,50 @@ ORDER BY w_start
 """
 
 
+
+def st2_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 streaming form of q11e: session windows driven through the
+    real Structured Streaming engine (AvailableNow drain, complete
+    mode), compared against the SAME gaps-and-islands oracle — the
+    streaming state store must finalize identical sessions."""
+    import tempfile
+    import uuid
+
+    from ..streaming.windows import session_counts
+
+    events = load(spark, sf_dir, "events")
+    src = _staged_stream_dir(sf_dir)
+    tmp = tempfile.mkdtemp(prefix="stq2_")
+    import copy
+
+    from pyspark.sql import types as T
+
+    raw_schema = T.StructType(
+        [
+            T.StructField("ts", T.LongType()) if f.name == "ts" else copy.copy(f)
+            for f in events.schema.fields
+        ]
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    name = f"st2_tbl_{uuid.uuid4().hex[:8]}"
+    q = (
+        session_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("user_id", "session_start")
+
+
 QUERIES = {
     "q11a_tumbling_window": q11a_tumbling_window,
     "st1_streaming_tumbling": st1_streaming_tumbling,
@@ -336,6 +380,7 @@ QUERIES = {
     "q11d_bucket_range_join": q11d_bucket_range_join,
     "q11e_session_window": q11e_session_window,
     "q11f_sliding_window": q11f_sliding_window,
+    "st2_streaming_session": st2_streaming_session,
 }
 
 ORACLES = {
@@ -346,4 +391,5 @@ ORACLES = {
     "q11d_bucket_range_join": Q11D_SQL,
     "q11e_session_window": Q11E_SQL,
     "q11f_sliding_window": Q11F_SQL,
+    "st2_streaming_session": Q11E_SQL,
 }

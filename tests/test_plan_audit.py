@@ -43,7 +43,7 @@ def _batch_queries():
     return {
         name: fn
         for name, fn in all_queries().items()
-        if not name.startswith("st1")  # streaming: no batch plan
+        if not name.startswith("st")  # streaming: no batch plan
     }
 
 
