@@ -41,7 +41,7 @@ def main() -> int:
     for name, fn in sorted(all_queries().items()):
         if only and name not in only:
             continue
-        if name.startswith("st1"):
+        if name.startswith("st"):
             continue  # streaming: no batch plan to audit
         try:
             df = fn(spark, sf_dir)
