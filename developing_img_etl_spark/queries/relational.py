@@ -709,6 +709,46 @@ ORDER BY orderkey, child_line
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q22 — exact percentiles + conditional counts (A-family completeness):
+# Spark `percentile` and DuckDB `quantile_cont` share the linear-
+# interpolation definition, so the match is bit-exact (verified) —
+# no decimal detour needed. At scale: exact percentile is a full sort
+# per group; the approximate tier is approx_percentile (same shape as
+# q17's HLL tradeoff).
+# ---------------------------------------------------------------------------
+def q22_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    price = "l_extendedprice"
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.expr(f"percentile({price}, 0.25)").alias("p25"),
+            F.expr(f"percentile({price}, 0.5)").alias("p50"),
+            F.expr(f"percentile({price}, 0.75)").alias("p75"),
+            F.expr(f"percentile({price}, 0.9)").alias("p90"),
+            F.expr(f"count_if({price} > 50000)").alias("n_big"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q22_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.5)  AS p50,
+       quantile_cont(l_extendedprice, 0.75) AS p75,
+       quantile_cont(l_extendedprice, 0.9)  AS p90,
+       count(*) FILTER (WHERE l_extendedprice > 50000) AS n_big,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES = {
     "q1_incremental_antijoin": q1_incremental_antijoin,
     "q17_approx_distinct": q17_approx_distinct,
@@ -729,6 +769,7 @@ QUERIES = {
     "q10b_pivot": q10b_pivot,
     "q18_local_supplier_revenue": q18_local_supplier_revenue,
     "q19_stage_dependency_dates": q19_stage_dependency_dates,
+    "q22_percentiles": q22_percentiles,
 }
 
 ORACLES = {
@@ -750,4 +791,5 @@ ORACLES = {
     "q10b_pivot": Q10B_SQL,
     "q18_local_supplier_revenue": Q18_SQL,
     "q19_stage_dependency_dates": Q19_SQL,
+    "q22_percentiles": Q22_SQL,
 }
