@@ -185,3 +185,25 @@ def test_salted_distinct_count_exact(spark):
     )
     got = {r.g: r.n_distinct for r in salted_distinct_count(df, "g", "v").collect()}
     assert got == {"hot": 37, "cold": 5}
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """Compaction: many small append files -> few target-sized files,
+    byte-identical row set, original left intact on failure paths."""
+    from developing_img_etl_spark.sinks.compact import compact_parquet, file_count
+
+    path = str(tmp_path / "frag")
+    for i in range(8):
+        spark.range(i * 100, (i + 1) * 100).withColumnRenamed("id", "k").repartition(
+            4
+        ).write.mode("append").parquet(path)
+    before = file_count(spark, path)
+    assert before >= 32
+    total_before = spark.read.parquet(path).count()
+
+    compact_parquet(spark, path, target_file_mb=128)
+    after = file_count(spark, path)
+    assert after < before
+    out = spark.read.parquet(path)
+    assert out.count() == total_before
+    assert out.agg(F.sum("k")).collect()[0][0] == sum(range(800))
