@@ -1,7 +1,7 @@
 """Approximate nearest neighbor over embedding columns (SURVEY.md §2.8
 M5 + training-data mandate).
 
-Three tiers:
+Four tiers:
   1. brute_force_topk — Catalyst zip_with/aggregate fold (oracle path,
      queries/similarity.py::q13). Exact, scales linearly, but the fold
      is interpreted: right for small probe sets.
@@ -12,6 +12,10 @@ Three tiers:
   3. rp_lsh_topk — random-hyperplane LSH: sign-bit sketch → Hamming
      bucket join → exact cosine only within buckets. Approximate;
      recall-checked against tier 1/2 in tests (never value-hashed).
+  4. ivf_topk — k-means inverted lists (bounded driver-side training,
+     map-side assignment, nprobe-list search). Approximate;
+     recall-checked like tier 3. Prefer over LSH when embeddings are
+     genuinely clustered (fewer lists probed for the same recall).
 
 Embedding-cosine near-dup pairs (cosine ≥ τ) reuse tier 3's bucketing.
 """
