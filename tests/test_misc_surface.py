@@ -207,3 +207,36 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     out = spark.read.parquet(path)
     assert out.count() == total_before
     assert out.agg(F.sum("k")).collect()[0][0] == sum(range(800))
+
+
+def test_compact_parquet_single_partition_preserves_others(spark, tmp_path):
+    """The round-2 data-loss fix: compacting ONE hive partition must
+    leave every other partition's rows AND files physically untouched."""
+    import os
+
+    from developing_img_etl_spark.sinks.compact import compact_parquet, file_count
+
+    path = str(tmp_path / "ptab")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(400)], "k long, p string"
+    )
+    # Fragment both partitions with several appends.
+    for _ in range(4):
+        df.repartition(4).write.mode("append").partitionBy("p").parquet(path)
+    total_before = spark.read.parquet(path).count()
+    b_dir = os.path.join(path, "p=b")
+    b_files_before = sorted(os.listdir(b_dir))
+    a_files_before = file_count(spark, os.path.join(path, "p=a"))
+    assert a_files_before > 1
+
+    n_after = compact_parquet(spark, path, partition={"p": "a"}, target_file_mb=128)
+    assert n_after < a_files_before
+
+    # Untargeted partition: identical file listing, not just identical rows.
+    assert sorted(os.listdir(b_dir)) == b_files_before
+    out = spark.read.parquet(path)
+    assert out.count() == total_before
+    assert out.filter("p = 'b'").count() == 200 * 4
+    assert out.filter("p = 'a'").count() == 200 * 4
+    # Partition column still reads back correctly from the dir name.
+    assert out.select("p").distinct().count() == 2
