@@ -25,6 +25,16 @@ from pyspark.sql import functions as F
 _SALT = "__salt"
 
 
+def _content_salt(cols: list[str], n_salts: int, seed: int):
+    """Retry-deterministic salt: a pure function of the row's column
+    values (xxhash64 + seed), independent of partitioning, task id, or
+    evaluation order — unlike F.rand, which is per-partition-seeded and
+    can change across a stage retry."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in cols], F.lit(seed)), F.lit(n_salts)
+    ).cast("int")
+
+
 def salted_join(
     facts: DataFrame,
     dim: DataFrame,
@@ -34,12 +44,28 @@ def salted_join(
     n_salts: int = 16,
     seed: int = 42,
 ) -> DataFrame:
-    """Equi-join robust to fact-side key skew: facts get a uniform salt
-    in [0, n_salts); the dim side is exploded over the full salt range;
-    the join runs on (on + salt). Output columns == unsalted join."""
-    f = facts.withColumn(
-        _SALT, F.floor(F.rand(seed) * n_salts).cast("int")
-    )
+    """Equi-join robust to fact-side key skew: facts get a salt in
+    [0, n_salts); the dim side is exploded over the full salt range;
+    the join runs on (on + salt). Output columns == unsalted join.
+
+    The salt is CONTENT-DERIVED (xxhash64 of every fact column + seed),
+    not F.rand: a task retry after an upstream repartition recomputes
+    the identical salt for every row, so the operator is deterministic
+    under speculative execution and stage re-runs. Identical rows share
+    a salt — hot keys in practice carry varying payloads, which is what
+    spreads them; a key whose rows are fully identical is better served
+    by pre-aggregation than salting.
+
+    Only 'inner' and 'left' are row-identical to the unsalted join:
+    with right/full outer, each unmatched dim row would surface once
+    per salt replica, so those modes are rejected.
+    """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only (got {how!r}): "
+            "outer dim rows would be duplicated once per salt replica"
+        )
+    f = facts.withColumn(_SALT, _content_salt(facts.columns, n_salts, seed))
     d = dim.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
     )

@@ -105,17 +105,20 @@ def upload(df: DataFrame, transport_factory, **kw) -> DataFrame:
     for auditing.
 
     This IS an action: the side-effecting PUTs are forced exactly once
-    here, and the status RDD is cached before being wrapped, so callers
-    acting on the returned DataFrame (or Spark retrying a downstream
-    stage) replay the cached statuses — never the uploads. Without the
-    cache+force, every downstream action would re-execute the PUTs
-    against a real transport."""
+    here, and the status rows are pinned with an eager localCheckpoint
+    — MEMORY_AND_DISK storage (no cache-eviction recompute) AND
+    truncated lineage, so a lost block makes downstream actions FAIL
+    rather than silently re-executing the PUTs against a real
+    transport. A plain .cache() (MEMORY_ONLY, lineage intact) would
+    replay the uploads on eviction or executor loss."""
     spark = df.sparkSession
 
     def run(it: Iterator[Row]):
         for r in upload_partition(it, transport_factory, **kw):
             yield (r.key, r.status, r.attempts)
 
-    rdd = df.rdd.mapPartitions(run).cache()
-    rdd.count()  # force the uploads exactly once, pinning statuses
-    return spark.createDataFrame(rdd, "object_key string, status string, attempts int")
+    statuses = spark.createDataFrame(
+        df.rdd.mapPartitions(run), "object_key string, status string, attempts int"
+    )
+    # eager=True runs the uploads exactly once, here.
+    return statuses.localCheckpoint(eager=True)

@@ -27,11 +27,17 @@ from pyspark.sql import types as T
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 
 
-def _col_index(cell_ref: str) -> int:
-    """'A1' -> 0, 'BC7' -> 54."""
-    letters = re.match(r"[A-Z]+", cell_ref).group(0)
+def _col_index(cell_ref: str | None) -> int | None:
+    """'A1' -> 0, 'BC7' -> 54; None when the reference is absent or
+    unparseable (the r= attribute is optional in OOXML — some writers
+    omit it, and cells then fall back to positional order)."""
+    if not cell_ref:
+        return None
+    m = re.match(r"[A-Z]+", cell_ref)
+    if m is None:
+        return None
     idx = 0
-    for ch in letters:
+    for ch in m.group(0):
         idx = idx * 26 + (ord(ch) - ord("A") + 1)
     return idx - 1
 
@@ -81,8 +87,13 @@ def _read_xlsx_stdlib(path: str, sheet_name: int | str = 0) -> tuple[list[str], 
     grid: list[list[str | None]] = []
     for row in ws.iter(f"{_NS}row"):
         cells: dict[int, str | None] = {}
+        next_idx = 0  # running position for cells missing the r= ref
         for c in row.iter(f"{_NS}c"):
-            cells[_col_index(c.get("r"))] = _cell_text(c, shared)
+            idx = _col_index(c.get("r"))
+            if idx is None:
+                idx = next_idx
+            cells[idx] = _cell_text(c, shared)
+            next_idx = idx + 1
         width = max(cells) + 1 if cells else 0
         grid.append([cells.get(i) for i in range(width)])
     if not grid:

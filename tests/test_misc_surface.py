@@ -38,15 +38,19 @@ def test_unpivot_groups_order_and_values(spark):
     assert [(r.pos, r.u, r.v) for r in out] == [(1, "a", "p"), (2, "b", "q")]
 
 
-def _write_minimal_xlsx(path, header, rows):
+def _write_minimal_xlsx(path, header, rows, *, cell_refs=True):
     """Hand-rolled minimal xlsx (inline strings) — lets the source be
-    tested without any xlsx writer in the container."""
+    tested without any xlsx writer in the container. cell_refs=False
+    omits the optional r= attribute (legal OOXML; some writers do)."""
     import zipfile
 
     def cell(ref, v):
         if v is None:
-            return ""
-        return f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>'
+            # Without r= refs a skipped cell would shift later cells
+            # left; emit an empty positional cell instead.
+            return "<c/>" if not cell_refs else ""
+        r_attr = f' r="{ref}"' if cell_refs else ""
+        return f'<c{r_attr} t="inlineStr"><is><t>{v}</t></is></c>'
 
     def row_xml(i, values):
         cols = "".join(cell(f"{chr(65 + j)}{i}", v) for j, v in enumerate(values))
@@ -84,6 +88,21 @@ def test_excel_source_stdlib_fallback(spark, tmp_path):
     assert out.columns == ["a", "b"]
     got = {(r.a, r.b) for r in out.collect()}
     assert got == {("1", "x"), ("2", None)}
+
+
+def test_excel_source_cells_without_refs(spark, tmp_path):
+    """Cells may legally omit the r= reference; the parser must fall
+    back to a running column index instead of crashing."""
+    from developing_img_etl_spark.sources.excel import read_excel
+
+    p = str(tmp_path / "noref.xlsx")
+    _write_minimal_xlsx(
+        p, ["a", "b", "c"], [["1", "x", "y"], ["2", None, "z"]], cell_refs=False
+    )
+    out = read_excel(spark, p)
+    assert out.columns == ["a", "b", "c"]
+    got = {(r.a, r.b, r.c) for r in out.collect()}
+    assert got == {("1", "x", "y"), ("2", None, "z")}
 
 
 def test_excel_source_reads_reference_fixture(spark):
@@ -174,6 +193,37 @@ def test_salted_join_equals_plain_join(spark):
     left_plain = {(r.k, r.fact_id, r.label) for r in facts.join(dim, ["k"], "left").collect()}
     left_salted = {(r.k, r.fact_id, r.label) for r in salted_join(facts, dim, ["k"], how="left").collect()}
     assert left_salted == left_plain
+
+
+def test_salted_join_salt_is_retry_deterministic(spark):
+    """The salt must be a pure function of row content: recomputing it
+    after a different upstream partitioning (what a task retry can see)
+    yields the identical per-row salt — F.rand(seed) fails this."""
+    from developing_img_etl_spark.operators.skew import _content_salt
+
+    facts = spark.createDataFrame(
+        [(i % 7, i) for i in range(500)], "k long, fact_id long"
+    )
+    salt = _content_salt(["k", "fact_id"], 16, 42)
+    a = {r.fact_id: r.s for r in facts.withColumn("s", salt).collect()}
+    b = {
+        r.fact_id: r.s
+        for r in facts.repartition(13).withColumn("s", salt).collect()
+    }
+    assert a == b
+    assert 0 <= min(a.values()) and max(a.values()) < 16
+    assert len(set(a.values())) > 8  # actually spreads across salts
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    from developing_img_etl_spark.operators.skew import salted_join
+
+    facts = spark.createDataFrame([(1, 1)], "k long, fact_id long")
+    dim = spark.createDataFrame([(1, "d")], "k long, label string")
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(facts, dim, ["k"], how="full")
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(facts, dim, ["k"], how="right")
 
 
 def test_salted_distinct_count_exact(spark):
