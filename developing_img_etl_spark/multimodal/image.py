@@ -2,14 +2,19 @@
 unreadable-guard — the reference's core custom compute
 (/root/reference/test.py:44-59) as vectorized pandas UDFs.
 
-Codec strategy: cv2/PIL are NOT in this container, so the pixel codec
-is pluggable. When a real codec is importable it is used; otherwise a
-deterministic FAKE codec handles the engine's own synthetic format
-(`FAKEIMG:{w}:{h}:` header + payload bytes). The Spark-side plumbing —
-BinaryType columns, Arrow batch shape, null-on-unreadable semantics,
-aspect-preserving resize arithmetic, JPEG-quality knob — is identical
-either way, which is what the engine actually owns. The codec boundary
-is the only NotImplemented-ish seam, exactly as mandated.
+Codec strategy, three tiers:
+  1. BMP (24-bit uncompressed): the stdlib+numpy codec in bmp.py —
+     a REAL raster decode → nearest-neighbor downscale → re-encode
+     that runs in any container, always routed here for determinism
+     (BMP is lossless, so quality is a no-op on this branch);
+  2. PIL/cv2 when importable: JPEG/PNG/etc. full decode+re-encode;
+  3. FAKEIMG (`FAKEIMG:{w}:{h}:` header + payload): the synthetic
+     seam for formats whose codec is absent — plus stdlib JPEG-SOF /
+     PNG-IHDR header parsing so real files still get real metadata.
+The Spark-side plumbing — BinaryType columns, Arrow batch shape,
+null-on-unreadable semantics, aspect-preserving resize arithmetic,
+quality knob — is identical across tiers, which is what the engine
+actually owns.
 
 Scale rules (SURVEY.md §4.2): images are transformed map-side and never
 used as a shuffle key; Arrow batches are kept small
@@ -22,6 +27,8 @@ from __future__ import annotations
 import io
 
 import pandas as pd
+
+from . import bmp
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -110,6 +117,8 @@ def _decode_dims(data: bytes | None) -> tuple[int, int] | None:
             return int(parts[1]), int(parts[2])
         except Exception:  # noqa: BLE001
             return None
+    if data.startswith(b"BM"):
+        return bmp.bmp_dims(data)
     if _CODEC == "pil":
         from PIL import Image
 
@@ -131,13 +140,23 @@ def _recompress(data: bytes | None, max_dim: int, quality: int) -> bytes | None:
     w, h = dims
     if max(w, h) > max_dim:
         scale = max_dim / float(max(w, h))
-        # reference: int(dim * scale) truncation (test.py:52-53)
-        w, h = int(w * scale), int(h * scale)
+        # reference: int(dim * scale) truncation (test.py:52-53); clamp
+        # to 1px so extreme aspect ratios (> cap:1) stay a valid image
+        w, h = max(int(w * scale), 1), max(int(h * scale), 1)
     if data.startswith(_FAKE_MAGIC):
         # fake "encode": payload shrinks to w*h * quality%
         body_len = int(w * h * (quality / 100.0))
         payload = bytes(data).split(b":", 3)[3][:body_len]
         return b"FAKEIMG:%d:%d:" % (w, h) + payload
+    if data.startswith(b"BM"):
+        # real raster path: decode → nearest-neighbor downscale →
+        # re-encode. BMP out (lossless); quality does not apply.
+        arr = bmp.bmp_decode(bytes(data))
+        if arr is None:
+            return None
+        if (w, h) != (arr.shape[1], arr.shape[0]):
+            arr = bmp.nn_resize(arr, w, h)
+        return bmp.bmp_encode(arr)
     if _CODEC == "pil":
         from PIL import Image
 

@@ -347,3 +347,94 @@ QUERIES["m10_audio_metadata"] = m10_audio_metadata
 QUERIES["m11_video_frame_sample"] = m11_video_frame_sample
 ORACLES["m10_audio_metadata"] = M10_SQL
 ORACLES["m11_video_frame_sample"] = M11_SQL
+
+
+# --------------------------------------------------------------------------
+# M12 — the REAL raster path (multimodal/bmp.py): generate actual
+# 24-bit BMP pixel data per part row, run decode → nearest-neighbor
+# downscale → lossless re-encode through the same compress_pipeline
+# surface, and let the oracle predict output dims AND byte size exactly
+# (BMP size is pure arithmetic: 54 + 4-byte-padded row stride × h).
+# Unlike m1 this is not a header-format seam — pixels really move.
+# Over-cap rows are kept short (h=8) so the corpus stays KB-sized.
+# --------------------------------------------------------------------------
+import pandas as pd
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+@pandas_udf(T.BinaryType())
+def _gen_bmp(w: pd.Series, h: pd.Series, seed: pd.Series) -> pd.Series:
+    from ..multimodal.bmp import make_bmp
+
+    return pd.Series(
+        [
+            None if pd.isna(a) else make_bmp(int(a), int(b), int(s))
+            for a, b, s in zip(w, h, seed)
+        ],
+        dtype=object,
+    )
+
+
+def _bmp_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    corrupt = F.col("p_partkey") % 97 == 0
+    w = F.when(F.col("p_size") > 48, 1200 + F.col("p_size")).otherwise(
+        16 + F.pmod(F.col("p_size"), F.lit(64))
+    )
+    h = F.when(F.col("p_size") > 48, F.lit(8)).otherwise(F.lit(12))
+    return part.select(
+        "p_partkey",
+        F.when(corrupt, F.lit(b"BMcorrupt"))
+        .otherwise(_gen_bmp(w, h, F.pmod(F.col("p_partkey"), F.lit(251))))
+        .alias("content"),
+    )
+
+
+def m12_bmp_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = _bmp_corpus(spark, sf_dir)
+    out = compress_pipeline(imgs)
+    stats = with_image_stats(out, "content_out")
+    return stats.select(
+        "p_partkey",
+        "status",
+        "width",
+        "height",
+        F.length("content_out").cast("long").alias("out_bytes"),
+    ).orderBy("p_partkey")
+
+
+M12_SQL = """
+WITH dims AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 97 = 0 THEN NULL
+              WHEN p_size > 48 THEN 1200 + p_size
+              ELSE 16 + (p_size % 64) END AS w,
+         CASE WHEN p_partkey % 97 = 0 THEN NULL
+              WHEN p_size > 48 THEN 8 ELSE 12 END AS h
+  FROM part
+),
+resized AS (
+  SELECT p_partkey, w, h,
+         CASE WHEN greatest(w, h) > 1024
+              THEN greatest(CAST(floor(w * (1024.0 / greatest(w, h))) AS INT), 1)
+              ELSE w END AS w2,
+         CASE WHEN greatest(w, h) > 1024
+              THEN greatest(CAST(floor(h * (1024.0 / greatest(w, h))) AS INT), 1)
+              ELSE h END AS h2
+  FROM dims
+)
+SELECT p_partkey,
+       CASE WHEN w IS NULL THEN 'unreadable' ELSE 'ok' END AS status,
+       w2 AS width,
+       h2 AS height,
+       -- exact BMP size: 14+40 header + stride(w)*h, stride padded to 4
+       CASE WHEN w IS NULL THEN NULL
+            ELSE CAST(54 + (CAST(floor((w2 * 3 + 3) / 4.0) AS INT) * 4) * h2 AS BIGINT)
+       END AS out_bytes
+FROM resized
+ORDER BY p_partkey
+"""
+
+QUERIES["m12_bmp_compress"] = m12_bmp_compress
+ORACLES["m12_bmp_compress"] = M12_SQL

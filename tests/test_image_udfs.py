@@ -60,6 +60,100 @@ def test_size_kb_matches_length(corpus):
 
 
 # --------------------------------------------------------------------------
+# BMP: the stdlib REAL raster path (multimodal/bmp.py)
+# --------------------------------------------------------------------------
+import numpy as np
+
+from developing_img_etl_spark.multimodal import bmp
+
+
+def test_bmp_roundtrip_bit_exact():
+    arr = bmp.bmp_decode(bmp.make_bmp(37, 21, seed=3))  # odd width → row padding
+    assert arr.shape == (21, 37, 3)
+    assert np.array_equal(bmp.bmp_decode(bmp.bmp_encode(arr)), arr)
+
+
+def test_bmp_encoded_size_formula():
+    for w, h in [(1, 1), (37, 21), (640, 480), (1023, 7)]:
+        assert len(bmp.make_bmp(w, h)) == bmp.bmp_encoded_size(w, h)
+
+
+def test_bmp_decode_rejects_garbage():
+    assert bmp.bmp_decode(b"BMtruncated") is None
+    assert bmp.bmp_decode(b"not a bmp at all") is None
+    # 8-bit BMPs (palette) are out of scope → None, not garbage pixels
+    data = bytearray(bmp.make_bmp(4, 4))
+    data[28] = 8  # biBitCount
+    assert bmp.bmp_decode(bytes(data)) is None
+
+
+def test_bmp_top_down_negative_height():
+    import struct
+
+    arr = bmp.bmp_decode(bmp.make_bmp(5, 4, seed=9))
+    data = bytearray(bmp.bmp_encode(arr))
+    h = struct.unpack_from("<i", data, 22)[0]
+    struct.pack_into("<i", data, 22, -h)  # flag as top-down...
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    stride = (5 * 3 + 3) & ~3
+    rows = [bytes(data[pixel_off + i * stride : pixel_off + (i + 1) * stride]) for i in range(4)]
+    data[pixel_off:] = b"".join(reversed(rows))  # ...and un-flip the rows
+    assert np.array_equal(bmp.bmp_decode(bytes(data)), arr)
+
+
+def test_nn_resize_semantics():
+    arr = bmp.bmp_decode(bmp.make_bmp(8, 8))
+    small = bmp.nn_resize(arr, 4, 2)
+    assert small.shape == (2, 4, 3)
+    # source index = floor(dst * src/dst): rows 0,4; cols 0,2,4,6
+    assert np.array_equal(small, arr[[0, 4]][:, [0, 2, 4, 6]])
+
+
+def test_recompress_real_pixels_end_to_end(spark):
+    """M1 on REAL raster data: decode → nn-downscale → re-encode, with
+    the same int(dim*scale) truncation as the reference, through the
+    pandas-UDF path."""
+    rows = [
+        (1, bmp.make_bmp(2048, 1536, seed=1)),  # over cap → 1024×768
+        (2, bmp.make_bmp(648, 490, seed=2)),    # under cap → no-op resize
+        (3, bmp.make_bmp(4000, 100, seed=3)),   # extreme aspect → 1024×25
+        (4, b"BMcorrupt"),                       # unreadable BMP → null
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = IMG.compress_pipeline(df)
+    got = {r.id: r for r in IMG.with_image_stats(out, "content_out").collect()}
+    assert (got[1].width, got[1].height) == (1024, 768)
+    assert (got[2].width, got[2].height) == (648, 490)
+    assert (got[3].width, got[3].height) == (1024, 25)
+    assert got[4].status == "unreadable" and got[4].content_out is None
+    # output is itself a decodable BMP whose pixels equal the local
+    # decode→resize of the input (the UDF adds no nondeterminism)
+    local = bmp.nn_resize(bmp.bmp_decode(rows[0][1]), 1024, 768)
+    assert np.array_equal(bmp.bmp_decode(bytes(got[1].content_out)), local)
+    # under-cap image: lossless re-encode → bit-identical bytes
+    assert bytes(got[2].content_out) == rows[1][1]
+
+
+def test_bmp_pil_cross_check():
+    """When PIL is importable it must agree with the stdlib codec on
+    dims and raw pixels (PIL reads BMP natively)."""
+    try:
+        from PIL import Image
+    except ImportError:
+        import pytest as _pytest
+
+        _pytest.skip("PIL not installed in this container")
+    import io
+
+    data = bmp.make_bmp(33, 17, seed=5)
+    with Image.open(io.BytesIO(data)) as im:
+        assert im.size == (33, 17)
+        rgb = np.asarray(im.convert("RGB"))
+    ours = bmp.bmp_decode(data)[:, :, ::-1]  # BGR → RGB
+    assert np.array_equal(rgb, ours)
+
+
+# --------------------------------------------------------------------------
 # audio/video plumbing (multimodal/av.py)
 # --------------------------------------------------------------------------
 def test_audio_metadata_and_guard(spark):

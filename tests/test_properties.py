@@ -117,3 +117,27 @@ def test_stdlib_xlsx_roundtrip(spark, tmp_path_factory, tbl):
     norm = [[c if c != "" else None for c in r] for r in rows]
     got_norm = [[c if c != "" else None for c in r] for r in got_rows]
     assert got_norm == norm
+
+
+@given(st.integers(1, 3000), st.integers(1, 3000), st.integers(0, 1000))
+@SET
+def test_bmp_recompress_properties(w, h, seed):
+    """The real raster path (no Spark needed — pure codec): encode →
+    _recompress obeys the cap, preserves aspect within ±1px of the
+    int-truncation arithmetic, and stays a decodable lossless BMP."""
+    import numpy as np
+
+    from developing_img_etl_spark.multimodal import bmp
+    from developing_img_etl_spark.multimodal import image as IMG
+
+    data = bmp.make_bmp(w, h, seed)
+    assert np.array_equal(bmp.bmp_decode(bmp.bmp_encode(bmp.bmp_decode(data))), bmp.bmp_decode(data))
+
+    out = IMG._recompress(data, IMG.MAX_DIM, IMG.JPEG_QUALITY)
+    ow, oh = IMG._decode_dims(out)
+    assert max(ow, oh) <= IMG.MAX_DIM
+    if max(w, h) <= IMG.MAX_DIM:
+        assert (ow, oh) == (w, h) and bytes(out) == data  # lossless no-op
+    else:
+        scale = IMG.MAX_DIM / float(max(w, h))
+        assert (ow, oh) == (max(int(w * scale), 1), max(int(h * scale), 1))
