@@ -393,3 +393,133 @@ ORACLES = {
     "q11f_sliding_window": Q11F_SQL,
     "st2_streaming_session": Q11E_SQL,
 }
+
+# ---------------------------------------------------------------------------
+# ST3/ST5 — late-data semantics under the driver's hash check, via the
+# checkpoint-restart path: drain 1 processes the events table and
+# checkpoints its watermark (max ts - 1 day); drain 2 adds a file with
+# one late copy of every 1000th event shifted 30 days into the past —
+# all far behind the persisted watermark, so the engine MUST drop them
+# (Spark's within-run drop is documented best-effort, but a row below
+# the checkpointed watermark at restart is guaranteed-dropped; the
+# pytest test_late_data_dropped pins that behavior) — plus a sentinel
+# row 3 days past the table max whose admission advances the watermark
+# and finalizes the last real window. The oracle is the batch q11a
+# aggregation restricted to windows the final watermark closed: if late
+# rows leaked in, drain 2 would re-emit their (already-evicted) windows
+# as extra rows and inflate counts → hash mismatch.
+# ---------------------------------------------------------------------------
+_ST3_LATE_FILE_CACHE: dict[str, str] = {}
+
+_NANOS_PER_DAY = 86400 * 1_000_000_000
+
+
+def _st3_late_file(spark: SparkSession, sf_dir: str) -> str:
+    """The injected batch-2 parquet file, built once per (process,
+    sf_dir): 1 late copy per 1000 events (ts - 30 days) + 1 sentinel
+    (max ts + 3 days). Written with the same raw INT64 ts the events
+    table uses so both files share one stream schema."""
+    if sf_dir not in _ST3_LATE_FILE_CACHE:
+        import os
+        import tempfile
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts: long (nanos)
+        late = raw.withColumn("ts", F.col("ts") - F.lit(30 * _NANOS_PER_DAY)).filter(
+            F.pmod(F.col("event_id"), F.lit(1000)) == 0
+        )
+        max_ts = raw.agg(F.max("ts")).collect()[0][0]
+        sentinel = (
+            raw.orderBy(F.desc("ts"))
+            .limit(1)
+            .withColumn("ts", F.lit(max_ts + 3 * _NANOS_PER_DAY))
+        )
+        out = tempfile.mkdtemp(prefix="st3late_")
+        late.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(out)
+        part = next(
+            p for p in os.listdir(out) if p.endswith(".parquet") and p.startswith("part-")
+        )
+        _ST3_LATE_FILE_CACHE[sf_dir] = f"{out}/{part}"
+    return _ST3_LATE_FILE_CACHE[sf_dir]
+
+
+def st3_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import copy
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..streaming.windows import tumbling_counts
+
+    events = load(spark, sf_dir, "events")
+    late_file = _st3_late_file(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="stq3_")
+    src, out, ckpt = f"{work}/src", f"{work}/out", f"{work}/ckpt"
+    os.makedirs(src)
+    try:
+        os.link(f"{sf_dir}/events.parquet", f"{src}/00-events.parquet")
+    except OSError:
+        shutil.copyfile(f"{sf_dir}/events.parquet", f"{src}/00-events.parquet")
+
+    raw_schema = T.StructType(
+        [
+            T.StructField("ts", T.LongType()) if f.name == "ts" else copy.copy(f)
+            for f in events.schema.fields
+        ]
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .parquet(src)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+        def sink(batch, batch_id):
+            batch.write.mode("append").parquet(out)
+
+        q = (
+            tumbling_counts(stream, window="7 days", watermark="1 day")
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    drain()  # events only; checkpoints watermark = max ts - 1 day
+    try:
+        os.link(late_file, f"{src}/01-late.parquet")
+    except OSError:
+        shutil.copyfile(late_file, f"{src}/01-late.parquet")
+    drain()  # late rows below the persisted watermark are dropped
+    return spark.read.parquet(out).orderBy("w_start")
+
+
+# Final watermark = (max ts + 3 days sentinel) - 1 day delay = max + 2d;
+# append emits windows with w_end <= that. Every injected late row is
+# > 29 days behind the drain-1 watermark, so none survive into counts.
+ST3_SQL = f"""
+WITH wm AS (SELECT epoch(max(ts)) + 2 * 86400 AS w FROM events),
+agg AS (
+  SELECT CAST(floor(epoch(ts) / {WEEK_SECONDS}) AS BIGINT) * {WEEK_SECONDS} AS w_epoch,
+         COUNT(*) AS n_events,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) / COUNT(*) AS avg_value
+  FROM events
+  GROUP BY 1
+)
+SELECT TIMESTAMP '1970-01-01' + INTERVAL (w_epoch) SECOND AS w_start,
+       TIMESTAMP '1970-01-01' + INTERVAL (w_epoch + {WEEK_SECONDS}) SECOND AS w_end,
+       n_events, sum_value, avg_value
+FROM agg
+WHERE w_epoch + {WEEK_SECONDS} <= (SELECT w FROM wm)
+ORDER BY w_start
+"""
+
+QUERIES["st3_streaming_late_data"] = st3_streaming_late_data
+ORACLES["st3_streaming_late_data"] = ST3_SQL
