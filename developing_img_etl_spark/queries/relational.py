@@ -749,8 +749,35 @@ ORDER BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Q23 — approx_percentile (the scale tier q22's comment promises):
+# KLL/GK-style sketch, mergeable map-side, ONE pass with no per-group
+# sort — the 100 TB path where q22's exact per-group sort is the
+# correctness oracle at small scale. Approximate → rows-only here;
+# tests/test_approx_ops.py pins each approx quantile within the
+# accuracy bound against the exact percentile on the same data.
+# ---------------------------------------------------------------------------
+APPROX_PCT_ACCURACY = 10_000  # 1/accuracy relative-rank error bound
+
+
+def q23_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    acc = APPROX_PCT_ACCURACY
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                f"approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.9), {acc})"
+            ).alias("approx_quartiles"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "q1_incremental_antijoin": q1_incremental_antijoin,
+    "q23_approx_percentiles": q23_approx_percentiles,
     "q17_approx_distinct": q17_approx_distinct,
     "q6b_cube": q6b_cube,
     "q15_selfjoin_adjacent": q15_selfjoin_adjacent,

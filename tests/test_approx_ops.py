@@ -117,3 +117,36 @@ def test_ivf_recall_vs_brute_force(emb):
     }
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.8, f"ivf recall {recall:.2f}"
+
+
+def test_approx_percentile_within_accuracy(spark, sf_dir):
+    """q23's sketch tier must land within the relative-rank accuracy
+    bound of q22's exact percentiles on the same data (the q17-style
+    approx-vs-exact contract). approx_percentile guarantees an answer
+    whose RANK is within n/accuracy of the true rank; convert that to a
+    value bound by comparing against the exact percentiles at
+    p ± rank_eps (with a generous 4x slack for interpolation)."""
+    from developing_img_etl_spark.catalog import load
+    from developing_img_etl_spark.queries.relational import (
+        APPROX_PCT_ACCURACY,
+        q22_percentiles,
+        q23_approx_percentiles,
+    )
+
+    exact_rows = {r.l_returnflag: r for r in q22_percentiles(spark, sf_dir).collect()}
+    approx_rows = {r.l_returnflag: r for r in q23_approx_percentiles(spark, sf_dir).collect()}
+    assert exact_rows.keys() == approx_rows.keys()
+
+    lineitem = load(spark, sf_dir, "lineitem")
+    rank_eps = 4.0 / APPROX_PCT_ACCURACY
+    for flag, ar in approx_rows.items():
+        grp = lineitem.filter(F.col("l_returnflag") == flag)
+        for p, got in zip((0.25, 0.5, 0.75, 0.9), ar.approx_quartiles):
+            lo, hi = max(p - rank_eps, 0.0), min(p + rank_eps, 1.0)
+            bounds = grp.agg(
+                F.expr(f"percentile(l_extendedprice, {lo})").alias("lo"),
+                F.expr(f"percentile(l_extendedprice, {hi})").alias("hi"),
+            ).collect()[0]
+            assert bounds.lo <= got <= bounds.hi, (
+                f"{flag} p{int(p*100)}: {got} outside [{bounds.lo}, {bounds.hi}]"
+            )
