@@ -29,6 +29,46 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import dot, norm
 
+# Broadcast guards for the candidate-rerank stage. At the declared
+# probe scale everything broadcasts; with production probe batches the
+# candidate-pair set or probe-embedding set can exceed Spark's
+# broadcast threshold, so each broadcast is size-gated and falls back
+# to a plain shuffled hash/sort-merge join on the same keys (the pairs
+# side still carries only two longs per row either way).
+PAIR_BROADCAST_MAX_ROWS = 2_000_000  # (probe_id, vec_id) longs ≈ 32 MB
+PROBE_BROADCAST_MAX_ROWS = 100_000  # rows with an embedding payload
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int, budget: int) -> DataFrame:
+    return F.broadcast(df) if n_rows <= budget else df
+
+
+def _rerank_survivors(
+    emb: DataFrame, pairs: DataFrame, probes: DataFrame, *, k: int, n_probes: int
+) -> DataFrame:
+    """Re-attach embeddings to candidate (probe_id, vec_id) pairs and
+    exact-cosine-rank the survivors. The pair set is persisted and
+    counted once (it is consumed once, and the count decides whether it
+    broadcasts or shuffles)."""
+    from pyspark import StorageLevel
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    n_pairs = pairs.count()
+    pe = probes.select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
+    )
+    scored = (
+        emb.select("vec_id", "embedding")
+        .join(_maybe_broadcast(pairs, n_pairs, PAIR_BROADCAST_MAX_ROWS), "vec_id")
+        .join(_maybe_broadcast(pe, n_probes, PROBE_BROADCAST_MAX_ROWS), "probe_id")
+    )
+    sim = dot(F.col("probe_emb"), F.col("embedding")) / (
+        norm(F.col("probe_emb")) * norm(F.col("embedding"))
+    )
+    ranked = scored.select("probe_id", "vec_id", F.round(sim, 6).alias("sim"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "vec_id")
+    return ranked.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+
 
 def brute_force_topk(emb: DataFrame, probes: DataFrame, k: int = 5) -> DataFrame:
     """Exact cosine top-k, pure Catalyst (see queries/similarity.py)."""
@@ -157,8 +197,10 @@ def rp_lsh_topk(
       3. Embeddings re-attached by key — candidate ids broadcast back
          against the corpus (map-side; the corpus never shuffles), probe
          vectors broadcast. Exact cosine only on survivors.
-    The candidate-id set is ~n_probes·tables·n/2^bits before dedup; with
-    a large probe set raise `bits` so the broadcast stays small."""
+    The candidate-id set is ~n_probes·tables·n/2^bits before dedup; all
+    broadcasts are size-gated (see _rerank_survivors) so oversized
+    probe batches degrade to shuffled joins instead of OOMing."""
+    n_probes = probes.count()
     c_long = rp_multi_sketch(
         emb.select("vec_id", "embedding"), tables=tables, bits=bits, dim=dim
     ).select("vec_id", F.posexplode("sketches").alias("table_id", "sketch"))
@@ -169,25 +211,15 @@ def rp_lsh_topk(
         F.posexplode("sketches").alias("table_id", "sketch"),
     )
     pairs = (
-        c_long.join(F.broadcast(p_long), ["table_id", "sketch"])
+        c_long.join(
+            _maybe_broadcast(p_long, n_probes * tables, PAIR_BROADCAST_MAX_ROWS),
+            ["table_id", "sketch"],
+        )
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select("probe_id", "vec_id")
         .distinct()
     )
-    pe = probes.select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
-    )
-    scored = (
-        emb.select("vec_id", "embedding")
-        .join(F.broadcast(pairs), "vec_id")
-        .join(F.broadcast(pe), "probe_id")
-    )
-    sim = dot(F.col("probe_emb"), F.col("embedding")) / (
-        norm(F.col("probe_emb")) * norm(F.col("embedding"))
-    )
-    ranked = scored.select("probe_id", "vec_id", F.round(sim, 6).alias("sim"))
-    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "vec_id")
-    return ranked.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+    return _rerank_survivors(emb, pairs, probes, k=k, n_probes=n_probes)
 
 
 def cosine_near_dup_pairs(
@@ -287,6 +319,7 @@ def ivf_topk(
     nprobe=10/16); genuinely clustered real-world embeddings reach the
     same recall at far smaller nprobe/n_centroids ratios."""
     cent = ivf_train_centroids(emb, n_centroids=n_centroids, dim=dim)
+    n_probes = probes.count()
     c_assign = emb.select("vec_id", "embedding").withColumn(
         "cluster", F.element_at(_assign_udf(cent, 1)(F.col("embedding")), 1)
     )
@@ -296,21 +329,11 @@ def ivf_topk(
     )
     pairs = (
         c_assign.select("vec_id", "cluster")
-        .join(F.broadcast(p_assign), "cluster")
+        .join(
+            _maybe_broadcast(p_assign, n_probes * nprobe, PAIR_BROADCAST_MAX_ROWS),
+            "cluster",
+        )
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select("probe_id", "vec_id")
     )
-    pe = probes.select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_emb")
-    )
-    scored = (
-        emb.select("vec_id", "embedding")
-        .join(F.broadcast(pairs), "vec_id")
-        .join(F.broadcast(pe), "probe_id")
-    )
-    sim = dot(F.col("probe_emb"), F.col("embedding")) / (
-        norm(F.col("probe_emb")) * norm(F.col("embedding"))
-    )
-    ranked = scored.select("probe_id", "vec_id", F.round(sim, 6).alias("sim"))
-    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "vec_id")
-    return ranked.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+    return _rerank_survivors(emb, pairs, probes, k=k, n_probes=n_probes)

@@ -150,3 +150,22 @@ def test_approx_percentile_within_accuracy(spark, sf_dir):
             assert bounds.lo <= got <= bounds.hi, (
                 f"{flag} p{int(p*100)}: {got} outside [{bounds.lo}, {bounds.hi}]"
             )
+
+
+def test_ann_broadcast_overflow_fallback(spark, emb, monkeypatch):
+    """VERDICT r2 #6: when the probe/pair sets exceed the broadcast row
+    budgets, the ANN rerank must degrade to shuffled joins (no broadcast
+    hints in the plan) and return IDENTICAL results."""
+    probes = emb.filter(F.col("vec_id") < 10)
+
+    for fn in (SIM.rp_lsh_topk, SIM.ivf_topk):
+        base = sorted(map(tuple, fn(emb, probes, k=5).collect()))
+        monkeypatch.setattr(SIM, "PAIR_BROADCAST_MAX_ROWS", 0)
+        monkeypatch.setattr(SIM, "PROBE_BROADCAST_MAX_ROWS", 0)
+        out = fn(emb, probes, k=5)
+        got = sorted(map(tuple, out.collect()))
+        assert got == base
+        # every broadcast is gated off → zero hints survive analysis
+        analyzed = out._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed
+        monkeypatch.undo()
