@@ -5,11 +5,17 @@ The reference's output layout `weekly_photos/{kode_proyek}/{minggu}/{file}`
 write; partition pruning on (kode_proyek, minggu) then comes free for
 every downstream read. Keys must be normalized BEFORE reaching here
 (§1.4 — the reference wrote two partition trees for one project).
+
+All persistence goes through the TableFormat seam (sinks/writer.py):
+parquet locally, Delta/Iceberg on a deployment — these wrappers keep
+the original call signatures.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from .writer import DEFAULT_FORMAT, TableFormat
 
 
 def write_partitioned(
@@ -18,41 +24,31 @@ def write_partitioned(
     *,
     partition_cols: list[str] = ("kode_proyek", "minggu"),
     mode: str = "append",
+    fmt: TableFormat = DEFAULT_FORMAT,
 ) -> None:
-    """Hive-partitioned parquet write. Binary `content` columns ride
-    along as a regular column — never a shuffle key (SURVEY §4.2)."""
-    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    """Hive-partitioned write. Binary `content` columns ride along as a
+    regular column — never a shuffle key (SURVEY §4.2)."""
+    if mode == "append":
+        fmt.append(df, path, partition_cols=list(partition_cols))
+    else:
+        df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
-def overwrite_catalog(catalog: DataFrame, path: str) -> None:
-    """The catalog overwrite-save (test.py:200-201). Parquet overwrite is
-    atomic-enough locally; on a real deployment this is the one table
-    that wants a transactional format (Delta/Iceberg).
-
-    The typical lineage is read_catalog(path) -> union -> overwrite of
-    the SAME path; Spark either refuses ('Cannot overwrite a path that
-    is also being read from') or, worse, deletes input files mid-read.
-    Materialize to executor storage first so the write's lineage no
-    longer references the target path. The catalog is a metadata table
-    (thousands of rows, no binary payloads), so the checkpoint is cheap
-    even at fleet scale."""
-    catalog.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+def overwrite_catalog(catalog: DataFrame, path: str, *, fmt: TableFormat = DEFAULT_FORMAT) -> None:
+    """The catalog overwrite-save (test.py:200-201); see
+    ParquetFormat.overwrite for the read-then-overwrite-same-path
+    hazard the default implementation defuses."""
+    fmt.overwrite(catalog, path)
 
 
-def read_catalog(spark: SparkSession, path: str, schema: str) -> DataFrame:
+def read_catalog(
+    spark: SparkSession, path: str, schema: str, *, fmt: TableFormat = DEFAULT_FORMAT
+) -> DataFrame:
     """Read the catalog, or an empty frame on first run
-    (test.py:99-111 'if exists' semantics). Existence is probed via the
-    Hadoop FS — catching read exceptions instead would also swallow
-    corrupt-footer / permission / transient-FS errors and silently
-    restart the catalog from empty."""
-    if path_exists(spark, path):
-        return spark.read.schema(schema).parquet(path)
-    return spark.createDataFrame([], schema)
+    (test.py:99-111 'if exists' semantics)."""
+    return fmt.read(spark, path, schema)
 
 
 def path_exists(spark: SparkSession, path: str) -> bool:
     """Hadoop-FS existence probe (works for any supported scheme)."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(p))
+    return DEFAULT_FORMAT.exists(spark, path)

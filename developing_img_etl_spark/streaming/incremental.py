@@ -22,7 +22,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..functions.strings import composite_key
-from ..sinks.partitioned import path_exists
+from ..sinks.writer import DEFAULT_FORMAT, TableFormat
 
 
 def read_photo_stream(spark: SparkSession, src_dir: str, schema: T.StructType) -> DataFrame:
@@ -44,25 +44,28 @@ def start_incremental_append(
     target_dir: str,
     checkpoint_dir: str,
     spark: SparkSession,
+    fmt: TableFormat = DEFAULT_FORMAT,
 ) -> StreamingQuery:
     """ST2: AvailableNow drain with an idempotent foreachBatch append.
 
     Each micro-batch anti-joins the current sink contents on the
     composite key, so a replayed batch (checkpoint rollback, retry)
     can never double-append — the engine's version of the reference's
-    GET-sha-then-PUT create-or-replace (test.py:70-81)."""
+    GET-sha-then-PUT create-or-replace (test.py:70-81). Persistence
+    goes through the TableFormat seam: with a transactional format the
+    read-before-append pair becomes a snapshot read + commit."""
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         key = composite_key("kode_proyek", "minggu", "nama_file")
         fresh = batch.dropDuplicates(["kode_proyek", "minggu", "nama_file"])
         sess = batch.sparkSession
-        # Probe sink existence explicitly via the Hadoop FS — a blanket
+        # Probe sink existence explicitly via the format — a blanket
         # except around the read would also swallow real failures
         # (corrupt footer, permissions, transient FS) and silently skip
         # the anti-join, double-appending. Only a genuinely absent sink
         # may skip it; any other read error must fail the batch.
-        if path_exists(sess, target_dir):
-            existing = sess.read.parquet(target_dir).select(
+        if fmt.exists(sess, target_dir):
+            existing = fmt.read(sess, target_dir).select(
                 composite_key("kode_proyek", "minggu", "nama_file").alias("__key")
             )
             fresh = (
@@ -74,7 +77,7 @@ def start_incremental_append(
                 # never races its own input file listing.
                 .localCheckpoint(eager=True)
             )
-        fresh.write.mode("append").parquet(target_dir)
+        fmt.append(fresh, target_dir)
 
     return (
         photos.writeStream.foreachBatch(write_batch)

@@ -290,3 +290,50 @@ def test_compact_parquet_single_partition_preserves_others(spark, tmp_path):
     assert out.filter("p = 'a'").count() == 200 * 4
     # Partition column still reads back correctly from the dir name.
     assert out.select("p").distinct().count() == 2
+
+
+def test_table_format_seam_is_pluggable(spark, tmp_path):
+    """S8 seam: a custom TableFormat (here: call-recording subclass of
+    the parquet tier) drives both the catalog save and the streaming
+    idempotent append without any upstream change — the slot a
+    Delta/Iceberg implementation plugs into."""
+    from developing_img_etl_spark.sinks import partitioned as PS
+    from developing_img_etl_spark.sinks.writer import ParquetFormat, TableFormat
+    from developing_img_etl_spark.streaming.incremental import start_incremental_append
+
+    class RecordingFormat(ParquetFormat):
+        def __init__(self):
+            self.calls = []
+
+        def append(self, df, path, *, partition_cols=None):
+            self.calls.append(("append", path))
+            super().append(df, path, partition_cols=partition_cols)
+
+        def overwrite(self, df, path):
+            self.calls.append(("overwrite", path))
+            super().overwrite(df, path)
+
+    fmt = RecordingFormat()
+    assert isinstance(fmt, TableFormat)
+
+    # catalog round-trip through the seam
+    cat_path = str(tmp_path / "cat")
+    schema = "kode_proyek string, minggu string, nama_file string"
+    seed = spark.createDataFrame([("P1", "w1", "a.jpg")], schema)
+    PS.overwrite_catalog(PS.read_catalog(spark, cat_path, schema, fmt=fmt).unionByName(seed), cat_path, fmt=fmt)
+    assert [r.nama_file for r in PS.read_catalog(spark, cat_path, schema, fmt=fmt).collect()] == ["a.jpg"]
+
+    # streaming idempotent append through the seam
+    src = str(tmp_path / "src")
+    rows = [("P1", "w1", "a.jpg", 1.0), ("P1", "w1", "b.jpg", 2.0)]
+    sschema = "kode_proyek string, minggu string, nama_file string, v double"
+    spark.createDataFrame(rows, sschema).write.parquet(src)
+    stream = spark.readStream.schema(sschema).parquet(src)
+    sink = str(tmp_path / "sink")
+    q = start_incremental_append(
+        stream, target_dir=sink, checkpoint_dir=str(tmp_path / "ck"), spark=spark, fmt=fmt
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 2
+    assert ("overwrite", cat_path) in fmt.calls
+    assert any(c == ("append", sink) for c in fmt.calls)
