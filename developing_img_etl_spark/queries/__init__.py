@@ -19,18 +19,38 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup, multimodal, relational, similarity, sql_surface, streaming_batch, text
+from . import (
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    sql_surface,
+    streaming_batch,
+    text,
+    udf_surface,
+)
+
+_MODULES = (
+    relational,
+    streaming_batch,
+    text,
+    similarity,
+    dedup,
+    multimodal,
+    sql_surface,
+    udf_surface,
+)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (relational, streaming_batch, text, similarity, dedup, multimodal, sql_surface):
+    for mod in _MODULES:
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
-    for mod in (relational, streaming_batch, text, similarity, dedup, multimodal, sql_surface):
+    for mod in _MODULES:
         out.update(mod.ORACLES)
     return out
