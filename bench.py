@@ -38,8 +38,13 @@ def main() -> int:
     # suite median (and >5 s) gets up to 2 extra runs; the min over all
     # attempts is the engine's capability number.
     def run_once(fn) -> float:
+        # toPandas (Arrow columnar transfer), not collect (row-at-a-time
+        # Python Row decoding): the client-materialization peer of the
+        # DuckDB baseline's fetchdf. On row-heavy queries collect()
+        # billed up to 2.5s of pure deserialization (q15: 3.7s -> 1.2s)
+        # that is measurement transport, not engine work.
         t0 = time.time()
-        fn(spark, sf_dir).collect()
+        fn(spark, sf_dir).toPandas()
         return time.time() - t0
 
     timings: dict[str, float] = {}

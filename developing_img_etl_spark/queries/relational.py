@@ -719,17 +719,50 @@ ORDER BY orderkey, child_line
 # q17's HLL tradeoff).
 # ---------------------------------------------------------------------------
 def q22_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Distribution-based exact percentiles instead of the `percentile`
+    # aggregate: the builtin is an ImperativeAggregate whose per-group
+    # value->count maps merge serially on the final reducer (parallelism
+    # = group count, 3 here — measured 2.9 s at sf0.1). This form does
+    # the heavy lifting in a PARALLEL groupBy on (flag, value) (dedup +
+    # counts across all shuffle partitions), then runs the cheap
+    # interpolation over the compressed distribution: cumulative ranges
+    # via window, pick the rows covering index h = p*(n-1), interpolate
+    # v_l*(1-frac) + v_u*frac — the same linear-interpolation definition
+    # (and FP shape) as Spark `percentile`/DuckDB quantile_cont, so the
+    # hash match is preserved. Scales with distinct values, not rows.
     lineitem = load(spark, sf_dir, "lineitem")
-    price = "l_extendedprice"
+    dist = lineitem.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("v")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy("v")
+    wn = Window.partitionBy("l_returnflag")
+    d = (
+        dist.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n", F.sum("cnt").over(wn))
+        .withColumn("start", F.col("cum") - F.col("cnt"))  # covers [start, cum)
+        .withColumn("v_next", F.lead("v").over(w))
+    )
+
+    def q_expr(p: float):
+        h = F.lit(p) * (F.col("n") - 1).cast("double")
+        lower = F.floor(h)
+        frac = h - lower
+        v_u = F.when(lower + 1 < F.col("cum"), F.col("v")).otherwise(F.col("v_next"))
+        qv = F.col("v") * (F.lit(1.0) - frac) + v_u * frac
+        covers = (F.col("start") <= lower) & (lower < F.col("cum"))
+        return F.max(F.when(covers, qv))
+
     return (
-        lineitem.groupBy("l_returnflag")
+        d.groupBy("l_returnflag")
         .agg(
-            F.expr(f"percentile({price}, 0.25)").alias("p25"),
-            F.expr(f"percentile({price}, 0.5)").alias("p50"),
-            F.expr(f"percentile({price}, 0.75)").alias("p75"),
-            F.expr(f"percentile({price}, 0.9)").alias("p90"),
-            F.expr(f"count_if({price} > 50000)").alias("n_big"),
-            F.count(F.lit(1)).alias("n_rows"),
+            q_expr(0.25).alias("p25"),
+            q_expr(0.5).alias("p50"),
+            q_expr(0.75).alias("p75"),
+            q_expr(0.9).alias("p90"),
+            F.sum(F.when(F.col("v") > 50000, F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_big"),
+            F.sum("cnt").cast("long").alias("n_rows"),
         )
         .orderBy("l_returnflag")
     )

@@ -6,15 +6,16 @@ reference's users write SQL against the catalog, SURVEY.md §2.11).
 
 Q21 is the STAGE_DEPENDENCY transitive traversal that round 1 scoped
 out (/root/reference/test.mmd:52-58, VERDICT r1 missing #3): the full
-ancestor closure of the within-order precedence chain, computed as an
-iterative frontier-join — Spark has no recursive CTE, so the loop IS
-the Spark-native form. Each iteration joins the current frontier
-(child, ancestor-so-far) back to the edge set; localCheckpoint between
-iterations truncates the exponentially-growing lineage (the classic
-iterative-algorithm trap on Spark). Depth is bounded by the longest
-chain (max lines per order = 7), so the loop terminates when a frontier
-comes back empty. The DuckDB oracle is the same closure via
-WITH RECURSIVE — a full cross-engine check of an iterative algorithm.
+ancestor closure of the within-order precedence chain — Spark has no
+recursive CTE, so a driver loop IS the Spark-native form. Round 3
+upgraded the one-hop frontier join to PATH DOUBLING (repeated
+squaring): ceil(log2 depth) barrier rounds instead of depth rounds,
+with multiplicity bookkeeping to preserve the recursion's bag
+semantics (see q21_dependency_closure). localCheckpoint between rounds
+truncates the exponentially-growing lineage (the classic
+iterative-algorithm trap on Spark). The DuckDB oracle is the same
+closure via WITH RECURSIVE — a full cross-engine check of an
+iterative algorithm.
 """
 
 from __future__ import annotations
@@ -68,32 +69,66 @@ def q21_dependency_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.l_linenumber").alias("parent_line"),
         )
     )
-    # frontier starts at the direct edges (depth 1); each round extends
-    # every path by one ancestor hop
-    edges = edges.localCheckpoint(eager=True)  # computed once, reused every round
+    # Path-doubling (repeated squaring): round k covers every path of
+    # length <= 2^k, so a depth-d closure takes ceil(log2 d) barrier
+    # rounds instead of d frontier hops — the difference between 10 and
+    # 1000 sequential jobs on a depth-1000 chain. The recursion has BAG
+    # semantics (lineitem carries duplicate (orderkey, linenumber) rows,
+    # and the oracle's UNION ALL multiplies path counts), so edges are
+    # first collapsed to (edge, mult); squaring multiplies mults, and in
+    # this chain graph every (child, ancestor) pair has exactly one
+    # underlying path, so any split of it yields the same depth and the
+    # same mult product — the per-round dropDuplicates keeps one
+    # representative safely. The bag is re-expanded at the end.
+    # localCheckpoint per round truncates the exponentially-growing
+    # lineage; the round count comes from one cheap max(l_linenumber)
+    # agg, not a per-round emptiness probe.
+    edges = (
+        edges.groupBy("orderkey", "child_line", "parent_line")
+        .agg(F.count(F.lit(1)).alias("mult"))
+        .localCheckpoint(eager=True)  # computed once, reused every round
+    )
+    max_depth = (
+        lineitem.agg(F.max("l_linenumber").alias("m")).collect()[0].m or 1
+    ) - 1
     closure = edges.withColumn("depth", F.lit(1))
-    frontier = closure
-    while True:
-        ext = (
-            frontier.alias("f")
-            .join(
-                edges.alias("e"),
-                (F.col("f.orderkey") == F.col("e.orderkey"))
-                & (F.col("f.parent_line") == F.col("e.child_line")),
-            )
-            .select(
-                F.col("f.orderkey").alias("orderkey"),
-                F.col("f.child_line").alias("child_line"),
-                F.col("e.parent_line").alias("parent_line"),
-                (F.col("f.depth") + 1).alias("depth"),
-            )
-            .localCheckpoint(eager=True)  # truncate lineage per iteration
+    reach = 1
+    while reach < max_depth:
+        # rename-before-join instead of alias(): both sides of this
+        # self-join descend from the same checkpointed plan, where
+        # alias-qualified F.col references can silently resolve to one
+        # side (the Spark self-join ambiguity trap) — distinct column
+        # names make misresolution impossible.
+        rhs = closure.select(
+            F.col("orderkey").alias("r_orderkey"),
+            F.col("child_line").alias("r_child"),
+            F.col("parent_line").alias("r_parent"),
+            F.col("depth").alias("r_depth"),
+            F.col("mult").alias("r_mult"),
         )
-        if ext.isEmpty():
-            break
-        closure = closure.unionByName(ext)
-        frontier = ext
-    return closure.orderBy("orderkey", "child_line", "parent_line")
+        sq = closure.join(
+            rhs,
+            (F.col("orderkey") == F.col("r_orderkey"))
+            & (F.col("parent_line") == F.col("r_child")),
+        ).select(
+            "orderkey",
+            "child_line",
+            F.col("r_parent").alias("parent_line"),
+            (F.col("depth") + F.col("r_depth")).alias("depth"),
+            (F.col("mult") * F.col("r_mult")).alias("mult"),
+        )
+        closure = (
+            closure.unionByName(sq)
+            .dropDuplicates(["orderkey", "child_line", "parent_line"])
+            .localCheckpoint(eager=True)
+        )
+        reach *= 2
+    # re-expand to bag semantics: one output row per underlying path
+    return (
+        closure.withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("mult"))))
+        .drop("__i", "mult")
+        .orderBy("orderkey", "child_line", "parent_line")
+    )
 
 
 Q21_SQL = """
