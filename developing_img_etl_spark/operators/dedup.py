@@ -94,28 +94,37 @@ def lsh_candidate_pairs(signatures: DataFrame, *, bands: int = 16, rows: int = 4
 def verify_jaccard(candidates: DataFrame, shingled: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate pairs only: count common shingles via
     the inverted index restricted to candidates (semi-join), then
-    common/(|A|+|B|-common)."""
-    sizes = shingled.groupBy("doc_id").agg(F.first("n_sh").alias("n_sh"))
+    common/(|A|+|B|-common).
+
+    The per-doc shingle counts ride along on the occurrence rows
+    (shingle_rows already emits n_sh) and come out of the same groupBy
+    via first() — the earlier form re-derived them with a separate
+    groupBy plus two joins, three avoidable stages of fixed overhead."""
     # Restrict the inverted index to candidate documents BEFORE pairing —
     # otherwise verification re-pays the full all-pairs cost LSH avoided.
     cand_ids = candidates.select(
         F.explode(F.array("id_a", "id_b")).alias("doc_id")
     ).distinct()
-    occ = shingled.join(cand_ids, "doc_id", "left_semi").select("doc_id", "s")
+    occ = shingled.join(cand_ids, "doc_id", "left_semi").select("doc_id", "n_sh", "s")
+    x = occ.select(
+        F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"), "s"
+    )
+    y = occ.select(
+        F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"), "s"
+    )
     pairs_common = (
-        occ.alias("x")
-        .join(occ.alias("y"), "s")
-        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        x.join(y, "s")
         .filter(F.col("id_a") < F.col("id_b"))
         .join(candidates, ["id_a", "id_b"], "left_semi")
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
     )
-    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    out = pairs_common.join(na, "id_a").join(nb, "id_b")
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return out.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    return pairs_common.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
 
 
 def minhash_near_dups(
