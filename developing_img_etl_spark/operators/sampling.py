@@ -1,0 +1,101 @@
+"""Deterministic sampling & splitting (training-data mandate).
+
+A training pipeline samples constantly — per-source mixing weights,
+train/validation/test splits, decontamination holdouts — and at 100 TB
+the sample must be REPRODUCIBLE: the same row lands in the same split
+on every run, every retry, every cluster size. Spark's df.sample() is
+none of those things (per-partition RNG: a task retry or repartition
+changes the sample). Everything here derives membership from a hash of
+a stable row KEY + seed — a pure, codegen'd function of row content:
+
+  hash_sample        Bernoulli-by-key at a global rate
+  stratified_sample  per-stratum rates (data mixing weights)
+  train_test_split   disjoint, exhaustive labeled split
+
+Scale shape: one xxhash64 + compare per row, fully map-side, no
+shuffle, pushes through scans untouched. The declared query (q26) uses
+a portable multiplicative hash instead of xxhash64 only because the
+DuckDB oracle must reproduce the arithmetic bit-for-bit — xxhash64 is
+the production path and is pinned by determinism/rate pytest instead.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000  # rate granularity: 1e-6
+
+
+def _key_bucket(key_col: str, seed: int) -> Column:
+    """Uniform bucket in [0, 1e6) as a pure function of (key, seed)."""
+    return F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(_BUCKETS))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, *, seed: int = 42, bucket: Column | None = None
+) -> DataFrame:
+    """Keep ~rate of rows, chosen deterministically by key hash. The
+    same key is kept (or not) forever for a given seed — stable across
+    runs, retries, and partitioning, and consistent across TABLES that
+    share the key (sampling documents and their embeddings with the
+    same key/seed keeps them aligned). `bucket` overrides the hash
+    column (all three operators accept it) — used by the declared query
+    to substitute an oracle-portable hash; production callers leave it
+    None for xxhash64."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    b = _key_bucket(key_col, seed) if bucket is None else bucket
+    return df.filter(b < int(rate * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Mapping[str, float],
+    *,
+    key_col: str,
+    default_rate: float = 0.0,
+    seed: int = 42,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the data-mixing primitive
+    (e.g. keep 100% of wiki, 30% of web, 5% of crawl). Unknown strata
+    fall back to default_rate."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
+    threshold = F.lit(int(default_rate * _BUCKETS))
+    for s, r in rates.items():
+        threshold = F.when(F.col(strata_col) == s, int(r * _BUCKETS)).otherwise(threshold)
+    b = _key_bucket(key_col, seed) if bucket is None else bucket
+    return df.filter(b < threshold)
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str,
+    *,
+    test_frac: float = 0.1,
+    val_frac: float = 0.0,
+    seed: int = 42,
+    out_col: str = "split",
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Label every row 'test' / 'val' / 'train' — disjoint, exhaustive,
+    and stable: a key's split never changes for a given seed, so later
+    incremental batches land consistently and leakage is structural,
+    not probabilistic."""
+    if test_frac + val_frac > 1.0:
+        raise ValueError("test_frac + val_frac must be <= 1")
+    b = _key_bucket(key_col, seed) if bucket is None else bucket
+    test_hi = int(test_frac * _BUCKETS)
+    val_hi = test_hi + int(val_frac * _BUCKETS)
+    return df.withColumn(
+        out_col,
+        F.when(b < test_hi, F.lit("test"))
+        .when(b < val_hi, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )

@@ -23,6 +23,7 @@ from . import (
     dedup,
     multimodal,
     relational,
+    sampling,
     similarity,
     sql_surface,
     streaming_batch,
@@ -39,6 +40,7 @@ _MODULES = (
     multimodal,
     sql_surface,
     udf_surface,
+    sampling,
 )
 
 

@@ -1,0 +1,86 @@
+"""Q26 — deterministic sampling / data mixing / split (training-data
+mandate), driving operators/sampling.py under the driver's hash gate.
+
+The production operators hash with xxhash64, which DuckDB cannot
+reproduce; the declared query passes a portable Knuth multiplicative
+hash through the operators' `bucket` override so the oracle can mirror
+the arithmetic bit-for-bit (pure BIGINT ops, overflow-free at any
+realistic doc_id). The xxhash64 path itself is pinned by pytest
+(retry/partitioning determinism, rate tolerance, split disjointness).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators.sampling import stratified_sample, train_test_split
+
+_K = 2654435761  # Knuth multiplicative constant
+_SEED = 7
+_BUCKETS = 1_000_000
+
+# data-mixing weights: two boosted sources, two mid, long tail at 5%
+_RATES = {"src0": 0.5, "src1": 0.5, "src2": 0.2, "src3": 0.2}
+_DEFAULT_RATE = 0.05
+
+
+def _portable_bucket():
+    return F.pmod(F.col("doc_id") * F.lit(_K) + F.lit(_SEED), F.lit(_BUCKETS))
+
+
+def q26_deterministic_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = _portable_bucket()
+    sampled = stratified_sample(
+        docs, "source", _RATES, key_col="doc_id",
+        default_rate=_DEFAULT_RATE, bucket=bucket,
+    )
+    split = train_test_split(
+        docs, "doc_id", test_frac=0.1, val_frac=0.1, bucket=bucket
+    )
+    per_split = split.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("split") == "test").cast("long")).alias("n_test"),
+        F.sum((F.col("split") == "val").cast("long")).alias("n_val"),
+        F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+    )
+    n_sampled = sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n_sampled"))
+    return (
+        per_split.join(n_sampled, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            "n_test",
+            "n_val",
+            "n_train",
+        )
+        .orderBy("source")
+    )
+
+
+Q26_SQL = f"""
+WITH h AS (
+  SELECT source,
+         (doc_id * {_K} + {_SEED}) % {_BUCKETS} AS b
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN b < CASE WHEN source IN ('src0', 'src1') THEN 500000
+                                   WHEN source IN ('src2', 'src3') THEN 200000
+                                   ELSE 50000 END
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN b < 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN b >= 100000 AND b < 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+       CAST(SUM(CASE WHEN b >= 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+FROM h
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES = {"q26_deterministic_sampling": q26_deterministic_sampling}
+ORACLES = {"q26_deterministic_sampling": Q26_SQL}

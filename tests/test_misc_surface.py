@@ -337,3 +337,56 @@ def test_table_format_seam_is_pluggable(spark, tmp_path):
     assert spark.read.parquet(sink).count() == 2
     assert ("overwrite", cat_path) in fmt.calls
     assert any(c == ("append", sink) for c in fmt.calls)
+
+
+def test_hash_sampling_deterministic_and_disjoint(spark, sf_dir):
+    """Sampling operators (production xxhash64 path): retry/partitioning
+    determinism, rate tolerance, split disjoint + exhaustive + stable,
+    and cross-table key alignment."""
+    from developing_img_etl_spark.catalog import load
+    from developing_img_etl_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+        train_test_split,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+
+    # determinism under different partitioning (what a task retry sees)
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(docs.repartition(13), "doc_id", 0.3).select("doc_id").collect()
+    }
+    assert a == b
+    assert abs(len(a) / n - 0.3) < 0.08
+
+    # cross-table alignment: same key+seed makes the same membership
+    # decision in every table, so sampled docs and embeddings stay in sync
+    emb = load(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    emb_ids = {r.doc_id for r in emb.select("doc_id").collect()}
+    e = {r.doc_id for r in hash_sample(emb, "doc_id", 0.3).select("doc_id").collect()}
+    assert a & emb_ids == e & {r.doc_id for r in docs.select("doc_id").collect()}
+
+    # stratified rates
+    samp = stratified_sample(
+        docs, "source", {"src0": 1.0, "src1": 0.0}, key_col="doc_id", default_rate=0.5
+    )
+    got = {r.source: r.cnt for r in samp.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    full = {r.source: r.cnt for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got["src0"] == full["src0"]
+    assert "src1" not in got
+    other = [s for s in full if s not in ("src0", "src1")]
+    frac = sum(got.get(s, 0) for s in other) / sum(full[s] for s in other)
+    assert abs(frac - 0.5) < 0.1
+
+    # split: disjoint, exhaustive, roughly sized
+    sp = train_test_split(docs, "doc_id", test_frac=0.2, val_frac=0.1)
+    counts = {r.split: r.cnt for r in sp.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert sum(counts.values()) == n
+    assert abs(counts["test"] / n - 0.2) < 0.08 and abs(counts["val"] / n - 0.1) < 0.06
+    # stability: same row -> same split on recompute
+    s1 = {(r.doc_id, r.split) for r in sp.select("doc_id", "split").collect()}
+    s2 = {(r.doc_id, r.split) for r in train_test_split(docs.repartition(7), "doc_id", test_frac=0.2, val_frac=0.1).select("doc_id", "split").collect()}
+    assert s1 == s2
