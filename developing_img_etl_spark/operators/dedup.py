@@ -193,3 +193,45 @@ def simhash_dup_groups(docs: DataFrame, **kw) -> DataFrame:
         .filter(F.col("group_size") > 1)
         .select("simhash", "doc_id", "group_size")
     )
+
+
+# --------------------------------------------------------------------------
+# Decontamination
+# --------------------------------------------------------------------------
+def contaminated_ids(
+    docs: DataFrame,
+    probes: DataFrame,
+    *,
+    min_common: int = 5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "doc_id",
+) -> DataFrame:
+    """Ids of documents sharing >= min_common distinct n-gram shingles
+    with ANY probe document (benchmark/eval contamination check). Same
+    inverted-index shape as exact Jaccard: explode both sides, equi-join
+    on the shingle, count per (doc, probe) — never an all-pairs scan.
+    Self-matches are excluded so a benchmark document that also lives in
+    the corpus does not flag itself."""
+    d_sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n).select("doc_id", "s")
+    p_sh = shingle_rows(probes, id_col=probe_id_col, text_col=text_col, n=n).select(
+        F.col("doc_id").alias("probe_id"), "s"
+    )
+    return (
+        d_sh.join(p_sh, "s")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame, probes: DataFrame, *, min_common: int = 5, n: int = 3, **kw
+) -> DataFrame:
+    """Drop contaminated documents (anti-join on the flagged id set)."""
+    flagged = contaminated_ids(docs, probes, min_common=min_common, n=n, **kw)
+    return docs.join(flagged, "doc_id", "left_anti")

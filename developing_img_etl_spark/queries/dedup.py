@@ -153,3 +153,65 @@ ORACLES = {
     "q14b_hash_canonical": Q14B_SQL,
     "q14c_ngram_jaccard_pairs": Q14C_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Q27 — benchmark decontamination (training-data mandate): flag corpus
+# documents sharing >= 5 distinct 3-gram shingles with any "benchmark"
+# probe document (every 97th doc), report per-source contamination.
+# Inverted-index join, same shape as q14c — never all-pairs.
+# ---------------------------------------------------------------------------
+def q27_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import contaminated_ids
+
+    docs = load(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 97 == 0)
+    flagged = contaminated_ids(docs, probes, min_common=5).withColumn(
+        "is_contaminated", F.lit(1)
+    )
+    labeled = docs.join(flagged, "doc_id", "left")
+    return (
+        labeled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("is_contaminated", F.lit(0))).cast("long").alias("n_contaminated"),
+            (F.count(F.lit(1)) - F.sum(F.coalesce("is_contaminated", F.lit(0))))
+            .cast("long")
+            .alias("n_clean"),
+        )
+        .orderBy("source")
+    )
+
+
+Q27_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+  FROM toks
+  WHERE len(t) >= 3
+),
+inv AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
+flagged AS (
+  SELECT DISTINCT d.doc_id
+  FROM inv d
+  JOIN inv p ON d.shingle = p.shingle
+  WHERE p.doc_id % 97 = 0 AND d.doc_id <> p.doc_id
+  GROUP BY d.doc_id, p.doc_id
+  HAVING COUNT(*) >= 5
+)
+SELECT doc.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(SUM(CASE WHEN f.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+FROM documents doc LEFT JOIN flagged f ON doc.doc_id = f.doc_id
+GROUP BY doc.source
+ORDER BY doc.source
+"""
+
+QUERIES["q27_decontamination"] = q27_decontamination
+ORACLES["q27_decontamination"] = Q27_SQL

@@ -169,3 +169,23 @@ def test_ann_broadcast_overflow_fallback(spark, emb, monkeypatch):
         analyzed = out._jdf.queryExecution().analyzed().toString()
         assert "ResolvedHint" not in analyzed
         monkeypatch.undo()
+
+
+def test_decontaminate_removes_flagged_only(docs):
+    """decontaminate = docs minus contaminated_ids, nothing else; a doc
+    identical to a probe must always be flagged."""
+    from developing_img_etl_spark.operators.dedup import contaminated_ids, decontaminate
+
+    probes = docs.filter(F.col("doc_id") % 97 == 0)
+    flagged = {r.doc_id for r in contaminated_ids(docs, probes, min_common=5).collect()}
+    clean = {r.doc_id for r in decontaminate(docs, probes, min_common=5).select("doc_id").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert clean == all_ids - flagged
+    # an exact copy of a probe (new id) must be flagged
+    copies = probes.limit(1).withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    flagged2 = {
+        r.doc_id
+        for r in contaminated_ids(docs.unionByName(copies), probes, min_common=5).collect()
+    }
+    copy_ids = {r.doc_id for r in copies.select("doc_id").collect()}
+    assert copy_ids <= flagged2
