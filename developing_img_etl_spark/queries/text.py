@@ -158,3 +158,67 @@ ORACLES = {
     "q12c_quality_scores": Q12C_SQL,
     "q12d_langid_fingerprint": Q12D_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Q28 — within-document repetition stats (Gopher-style quality filter):
+# top-token fraction (most frequent token / total) and duplicate-bigram
+# fraction (1 - distinct/total bigrams). All codegen'd: explode +
+# groupBy counts, distinct bigrams via the shingle set — no UDF. Ratios
+# mirrored expression-for-expression in the oracle (int inputs, one
+# division, round 6) so the hash is stable.
+# ---------------------------------------------------------------------------
+def q28_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    tok_counts = (
+        docs.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("max_cnt"), F.sum("cnt").alias("n_tok"))
+    )
+    bigrams = docs.select(
+        "doc_id", F.size(TXT.shingles(F.col("text"), 2)).alias("n_bigram_distinct")
+    )
+    out = tok_counts.join(bigrams, "doc_id").filter(F.col("n_tok") >= 2)
+    return out.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.round(F.col("max_cnt") / F.col("n_tok"), 6).alias("top_tok_frac"),
+        F.round(
+            F.lit(1.0) - F.col("n_bigram_distinct") / (F.col("n_tok") - 1), 6
+        ).alias("dup_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+Q28_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+  FROM documents WHERE doc_id < 500
+),
+tok_counts AS (
+  SELECT doc_id, MAX(cnt) AS max_cnt, SUM(cnt) AS n_tok
+  FROM (
+    SELECT doc_id, tok, COUNT(*) AS cnt
+    FROM (SELECT doc_id, UNNEST(t) AS tok FROM toks)
+    GROUP BY doc_id, tok
+  )
+  GROUP BY doc_id
+),
+bigrams AS (
+  SELECT doc_id,
+         len(list_distinct(list_transform(range(1, greatest(len(t), 1)),
+           i -> concat_ws(' ', t[i], t[i+1])))) AS n_bigram_distinct
+  FROM toks
+)
+SELECT tc.doc_id,
+       CAST(tc.n_tok AS BIGINT) AS n_tok,
+       round(tc.max_cnt / tc.n_tok, 6) AS top_tok_frac,
+       round(1.0 - bg.n_bigram_distinct / (tc.n_tok - 1), 6) AS dup_bigram_frac
+FROM tok_counts tc JOIN bigrams bg USING (doc_id)
+WHERE tc.n_tok >= 2
+ORDER BY tc.doc_id
+"""
+
+QUERIES["q28_repetition_stats"] = q28_repetition_stats
+ORACLES["q28_repetition_stats"] = Q28_SQL
