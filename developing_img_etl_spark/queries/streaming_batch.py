@@ -242,7 +242,6 @@ def _staged_stream_dir(sf_dir: str) -> str:
 
 def st1_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
-    import uuid
 
     from ..streaming.windows import tumbling_counts
 
@@ -272,18 +271,25 @@ def st1_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
-    name = f"st_tbl_{uuid.uuid4().hex[:8]}"
+    out = f"{tmp}/out"
+
+    def sink(batch, batch_id):
+        # complete mode: every batch carries the FULL result; the last
+        # overwrite is the finalized table. Writing through executors
+        # instead of a memory sink keeps the result off the driver —
+        # the scale-safe shape for arbitrarily many windows.
+        batch.write.mode("overwrite").parquet(out)
+
     q = (
         tumbling_counts(stream, watermark="0 seconds")
-        .writeStream.format("memory")
-        .queryName(name)
+        .writeStream.foreachBatch(sink)
         .outputMode("complete")
         .option("checkpointLocation", f"{tmp}/ckpt")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
-    return spark.table(name).orderBy("w_start")
+    return spark.read.parquet(out).orderBy("w_start")
 
 
 
@@ -335,7 +341,6 @@ def st2_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode), compared against the SAME gaps-and-islands oracle — the
     streaming state store must finalize identical sessions."""
     import tempfile
-    import uuid
 
     from ..streaming.windows import session_counts
 
@@ -358,18 +363,21 @@ def st2_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
-    name = f"st2_tbl_{uuid.uuid4().hex[:8]}"
+    out = f"{tmp}/out"
+
+    def sink(batch, batch_id):
+        batch.write.mode("overwrite").parquet(out)
+
     q = (
         session_counts(stream)
-        .writeStream.format("memory")
-        .queryName(name)
+        .writeStream.foreachBatch(sink)
         .outputMode("complete")
         .option("checkpointLocation", f"{tmp}/ckpt")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
-    return spark.table(name).orderBy("user_id", "session_start")
+    return spark.read.parquet(out).orderBy("user_id", "session_start")
 
 
 QUERIES = {
