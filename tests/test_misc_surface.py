@@ -390,3 +390,69 @@ def test_hash_sampling_deterministic_and_disjoint(spark, sf_dir):
     s1 = {(r.doc_id, r.split) for r in sp.select("doc_id", "split").collect()}
     s2 = {(r.doc_id, r.split) for r in train_test_split(docs.repartition(7), "doc_id", test_frac=0.2, val_frac=0.1).select("doc_id", "split").collect()}
     assert s1 == s2
+
+
+def test_jsonl_source_schema_and_corrupt_capture(spark, tmp_path):
+    """JSONL ingestion: explicit schema, malformed lines captured as
+    corrupt records (skip-and-continue), good/bad split helper."""
+    from pyspark.sql import types as T
+
+    from developing_img_etl_spark.sources.jsonl import read_jsonl, split_corrupt
+
+    p = str(tmp_path / "docs.jsonl")
+    with open(p, "w") as f:
+        f.write('{"doc_id": 1, "text": "hello world", "lang": "en"}\n')
+        f.write('{"doc_id": 2, "text": "bonjour", "lang": "fr"}\n')
+        f.write("this is not json at all\n")
+        f.write('{"doc_id": "NaN-ish", "text": 3}\n')  # type mismatch
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    df = read_jsonl(spark, p, schema)
+    good, bad = split_corrupt(df)
+    assert {r.doc_id for r in good.collect()} == {1, 2}
+    assert good.columns == ["doc_id", "text", "lang"]
+    assert bad.count() == 2  # garbage line + type-mismatch line
+    import pytest as _pytest
+
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception):
+        read_jsonl(spark, p, schema, mode="FAILFAST").collect()
+
+
+def test_training_shards_deterministic(spark, tmp_path):
+    """Shard writer: shard membership and intra-shard order are pure
+    functions of (key, seed) — identical across input partitionings —
+    and all rows survive."""
+    import os
+
+    from developing_img_etl_spark.sinks.shards import write_training_shards
+
+    df = spark.range(2000).selectExpr("id AS k", "id * 2 AS v")
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(df, p1, n_shards=8, key_col="k")
+    write_training_shards(df.repartition(13), p2, n_shards=8, key_col="k")
+
+    def shard_contents(path):
+        out = {}
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".parquet"):
+                rows = [tuple(r) for r in spark.read.parquet(f"{path}/{f}").collect()]
+                out[frozenset(rows)] = rows  # keyed by content, order kept
+        return out
+
+    c1, c2 = shard_contents(p1), shard_contents(p2)
+    # same shard partitioning (content sets) and same in-file order
+    assert set(c1.keys()) == set(c2.keys())
+    for k in c1:
+        assert c1[k] == c2[k]
+    total = sum(len(v) for v in c1.values())
+    assert total == 2000
+    # balanced-ish: no shard more than 2x the mean
+    sizes = [len(v) for v in c1.values()]
+    assert max(sizes) <= 2 * (2000 / 8)
