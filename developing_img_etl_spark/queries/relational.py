@@ -853,3 +853,53 @@ ORACLES = {
     "q19_stage_dependency_dates": Q19_SQL,
     "q22_percentiles": Q22_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Q29 — time-RANGE window frames (W-family completeness beyond q5's
+# ROWS frames): per-customer rolling 90-day order spend. RANGE frames
+# bound by a VALUE interval, not a row count — the Spark form orders by
+# epoch days and uses rangeBetween(-90, 0); the oracle mirrors with
+# RANGE BETWEEN 90 PRECEDING over the same integer key. One shuffle on
+# the partition key; no self-join/explode materializes the window.
+# ---------------------------------------------------------------------------
+def q29_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    epoch_day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch_day)
+        .rangeBetween(-90, Window.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.count(F.lit(1)).over(w).alias("n_orders_90d"),
+            F.round(F.sum(_dec("o_totalprice")).over(w), 2)
+            .cast("double")
+            .alias("spend_90d"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+Q29_SQL = """
+SELECT o_custkey,
+       o_orderkey,
+       o_orderdate,
+       COUNT(*) OVER w AS n_orders_90d,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))) OVER w, 2) AS DOUBLE) AS spend_90d
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (
+  PARTITION BY o_custkey
+  ORDER BY CAST(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS BIGINT)
+  RANGE BETWEEN 90 PRECEDING AND CURRENT ROW
+)
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+QUERIES["q29_rolling_time_window"] = q29_rolling_time_window
+ORACLES["q29_rolling_time_window"] = Q29_SQL
