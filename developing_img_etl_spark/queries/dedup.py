@@ -215,3 +215,77 @@ ORDER BY doc.source
 
 QUERIES["q27_decontamination"] = q27_decontamination
 ORACLES["q27_decontamination"] = Q27_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q30 — near-dup CLUSTERS (M15): pair mining gives edges; dedup needs the
+# transitive closure so ONE canonical doc survives per group. Edges =
+# within-source pairs sharing >= 2 distinct 3-gram shingles (q14c's
+# inverted-index shape); clusters via min-label propagation with pointer
+# jumping (operators/cluster.py). Oracle = WITH RECURSIVE min-reachable.
+# ---------------------------------------------------------------------------
+def q30_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cluster import dedup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", "source", TXT.shingles(F.col("text"), 3).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", "source", F.explode("sh").alias("s"))
+    )
+    a = sh.select("source", "s", F.col("doc_id").alias("id_a"))
+    b = sh.select("source", "s", F.col("doc_id").alias("id_b"))
+    edges = (
+        a.join(b, ["source", "s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+        .select("id_a", "id_b")
+    )
+    return dedup_clusters(docs, edges).orderBy("doc_id")
+
+
+Q30_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+  FROM toks
+  WHERE len(t) >= 3
+),
+inv AS (SELECT doc_id, source, UNNEST(s) AS shingle FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM inv a JOIN inv b
+    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach AS (
+  SELECT u AS n, u AS m FROM (SELECT DISTINCT u FROM und)
+  UNION
+  SELECT r.n, e.v AS m FROM reach r JOIN und e ON r.m = e.u
+),
+comp AS (SELECT n AS doc_id, MIN(m) AS component_id FROM reach GROUP BY n),
+assign AS (
+  SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, component_id,
+       COUNT(*) OVER (PARTITION BY component_id) AS cluster_size
+FROM assign
+ORDER BY doc_id
+"""
+
+QUERIES["q30_dedup_clusters"] = q30_dedup_clusters
+ORACLES["q30_dedup_clusters"] = Q30_SQL
