@@ -70,5 +70,87 @@ ORDER BY probe_id, rk
 """
 
 
-QUERIES = {"q13_brute_force_topk": q13_brute_force_topk}
-ORACLES = {"q13_brute_force_topk": Q13_SQL}
+# ---------------------------------------------------------------------------
+# Q31 — embedding-cosine near-dup PAIRS, exact tier (training-data
+# mandate: drop re-encoded copies of the same content). The synthetic
+# corpus is near-isotropic (no natural pair above cosine 0.7), so
+# duplicates are PLANTED: every 10th vector re-appears under a new id —
+# the query must find exactly those pairs at threshold 0.99.
+#
+# Blocking key = label (the corpus's partition column); within each
+# block one numpy Gram matrix per group via applyInPandas — vectorized,
+# Arrow-batched, no per-row Python. This is the exact/oracle tier: the
+# sub-quadratic scale path over an UNBLOCKED corpus is
+# operators/similarity.py::cosine_near_dup_pairs (sketch-bucketed,
+# recall-checked), same contract as q13 ↔ m6/m9.
+#
+# Cross-engine FP: cosines are rounded to 6dp half-away-from-zero on
+# BOTH sides before the threshold compare; the data's closest approach
+# to a rounding boundary is ~1e-13 (measured), 1000x the worst
+# summation-order divergence between numpy matmul and DuckDB's fold.
+# ---------------------------------------------------------------------------
+NEAR_DUP_THRESHOLD = 0.99
+PLANT_EVERY = 10
+PLANT_OFFSET = 1_000_000
+
+
+def q31_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % PLANT_EVERY == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(PLANT_OFFSET)
+    )
+    corpus = emb.unionByName(planted).select("vec_id", "embedding", "label")
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id", ignore_index=True)
+        ids = pdf["vec_id"].to_numpy()
+        x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        n = np.linalg.norm(x, axis=1)
+        s = (x @ x.T) / np.outer(n, n)
+        # half-away-from-zero 6dp, matching F.round / DuckDB ROUND
+        # (np.round is banker's and can flip ties)
+        r = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = r[ia, ib] >= NEAR_DUP_THRESHOLD
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": r[ia, ib][keep]}
+        )
+
+    return (
+        corpus.groupBy("label")
+        .applyInPandas(block, "id_a long, id_b long, cosine double")
+        .orderBy("id_a", "id_b")
+    )
+
+
+Q31_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET} AS vec_id, embedding, label
+  FROM embeddings WHERE vec_id % {PLANT_EVERY} = 0
+),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+  FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine
+FROM scored
+WHERE cosine >= {NEAR_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES = {
+    "q13_brute_force_topk": q13_brute_force_topk,
+    "q31_cosine_near_dups": q31_cosine_near_dups,
+}
+ORACLES = {
+    "q13_brute_force_topk": Q13_SQL,
+    "q31_cosine_near_dups": Q31_SQL,
+}

@@ -531,3 +531,175 @@ ORDER BY w_start
 
 QUERIES["st3_streaming_late_data"] = st3_streaming_late_data
 ORACLES["st3_streaming_late_data"] = ST3_SQL
+
+
+# ---------------------------------------------------------------------------
+# ST6 — stream-stream join: views matched to the same user's purchases
+# within 30 minutes, through the real streaming join operator (state
+# store on both sides, watermark-bounded). Both sides carry watermarks
+# and the join has a two-sided time-range condition, so state eviction
+# is bounded — the shape that survives unbounded streams. For an INNER
+# join every match is emitted exactly once regardless of micro-batch
+# boundaries, so the result equals the batch join: the oracle is the
+# plain SQL join.
+# ---------------------------------------------------------------------------
+def st4_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import copy
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    events = load(spark, sf_dir, "events")
+    src = _staged_stream_dir(sf_dir)
+    tmp = tempfile.mkdtemp(prefix="stq4_")
+    raw_schema = T.StructType(
+        [
+            T.StructField("ts", T.LongType()) if f.name == "ts" else copy.copy(f)
+            for f in events.schema.fields
+        ]
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def read():
+        return (
+            spark.readStream.schema(raw_schema)
+            .parquet(src)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    views = (
+        read()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        read()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id AND
+            purchase_ts >= view_ts AND
+            purchase_ts <= view_ts + INTERVAL 30 MINUTES
+            """
+        ),
+    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+
+    out = f"{tmp}/out"
+
+    def sink(batch, batch_id):
+        batch.write.mode("append").parquet(out)
+
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).orderBy("view_id", "purchase_id")
+
+
+ST4_SQL = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       v.ts AS view_ts, p.ts AS purchase_ts
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+ORDER BY view_id, purchase_id
+"""
+
+QUERIES["st4_stream_stream_join"] = st4_stream_stream_join
+ORACLES["st4_stream_stream_join"] = ST4_SQL
+
+
+# ---------------------------------------------------------------------------
+# ST7 — custom stateful operator (applyInPandasWithState) under the
+# driver's hash check: per-user lifetime totals through the real state
+# store. Emissions are update-mode (one row per touched user per
+# batch); the FINAL state per user — last emission by batch_id — is a
+# pure function of the full input regardless of how availableNow slices
+# micro-batches, because the accumulator is integer cents (see
+# streaming/stateful.py). Oracle = the batch groupBy with the cents
+# arithmetic mirrored literally.
+# ---------------------------------------------------------------------------
+def st5_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import copy
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from ..streaming.stateful import user_totals
+
+    events = load(spark, sf_dir, "events")
+    src = _staged_stream_dir(sf_dir)
+    tmp = tempfile.mkdtemp(prefix="stq5_")
+    raw_schema = T.StructType(
+        [
+            T.StructField("ts", T.LongType()) if f.name == "ts" else copy.copy(f)
+            for f in events.schema.fields
+        ]
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(raw_schema).parquet(src).select("user_id", "value")
+    )
+    out = f"{tmp}/out"
+
+    def sink(batch, batch_id):
+        batch.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    q = (
+        user_totals(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    w = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+    return (
+        spark.read.parquet(out)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "n_events", "total_cents", "total_value")
+        .orderBy("user_id")
+    )
+
+
+ST5_SQL = """
+WITH cents AS (
+  SELECT user_id,
+         CASE WHEN value >= 0 THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+              ELSE -CAST(floor(-value * 100 + 0.5) AS BIGINT) END AS c
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(c) AS BIGINT) AS total_cents,
+       CAST(SUM(c) AS BIGINT) / 100.0 AS total_value
+FROM cents
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+QUERIES["st5_stateful_user_totals"] = st5_stateful_user_totals
+ORACLES["st5_stateful_user_totals"] = ST5_SQL

@@ -222,3 +222,43 @@ ORDER BY tc.doc_id
 
 QUERIES["q28_repetition_stats"] = q28_repetition_stats
 ORACLES["q28_repetition_stats"] = Q28_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q32 — corpus vocabulary head (training-data mandate: tokenizer/vocab
+# construction and stopword analysis start from exactly this scan): the
+# 20 most frequent tokens with collection frequency and document
+# frequency. explode → one groupBy on the token (map-side partial agg
+# carries the heavy lifting); ties broken by token so the top-k cut is
+# a total order.
+# ---------------------------------------------------------------------------
+def q32_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("term_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("term_freq"), "token")
+        .limit(20)
+    )
+
+
+Q32_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split_regex(lower(text), '\s+')) AS token
+  FROM documents
+)
+SELECT token, COUNT(*) AS term_freq, COUNT(DISTINCT doc_id) AS doc_freq
+FROM tok
+WHERE token <> ''
+GROUP BY token
+ORDER BY term_freq DESC, token
+LIMIT 20
+"""
+
+QUERIES["q32_vocab_topk"] = q32_vocab_topk
+ORACLES["q32_vocab_topk"] = Q32_SQL

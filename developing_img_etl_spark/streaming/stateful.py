@@ -6,9 +6,19 @@ Worked example: per-user lifetime counters (event count + value sum)
 maintained across micro-batches. State lives in the state store
 (checkpointed, rescales with shuffle partitions); each batch's update
 is a vectorized pandas call per key group.
+
+Determinism contract: the money accumulator is INTEGER CENTS
+(floor(|v|·100 + 0.5)·sign(v) per row), not a float running sum — so
+the final state is independent of micro-batch boundaries, partition
+order, and accumulation order, and an ANSI-SQL oracle can mirror the
+arithmetic literally (the q24 UDAF discipline). total_value is derived
+once at emit time as cents/100.0 — a single double division both
+engines perform identically.
 """
 
 from __future__ import annotations
+
+
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -16,25 +26,41 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 STATE_SCHEMA = T.StructType(
-    [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+    [T.StructField("n", T.LongType()), T.StructField("cents", T.LongType())]
 )
 OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
         T.StructField("n_events", T.LongType()),
+        T.StructField("total_cents", T.LongType()),
         T.StructField("total_value", T.DoubleType()),
     ]
 )
 
 
+def _row_cents(v: pd.Series) -> int:
+    # half-away-from-zero per ROW, then exact integer addition: immune
+    # to float accumulation order (pandas .sum() is pairwise, a running
+    # C loop is sequential — integer cents make the difference moot).
+    import numpy as np
+
+    x = v.to_numpy(dtype="float64")
+    return int((np.sign(x) * np.floor(np.abs(x) * 100 + 0.5)).astype("int64").sum())
+
+
 def _update(key, pdf_iter, state: GroupState):
-    n, total = state.get if state.exists else (0, 0.0)
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in pdf_iter:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, float(total)))
+        cents += _row_cents(pdf["value"])
+    state.update((n, cents))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_cents": [cents],
+            "total_value": [cents / 100.0],
+        }
     )
 
 

@@ -165,13 +165,14 @@ def test_stateful_user_totals(spark, sf_dir, tmp_path):
     out = spark.read.parquet(out_dir)
     last_batch = out.agg(F.max("batch_id")).first()[0]
     final = out.filter(F.col("batch_id") == last_batch)
+    cents = (F.signum("value") * F.floor(F.abs(F.col("value")) * 100 + 0.5)).cast("long")
     expected = (
         half1.unionByName(half2)
         .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents).alias("total_cents"))
     )
-    got = {(r.user_id, r.n_events) for r in final.collect()}
-    want = {(r.user_id, r.n_events) for r in expected.collect()}
+    got = {(r.user_id, r.n_events, r.total_cents) for r in final.collect()}
+    want = {(r.user_id, r.n_events, r.total_cents) for r in expected.collect()}
     assert got == want
 
 
