@@ -107,20 +107,41 @@ TABLES: dict[str, T.StructType] = {
 }
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Map the raw on-disk events ``ts`` to session-tz TIMESTAMP.
+
+    events.parquet stores ts as TIMESTAMP(NANOS). Spark <4.1 can only
+    read that through the legacy INT64 conf (we then truncate nanos to
+    micros — the same truncation DuckDB applies); Spark 4.1+ ignores
+    the conf and reads it natively as TIMESTAMP_NTZ, already
+    micro-truncated. Either raw form normalizes to one TIMESTAMP
+    column (session tz is pinned to UTC in session.py, so the NTZ cast
+    is instant-preserving)."""
+    from pyspark.sql import functions as F
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def raw_events_ts_type(spark: SparkSession, sf_dir: str) -> T.DataType:
+    """The type Spark reads events.ts as BEFORE normalization — what a
+    readStream schema must declare (LongType on <4.1, TIMESTAMP_NTZ on
+    4.1+)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table; validates the footer schema matches."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-        # vectorized parquet reader rejects outright. Read the physical
-        # INT64 via the legacy conf and truncate to microseconds — the
-        # same truncation DuckDB applies when it reads nanos.
-        from pyspark.sql import functions as F
-
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     expected = {f.name for f in TABLES[name].fields}

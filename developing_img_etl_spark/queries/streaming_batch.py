@@ -240,12 +240,32 @@ def _staged_stream_dir(sf_dir: str) -> str:
     return _STREAM_SRC_CACHE[sf_dir]
 
 
+def _raw_events_stream(spark: SparkSession, sf_dir: str, src: str):
+    """readStream over a staged events dir, declaring the raw ts type
+    Spark actually reads for this version (INT64 nanos on <4.1 via the
+    legacy conf, TIMESTAMP_NTZ on 4.1+ — catalog.raw_events_ts_type)
+    and normalizing to session-tz TIMESTAMP."""
+    import copy
+
+    from pyspark.sql import types as T
+
+    from ..catalog import TABLES, normalize_event_ts, raw_events_ts_type
+
+    raw_ts = raw_events_ts_type(spark, sf_dir)
+    raw_schema = T.StructType(
+        [
+            T.StructField("ts", raw_ts) if f.name == "ts" else copy.copy(f)
+            for f in TABLES["events"].fields
+        ]
+    )
+    return normalize_event_ts(spark.readStream.schema(raw_schema).parquet(src))
+
+
 def st1_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..streaming.windows import tumbling_counts
 
-    events = load(spark, sf_dir, "events")
     # FileStreamSource needs a DIRECTORY; the testdata table is a single
     # file. Stage it once per process via hardlink (the round-1 version
     # rewrote the whole table per invocation, so the bench billed a full
@@ -253,24 +273,7 @@ def st1_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-run (AvailableNow drains everything each time).
     src = _staged_stream_dir(sf_dir)
     tmp = tempfile.mkdtemp(prefix="stq_")
-    # Same TIMESTAMP(NANOS) handling as catalog.load: read the physical
-    # INT64 (legacy conf, set there) and truncate to micros.
-    import copy
-
-    from pyspark.sql import types as T
-
-    raw_schema = T.StructType(
-        [
-            T.StructField("ts", T.LongType()) if f.name == "ts" else copy.copy(f)
-            for f in events.schema.fields
-        ]
-    )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _raw_events_stream(spark, sf_dir, src)
     out = f"{tmp}/out"
 
     def sink(batch, batch_id):
@@ -344,25 +347,9 @@ def st2_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.windows import session_counts
 
-    events = load(spark, sf_dir, "events")
     src = _staged_stream_dir(sf_dir)
     tmp = tempfile.mkdtemp(prefix="stq2_")
-    import copy
-
-    from pyspark.sql import types as T
-
-    raw_schema = T.StructType(
-        [
-            T.StructField("ts", T.LongType()) if f.name == "ts" else copy.copy(f)
-            for f in events.schema.fields
-        ]
-    )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _raw_events_stream(spark, sf_dir, src)
     out = f"{tmp}/out"
 
     def sink(batch, batch_id):
@@ -425,23 +412,33 @@ _NANOS_PER_DAY = 86400 * 1_000_000_000
 def _st3_late_file(spark: SparkSession, sf_dir: str) -> str:
     """The injected batch-2 parquet file, built once per (process,
     sf_dir): 1 late copy per 1000 events (ts - 30 days) + 1 sentinel
-    (max ts + 3 days). Written with the same raw INT64 ts the events
-    table uses so both files share one stream schema."""
+    (max ts + 3 days). Written with the same raw ts type the events
+    table reads as on this Spark (catalog.raw_events_ts_type) so both
+    files share one stream schema."""
     if sf_dir not in _ST3_LATE_FILE_CACHE:
         import os
         import tempfile
 
+        from pyspark.sql import types as T
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts: long (nanos)
-        late = raw.withColumn("ts", F.col("ts") - F.lit(30 * _NANOS_PER_DAY)).filter(
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if isinstance(raw.schema["ts"].dataType, T.LongType):  # <4.1: INT64 nanos
+            late_ts = F.col("ts") - F.lit(30 * _NANOS_PER_DAY)
+            max_ts = raw.agg(F.max("ts")).collect()[0][0]
+            sentinel_ts = F.lit(max_ts + 3 * _NANOS_PER_DAY)
+        else:  # 4.1+: TIMESTAMP_NTZ
+            import datetime
+
+            late_ts = F.expr("ts - INTERVAL 30 DAYS")
+            max_ts = raw.agg(F.max("ts")).collect()[0][0]
+            sentinel_ts = F.lit(max_ts + datetime.timedelta(days=3)).cast(
+                raw.schema["ts"].dataType
+            )
+        late = raw.withColumn("ts", late_ts).filter(
             F.pmod(F.col("event_id"), F.lit(1000)) == 0
         )
-        max_ts = raw.agg(F.max("ts")).collect()[0][0]
-        sentinel = (
-            raw.orderBy(F.desc("ts"))
-            .limit(1)
-            .withColumn("ts", F.lit(max_ts + 3 * _NANOS_PER_DAY))
-        )
+        sentinel = raw.orderBy(F.desc("ts")).limit(1).withColumn("ts", sentinel_ts)
         out = tempfile.mkdtemp(prefix="st3late_")
         late.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(out)
         part = next(
@@ -461,7 +458,6 @@ def st3_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.windows import tumbling_counts
 
-    events = load(spark, sf_dir, "events")
     late_file = _st3_late_file(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="stq3_")
     src, out, ckpt = f"{work}/src", f"{work}/out", f"{work}/ckpt"
@@ -471,20 +467,8 @@ def st3_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     except OSError:
         shutil.copyfile(f"{sf_dir}/events.parquet", f"{src}/00-events.parquet")
 
-    raw_schema = T.StructType(
-        [
-            T.StructField("ts", T.LongType()) if f.name == "ts" else copy.copy(f)
-            for f in events.schema.fields
-        ]
-    )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
     def drain():
-        stream = (
-            spark.readStream.schema(raw_schema)
-            .parquet(src)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        stream = _raw_events_stream(spark, sf_dir, src)
 
         def sink(batch, batch_id):
             batch.write.mode("append").parquet(out)
@@ -544,28 +528,13 @@ ORACLES["st3_streaming_late_data"] = ST3_SQL
 # plain SQL join.
 # ---------------------------------------------------------------------------
 def st4_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import copy
     import tempfile
 
-    from pyspark.sql import types as T
-
-    events = load(spark, sf_dir, "events")
     src = _staged_stream_dir(sf_dir)
     tmp = tempfile.mkdtemp(prefix="stq4_")
-    raw_schema = T.StructType(
-        [
-            T.StructField("ts", T.LongType()) if f.name == "ts" else copy.copy(f)
-            for f in events.schema.fields
-        ]
-    )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def read():
-        return (
-            spark.readStream.schema(raw_schema)
-            .parquet(src)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        return _raw_events_stream(spark, sf_dir, src)
 
     views = (
         read()
@@ -640,27 +609,15 @@ ORACLES["st4_stream_stream_join"] = ST4_SQL
 # arithmetic mirrored literally.
 # ---------------------------------------------------------------------------
 def st5_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import copy
     import tempfile
 
     from pyspark.sql import Window
-    from pyspark.sql import types as T
 
     from ..streaming.stateful import user_totals
 
-    events = load(spark, sf_dir, "events")
     src = _staged_stream_dir(sf_dir)
     tmp = tempfile.mkdtemp(prefix="stq5_")
-    raw_schema = T.StructType(
-        [
-            T.StructField("ts", T.LongType()) if f.name == "ts" else copy.copy(f)
-            for f in events.schema.fields
-        ]
-    )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(raw_schema).parquet(src).select("user_id", "value")
-    )
+    stream = _raw_events_stream(spark, sf_dir, src).select("user_id", "value")
     out = f"{tmp}/out"
 
     def sink(batch, batch_id):
