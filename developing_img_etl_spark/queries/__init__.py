@@ -28,6 +28,7 @@ from . import (
     sql_surface,
     streaming_batch,
     text,
+    training,
     udf_surface,
 )
 
@@ -41,6 +42,7 @@ _MODULES = (
     sql_surface,
     udf_surface,
     sampling,
+    training,
 )
 
 

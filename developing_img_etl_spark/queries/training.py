@@ -1,0 +1,443 @@
+"""Q33-Q38 — training-pipeline + layout operators added in round 3b:
+
+  q33  deterministic sequence packing   (operators/packing.py, M15)
+  q34  PII detection + redaction        (functions/pii.py,     M16)
+  q35  event funnel analysis            (A-family composition)
+  q36  column profiling                 (stack/unpivot + agg)
+  q37  SCD-1 MERGE upsert               (operators/merge.py,   S13)
+  q38  Z-order layout clustering        (operators/zorder.py,  M17)
+
+Every oracle mirrors the Spark arithmetic bit-for-bit (see _det.py for
+the decimal-sum rules; hash/bit arithmetic is pure BIGINT on both
+sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import pii as PII
+from ..operators.merge import merge_upsert
+from ..operators.packing import pack_sequences
+from ..operators.zorder import zvalue
+from ._det import dsum, sql_dsum
+
+# ---------------------------------------------------------------------------
+# Q33 — deterministic sequence packing (M15). Portable multiplicative
+# hash through the operator's `bucket` override so DuckDB mirrors the
+# arithmetic (same pattern as q26); the xxhash64 production path is
+# pinned by pytest instead.
+# ---------------------------------------------------------------------------
+_K = 2654435761  # Knuth multiplicative constant
+_SEED = 11
+_BUCKETS = 1_000_000
+_PACK_BUDGET = 4096
+_PACK_GROUPS = 8
+
+
+def q33_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id") * F.lit(_K) + F.lit(_SEED), F.lit(_BUCKETS))
+    packed = pack_sequences(
+        docs, "doc_id", "n_chars", _PACK_BUDGET, n_groups=_PACK_GROUPS, bucket=bucket
+    )
+    return (
+        packed.groupBy("pack_group", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("pack_tokens"),
+        )
+        .orderBy("pack_group", "pack_id")
+    )
+
+
+Q33_SQL = f"""
+WITH h AS (
+  SELECT doc_id, n_chars,
+         (doc_id * {_K} + {_SEED}) % {_BUCKETS} AS hb
+  FROM documents
+), g AS (
+  SELECT CAST(hb % {_PACK_GROUPS} AS INT) AS pack_group, n_chars,
+         COALESCE(SUM(n_chars) OVER (
+             PARTITION BY hb % {_PACK_GROUPS} ORDER BY hb, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM h
+)
+SELECT pack_group,
+       CAST(cum // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS pack_tokens
+FROM g
+GROUP BY pack_group, pack_id
+ORDER BY pack_group, pack_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q34 — PII redaction (M16). The synthetic corpus is PII-free, so the
+# query plants deterministic contacts (a function of doc_id — email on
+# 2/3 of docs, phone on 1/2, IP on 1/5) and then detects + redacts
+# them; counts and post-redaction lengths hash-match the oracle, which
+# runs the SAME regexes (dialect-portable: no escapes, ASCII classes).
+# ---------------------------------------------------------------------------
+def _planted_body() -> F.Column:
+    d = F.col("doc_id")
+    email = F.concat(
+        F.lit(" user"),
+        d.cast("string"),
+        F.lit("@ex"),
+        F.pmod(d, F.lit(10)).cast("string"),
+        F.lit(".org"),
+    )
+    phone = F.concat(
+        F.lit(" call 555-"),
+        F.lpad(F.pmod(d, F.lit(1000)).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(F.pmod(d * 7, F.lit(10000)).cast("string"), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit(" from 10."),
+        F.pmod(d, F.lit(256)).cast("string"),
+        F.lit(".0."),
+        F.pmod(d * 3, F.lit(256)).cast("string"),
+    )
+    return F.concat(
+        F.col("text"),
+        F.when(F.pmod(d, F.lit(3)) != 0, email).otherwise(F.lit("")),
+        F.when(F.pmod(d, F.lit(2)) == 0, phone).otherwise(F.lit("")),
+        F.when(F.pmod(d, F.lit(5)) == 0, ip).otherwise(F.lit("")),
+    )
+
+
+def q34_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn("body", _planted_body())
+    return (
+        docs.select(
+            "source",
+            PII.email_count(F.col("body")).alias("e"),
+            PII.phone_count(F.col("body")).alias("p"),
+            PII.ipv4_count(F.col("body")).alias("i"),
+            F.length(PII.redact(F.col("body"))).alias("rlen"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("e").alias("n_emails"),
+            F.sum("p").alias("n_phones"),
+            F.sum("i").alias("n_ips"),
+            F.sum("rlen").alias("redacted_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q34_BODY = (
+    "text"
+    " || CASE WHEN doc_id % 3 <> 0 THEN ' user' || CAST(doc_id AS VARCHAR)"
+    " || '@ex' || CAST(doc_id % 10 AS VARCHAR) || '.org' ELSE '' END"
+    " || CASE WHEN doc_id % 2 = 0 THEN ' call 555-'"
+    " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+    " || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' from 10.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
+    " || CAST((doc_id * 3) % 256 AS VARCHAR) ELSE '' END"
+)
+
+_Q34_REDACT = (
+    "regexp_replace(regexp_replace(regexp_replace(body, '"
+    + PII.EMAIL_RE
+    + "', '<EMAIL>', 'g'), '"
+    + PII.PHONE_RE
+    + "', '<PHONE>', 'g'), '"
+    + PII.IPV4_RE
+    + "', '<IP>', 'g')"
+)
+
+Q34_SQL = (
+    "WITH b AS (SELECT source, "
+    + _Q34_BODY
+    + " AS body FROM documents)\n"
+    + "SELECT source, COUNT(*) AS n_docs,\n"
+    + "  CAST(SUM(len(regexp_extract_all(body, '"
+    + PII.EMAIL_RE
+    + "'))) AS BIGINT) AS n_emails,\n"
+    + "  CAST(SUM(len(regexp_extract_all(body, '"
+    + PII.PHONE_RE
+    + "'))) AS BIGINT) AS n_phones,\n"
+    + "  CAST(SUM(len(regexp_extract_all(body, '"
+    + PII.IPV4_RE
+    + "'))) AS BIGINT) AS n_ips,\n"
+    + "  CAST(SUM(length("
+    + _Q34_REDACT
+    + ")) AS BIGINT) AS redacted_chars\n"
+    + "FROM b GROUP BY source ORDER BY source"
+)
+
+
+# ---------------------------------------------------------------------------
+# Q35 — ordered event funnel: view → click (after the view) → purchase
+# (after the click), per user, reported by first-view date. Three
+# min-aggregations chained by time predicates — each stage is one
+# shuffle on user_id, and all three share the same key so AQE/exchange
+# reuse co-partitions them.
+# ---------------------------------------------------------------------------
+def q35_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .groupBy(F.to_date("t_view").alias("view_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_viewers"),
+            F.count("t_click").alias("n_clicked"),
+            F.count("t_purchase").alias("n_converted"),
+            F.sum(F.unix_micros(F.col("t_purchase")) - F.unix_micros(F.col("t_view"))).alias(
+                "total_convert_us"
+            ),
+        )
+        .orderBy("view_date")
+    )
+
+
+Q35_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT CAST(v.t_view AS DATE) AS view_date,
+       COUNT(*) AS n_viewers,
+       COUNT(c.t_click) AS n_clicked,
+       COUNT(p.t_purchase) AS n_converted,
+       CAST(SUM(epoch_us(p.t_purchase) - epoch_us(v.t_view)) AS BIGINT) AS total_convert_us
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+GROUP BY view_date
+ORDER BY view_date
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q36 — column profiling: one pass computing per-column rows / nulls /
+# exact NDV / min / max / decimal-exact sum over a stack-unpivoted
+# projection. The shape a data-quality gate runs before training jobs.
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = ("l_discount", "l_extendedprice", "l_quantity")
+
+
+def q36_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stack_args = ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in _PROFILE_COLS)
+    unpivoted = load(spark, sf_dir, "lineitem").select(
+        F.expr(f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col_name, v)")
+    )
+    return (
+        unpivoted.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").isNull().cast("long")).alias("n_null"),
+            F.countDistinct("v").alias("n_distinct"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            dsum("v").alias("sum_v"),
+        )
+        .orderBy("col_name")
+    )
+
+
+_Q36_UNION = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, CAST({c} AS DOUBLE) AS v FROM lineitem"
+    for c in _PROFILE_COLS
+)
+
+Q36_SQL = f"""
+WITH u AS (
+{_Q36_UNION}
+)
+SELECT col_name,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       COUNT(DISTINCT v) AS n_distinct,
+       MIN(v) AS min_v,
+       MAX(v) AS max_v,
+       {sql_dsum("CAST(v AS DECIMAL(12,4))")} AS sum_v
+FROM u
+GROUP BY col_name
+ORDER BY col_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q37 — SCD-1 MERGE (S13): updates (heavy buyers get a new segment and
+# +100 balance), inserts (synthetic onboarding rows), and tombstone
+# deletes, through operators/merge.py, verified on the merged table's
+# per-segment aggregate.
+# ---------------------------------------------------------------------------
+def q37_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    heavy = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 2)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    mods = (
+        cust.join(heavy, "c_custkey", "left_semi")
+        .filter(F.pmod(F.col("c_custkey"), F.lit(89)) != 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(100.0))
+        .withColumn("c_mktsegment", F.lit("HEAVY"))
+        .withColumn("is_delete", F.lit(False))
+    )
+    ins = (
+        cust.filter(F.pmod(F.col("c_custkey"), F.lit(97)) == 0)
+        .withColumn("c_custkey", F.col("c_custkey") + F.lit(10_000_000))
+        .withColumn("c_name", F.concat(F.lit("NEW_"), F.col("c_name")))
+        .withColumn("c_acctbal", F.lit(0.0))
+        .withColumn("c_mktsegment", F.lit("ONBOARD"))
+        .withColumn("is_delete", F.lit(False))
+    )
+    tomb = cust.filter(F.pmod(F.col("c_custkey"), F.lit(89)) == 0).withColumn(
+        "is_delete", F.lit(True)
+    )
+    updates = mods.unionByName(ins).unionByName(tomb)
+    merged = merge_upsert(cust, updates, "c_custkey", delete_col="is_delete")
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q37_SQL = f"""
+WITH heavy AS (
+  SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) > 2
+), mods AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+         'HEAVY' AS c_mktsegment
+  FROM customer
+  WHERE c_custkey IN (SELECT o_custkey FROM heavy) AND c_custkey % 89 <> 0
+), ins AS (
+  SELECT c_custkey + 10000000 AS c_custkey, 'NEW_' || c_name AS c_name,
+         c_nationkey, 0.0 AS c_acctbal, 'ONBOARD' AS c_mktsegment
+  FROM customer WHERE c_custkey % 97 = 0
+), tomb AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 89 = 0
+), upkeys AS (
+  SELECT c_custkey FROM mods UNION ALL SELECT c_custkey FROM ins
+  UNION ALL SELECT c_custkey FROM tomb
+), merged AS (
+  SELECT * FROM mods
+  UNION ALL SELECT * FROM ins
+  UNION ALL
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM upkeys)
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       {sql_dsum("CAST(c_acctbal AS DECIMAL(12,4))")} AS total_bal
+FROM merged
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q38 — Z-order layout (M17): Morton code of (customer bucket, order
+# day), aggregated per curve segment — exactly the per-file min/max
+# ranges a Z-ordered write would produce, so the oracle doubles as a
+# clustering-quality check. Pure shift/and/or chains on both sides.
+# ---------------------------------------------------------------------------
+_Z_EPOCH = "1995-01-01"
+
+
+def _sql_spread16(e: str) -> str:
+    x = f"(({e}) & 65535)"
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        x = f"((({x}) | (({x}) << {shift})) & {mask})"
+    return x
+
+
+def q38_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    x = F.pmod(F.col("o_custkey"), F.lit(4096))
+    y = F.datediff(F.col("o_orderdate").cast("date"), F.lit(_Z_EPOCH).cast("date"))
+    z = zvalue([x, y])
+    return (
+        o.withColumn("zval", z)
+        .groupBy(F.shiftright(F.col("zval"), 16).alias("z_segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("zval").alias("z_min"),
+            F.max("zval").alias("z_max"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("z_segment")
+    )
+
+
+_Z_X = _sql_spread16("o_custkey % 4096")
+_Z_Y = _sql_spread16(f"date_diff('day', DATE '{_Z_EPOCH}', CAST(o_orderdate AS DATE))")
+
+Q38_SQL = f"""
+WITH z AS (
+  SELECT o_totalprice,
+         ({_Z_X}) | (({_Z_Y}) << 1) AS zval
+  FROM orders
+)
+SELECT CAST(zval >> 16 AS BIGINT) AS z_segment,
+       COUNT(*) AS n_orders,
+       CAST(MIN(zval) AS BIGINT) AS z_min,
+       CAST(MAX(zval) AS BIGINT) AS z_max,
+       {sql_dsum("CAST(o_totalprice AS DECIMAL(12,4))")} AS total_price
+FROM z
+GROUP BY z_segment
+ORDER BY z_segment
+"""
+
+
+QUERIES = {
+    "q33_sequence_packing": q33_sequence_packing,
+    "q34_pii_redaction": q34_pii_redaction,
+    "q35_event_funnel": q35_event_funnel,
+    "q36_column_profile": q36_column_profile,
+    "q37_merge_upsert": q37_merge_upsert,
+    "q38_zorder_layout": q38_zorder_layout,
+}
+
+ORACLES = {
+    "q33_sequence_packing": Q33_SQL,
+    "q34_pii_redaction": Q34_SQL,
+    "q35_event_funnel": Q35_SQL,
+    "q36_column_profile": Q36_SQL,
+    "q37_merge_upsert": Q37_SQL,
+    "q38_zorder_layout": Q38_SQL,
+}
