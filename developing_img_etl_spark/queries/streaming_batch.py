@@ -240,7 +240,9 @@ def _staged_stream_dir(sf_dir: str) -> str:
     return _STREAM_SRC_CACHE[sf_dir]
 
 
-def _raw_events_stream(spark: SparkSession, sf_dir: str, src: str):
+def _raw_events_stream(
+    spark: SparkSession, sf_dir: str, src: str, *, max_files_per_trigger: int | None = None
+):
     """readStream over a staged events dir, declaring the raw ts type
     Spark actually reads for this version (INT64 nanos on <4.1 via the
     legacy conf, TIMESTAMP_NTZ on 4.1+ — catalog.raw_events_ts_type)
@@ -258,7 +260,10 @@ def _raw_events_stream(spark: SparkSession, sf_dir: str, src: str):
             for f in TABLES["events"].fields
         ]
     )
-    return normalize_event_ts(spark.readStream.schema(raw_schema).parquet(src))
+    reader = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return normalize_event_ts(reader.parquet(src))
 
 
 def st1_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -660,3 +665,71 @@ ORDER BY user_id
 
 QUERIES["st5_stateful_user_totals"] = st5_stateful_user_totals
 ORACLES["st5_stateful_user_totals"] = ST5_SQL
+
+
+# ---------------------------------------------------------------------------
+# ST6 — cross-batch streaming dedup (ST3's state made a declared
+# query): the source directory holds the events table TWICE, and
+# maxFilesPerTrigger=1 forces the copies into separate micro-batches,
+# so only dropDuplicates' state store can collapse them — a within-
+# batch dedup would still double every count. The deduped rows land in
+# parquet through foreachBatch append (dedup is the only stateful op —
+# the aggregation runs batch-side on the sink), and the oracle is the
+# single-copy batch aggregate: any leaked duplicate doubles a count and
+# hash-mismatches.
+# ---------------------------------------------------------------------------
+def st6_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ._det import dsum
+
+    work = tempfile.mkdtemp(prefix="stq6_")
+    src, out, ckpt = f"{work}/src", f"{work}/out", f"{work}/ckpt"
+    os.makedirs(src)
+    for i in range(2):
+        try:
+            os.link(f"{sf_dir}/events.parquet", f"{src}/{i:02d}-events.parquet")
+        except OSError:
+            shutil.copyfile(f"{sf_dir}/events.parquet", f"{src}/{i:02d}-events.parquet")
+
+    stream = _raw_events_stream(
+        spark, sf_dir, src, max_files_per_trigger=1
+    ).dropDuplicates(["event_id"])
+
+    def sink(batch, batch_id):
+        batch.write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ST6_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["st6_streaming_dedup"] = st6_streaming_dedup
+ORACLES["st6_streaming_dedup"] = ST6_SQL

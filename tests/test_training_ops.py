@@ -1,0 +1,210 @@
+"""Property tests for the round-3b operators: sequence packing, SCD-1
+merge, Z-order interleaving, and PII redaction — the paths the q33-q38
+oracles can't see (xxhash64 production hash, delete/error paths, bit
+arithmetic vs a Python reference)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from developing_img_etl_spark.catalog import load
+from developing_img_etl_spark.operators.merge import merge_upsert
+from developing_img_etl_spark.operators.packing import pack_sequences
+from developing_img_etl_spark.operators.zorder import zorder_layout, zvalue
+
+BUDGET = 4096
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences (xxhash64 production path)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def packed(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    out = pack_sequences(docs, "doc_id", "n_chars", BUDGET, n_groups=8).select(
+        "doc_id", "n_chars", "pack_group", "pack_id", "pack_pos"
+    )
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    return rows
+
+
+def test_packing_deterministic_under_repartition(spark, sf_dir, packed):
+    docs = load(spark, sf_dir, "documents").repartition(17)
+    again = {
+        r["doc_id"]: (r["pack_group"], r["pack_id"], r["pack_pos"])
+        for r in pack_sequences(docs, "doc_id", "n_chars", BUDGET, n_groups=8)
+        .select("doc_id", "pack_group", "pack_id", "pack_pos")
+        .collect()
+    }
+    for r in packed:
+        assert again[r["doc_id"]] == (r["pack_group"], r["pack_id"], r["pack_pos"])
+
+
+def test_packing_budget_contract(packed):
+    """pack_id is BY DEFINITION exclusive_prefix_tokens DIV budget in
+    the group's pack_pos order (so packs are contiguous, each covering
+    one budget-sized band of the token stream), and a pack overflows
+    BUDGET by at most its straddling row."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in packed:
+        groups[r["pack_group"]].append(r)
+    for g, rows in groups.items():
+        rows.sort(key=lambda r: r["pack_pos"])
+        assert [r["pack_pos"] for r in rows] == list(range(len(rows)))
+        cum = 0
+        tokens = defaultdict(int)
+        last_tok = {}
+        for r in rows:
+            assert r["pack_id"] == cum // BUDGET
+            cum += r["n_chars"]
+            tokens[r["pack_id"]] += r["n_chars"]
+            last_tok[r["pack_id"]] = r["n_chars"]
+        for pid, tot in tokens.items():
+            assert tot <= BUDGET + last_tok[pid]
+
+
+def test_packing_rejects_bad_args(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        pack_sequences(docs, "doc_id", "n_chars", 0)
+    with pytest.raises(ValueError):
+        pack_sequences(docs, "doc_id", "n_chars", 100, n_groups=0)
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert
+# ---------------------------------------------------------------------------
+def _mini_tables(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k INT, name STRING, v DOUBLE"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 22.0, False), (4, "d", 40.0, False), (3, "c", 30.0, True)],
+        "k INT, name STRING, v DOUBLE, del BOOLEAN",
+    )
+    return target, updates
+
+
+def test_merge_upsert_semantics(spark):
+    target, updates = _mini_tables(spark)
+    got = {
+        r["k"]: (r["name"], r["v"])
+        for r in merge_upsert(target, updates, "k", delete_col="del").collect()
+    }
+    # 1 untouched, 2 replaced, 3 tombstoned away, 4 inserted
+    assert got == {1: ("a", 10.0), 2: ("b2", 22.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_without_deletes(spark):
+    target, updates = _mini_tables(spark)
+    got = {
+        r["k"]: r["name"]
+        for r in merge_upsert(target, updates.drop("del"), "k").collect()
+    }
+    assert got == {1: "a", 2: "b2", 3: "c", 4: "d"}
+
+
+def test_merge_upsert_schema_drift_raises(spark):
+    target, updates = _mini_tables(spark)
+    with pytest.raises(ValueError, match="schema drift"):
+        merge_upsert(target, updates.drop("name"), "k", delete_col="del")
+    with pytest.raises(ValueError, match="schema drift"):
+        merge_upsert(target, updates, "k")  # stray del column, no delete_col
+
+
+# ---------------------------------------------------------------------------
+# zvalue / zorder_layout
+# ---------------------------------------------------------------------------
+def _py_morton2(x: int, y: int) -> int:
+    out = 0
+    for i in range(16):
+        out |= ((x >> i) & 1) << (2 * i)
+        out |= ((y >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def _py_morton3(x: int, y: int, z: int) -> int:
+    out = 0
+    for i in range(10):
+        out |= ((x >> i) & 1) << (3 * i)
+        out |= ((y >> i) & 1) << (3 * i + 1)
+        out |= ((z >> i) & 1) << (3 * i + 2)
+    return out
+
+
+def test_zvalue_matches_python_reference(spark):
+    cases = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (255, 256)]
+    df = spark.createDataFrame(cases, "x INT, y INT").withColumn(
+        "z", zvalue(["x", "y"])
+    )
+    for r in df.collect():
+        assert r["z"] == _py_morton2(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zvalue3_matches_python_reference(spark):
+    cases = [(0, 0, 0), (1023, 1023, 1023), (12, 345, 678), (1, 2, 4)]
+    df = spark.createDataFrame(cases, "x INT, y INT, zc INT").withColumn(
+        "z", zvalue(["x", "y", "zc"])
+    )
+    for r in df.collect():
+        assert r["z"] == _py_morton3(r["x"], r["y"], r["zc"])
+    with pytest.raises(ValueError):
+        zvalue(["x"])
+
+
+def test_zorder_layout_partitions_are_disjoint_ranges(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").select(
+        F.pmod("o_custkey", F.lit(4096)).cast("int").alias("x"),
+        F.pmod("o_orderkey", F.lit(4096)).cast("int").alias("y"),
+    )
+    laid = zorder_layout(o, ["x", "y"], n_files=8)
+    spans = (
+        laid.withColumn("z", zvalue(["x", "y"]))
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(spans) > 1
+    for a, b in zip(spans, spans[1:]):
+        assert a["hi"] <= b["lo"]  # ranges never interleave
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+def test_pii_redaction_is_complete_and_targeted(spark):
+    from developing_img_etl_spark.functions import pii as PII
+
+    rows = [
+        ("mail me at bob.smith+x@corp.example.co or 555-123-4567",),
+        ("server 192.168.0.1 and 10.0.0.255 up",),
+        ("clean text, no pii at all",),
+        ("v1.2.3.4 release",),  # version string — matches IPV4 shape by design
+    ]
+    df = spark.createDataFrame(rows, "t STRING").select(
+        PII.email_count(F.col("t")).alias("e"),
+        PII.phone_count(F.col("t")).alias("p"),
+        PII.ipv4_count(F.col("t")).alias("i"),
+        PII.redact(F.col("t")).alias("r"),
+        PII.email_count(PII.redact(F.col("t"))).alias("re"),
+        PII.phone_count(PII.redact(F.col("t"))).alias("rp"),
+        PII.ipv4_count(PII.redact(F.col("t"))).alias("ri"),
+    )
+    got = df.collect()
+    assert [(r["e"], r["p"], r["i"]) for r in got] == [
+        (1, 1, 0),
+        (0, 0, 2),
+        (0, 0, 0),
+        (0, 0, 1),
+    ]
+    # redaction removes every detectable match and nothing else survives
+    for r in got:
+        assert (r["re"], r["rp"], r["ri"]) == (0, 0, 0)
+    assert got[0]["r"] == "mail me at <EMAIL> or <PHONE>"
+    assert got[2]["r"] == "clean text, no pii at all"
