@@ -161,3 +161,98 @@ ORACLES = {
     "q20_sql_entry": Q20_SQL,
     "q21_dependency_closure": Q21_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Q39 — PageRank over the part↔supplier co-occurrence graph, 3 fixed
+# iterations, ALL-INTEGER arithmetic (micro-units; damping 0.85 as
+# (85*s) DIV 100) so every engine computes bit-identical ranks — FP
+# PageRank can never hash-match across engines, integer PageRank must.
+# The graph is symmetrized (both edge directions) so no node dangles.
+# Scale shape: the edge list and degree table are computed once and
+# localCheckpoint'd (reused every round); each iteration is one join +
+# one groupBy on the SAME src key — at 1000 executors pre-partitioning
+# edges by src makes every round exchange-free after the first. Round
+# count is fixed (3), not data-dependent.
+# ---------------------------------------------------------------------------
+_PR_ITERS = 3
+
+
+def q39_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    e0 = lineitem.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = (
+        e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(eager=True)
+    rank = deg.select(F.col("src").alias("node"), F.lit(1_000_000).alias("r"))
+    for _ in range(_PR_ITERS):
+        rank = (
+            edges.join(rank, edges.src == rank.node)
+            .join(deg, "src")
+            .select(F.col("dst"), F.expr("r DIV d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(150_000) + F.expr("(85 * s) DIV 100")).alias("r"),
+            )
+        )
+    return (
+        rank.groupBy(
+            F.when(F.pmod(F.col("node"), F.lit(2)) == 0, F.lit("part"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("r").alias("total_rank"),
+            F.max("r").alias("max_rank"),
+        )
+        .orderBy("node_type")
+    )
+
+
+Q39_SQL = """
+WITH e0 AS (
+  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+), edges AS (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+), deg AS (
+  SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+), r0 AS (
+  SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg
+), s1 AS (
+  SELECT e.dst AS node, SUM(r0.r // deg.d) AS s
+  FROM edges e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+), r1 AS (
+  SELECT node, CAST(150000 + (85 * s) // 100 AS BIGINT) AS r FROM s1
+), s2 AS (
+  SELECT e.dst AS node, SUM(r1.r // deg.d) AS s
+  FROM edges e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+), r2 AS (
+  SELECT node, CAST(150000 + (85 * s) // 100 AS BIGINT) AS r FROM s2
+), s3 AS (
+  SELECT e.dst AS node, SUM(r2.r // deg.d) AS s
+  FROM edges e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst
+), r3 AS (
+  SELECT node, CAST(150000 + (85 * s) // 100 AS BIGINT) AS r FROM s3
+)
+SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+       COUNT(*) AS n_nodes,
+       CAST(SUM(r) AS BIGINT) AS total_rank,
+       CAST(MAX(r) AS BIGINT) AS max_rank
+FROM r3
+GROUP BY node_type
+ORDER BY node_type
+"""
+
+QUERIES["q39_pagerank"] = q39_pagerank
+ORACLES["q39_pagerank"] = Q39_SQL
