@@ -6,6 +6,7 @@
   q36  column profiling                 (stack/unpivot + agg)
   q37  SCD-1 MERGE upsert               (operators/merge.py,   S13)
   q38  Z-order layout clustering        (operators/zorder.py,  M17)
+  q40  fixed-bound histogram            (binning half of q36's profile)
 
 Every oracle mirrors the Spark arithmetic bit-for-bit (see _det.py for
 the decimal-sum rules; hash/bit arithmetic is pure BIGINT on both
@@ -441,3 +442,47 @@ ORACLES = {
     "q37_merge_upsert": Q37_SQL,
     "q38_zorder_layout": Q38_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Q40 — fixed-bound histogram (the binning half of profiling: q36 gives
+# moments, this gives shape). Bucket index is pure integer arithmetic
+# (floor-div with a top clamp), so it's one map-side expression + one
+# hash agg — the cheapest possible distribution sketch at 100 TB, and
+# the exact shape `width_bucket` compiles to.
+# ---------------------------------------------------------------------------
+_HIST_WIDTH = 5000
+_HIST_BUCKETS = 12
+
+
+def q40_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.floor(F.col("l_extendedprice") / F.lit(_HIST_WIDTH)),
+        F.lit(_HIST_BUCKETS - 1),
+    ).cast("int")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q40_SQL = f"""
+SELECT CAST(LEAST(FLOOR(l_extendedprice / {_HIST_WIDTH}), {_HIST_BUCKETS - 1}) AS INT) AS bucket,
+       COUNT(*) AS n_items,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       {sql_dsum("CAST(l_extendedprice AS DECIMAL(12,4))")} AS sum_price
+FROM lineitem
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+QUERIES["q40_price_histogram"] = q40_price_histogram
+ORACLES["q40_price_histogram"] = Q40_SQL
