@@ -7,6 +7,8 @@
   q37  SCD-1 MERGE upsert               (operators/merge.py,   S13)
   q38  Z-order layout clustering        (operators/zorder.py,  M17)
   q40  fixed-bound histogram            (binning half of q36's profile)
+  q41  GROUPING SETS                    (completes the q6/q6b A4 trio)
+  q42  vocabulary OOV coverage          (top-k vocab + broadcast semi)
 
 Every oracle mirrors the Spark arithmetic bit-for-bit (see _det.py for
 the decimal-sum rules; hash/bit arithmetic is pure BIGINT on both
@@ -486,3 +488,133 @@ ORDER BY bucket
 
 QUERIES["q40_price_histogram"] = q40_price_histogram
 ORACLES["q40_price_histogram"] = Q40_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q41 — GROUPING SETS via the native DataFrame API (completes the A4
+# trio: q6 rollup, q6b cube, explicit sets here). The set list is NOT
+# a rollup prefix chain — (flag), (status), () — the case only
+# GROUPING SETS can express. Same Expand-based single-pass plan as
+# rollup/cube: one scan, one shuffle, rows × |sets| before partial agg.
+# ---------------------------------------------------------------------------
+def q41_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+        )
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_extendedprice").alias("sum_price"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_price",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+Q41_SQL = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n_items,
+       {sql_dsum("CAST(l_extendedprice AS DECIMAL(12,4))")} AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY returnflag, linestatus
+"""
+
+QUERIES["q41_grouping_sets"] = q41_grouping_sets
+ORACLES["q41_grouping_sets"] = Q41_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q42 — vocabulary coverage / OOV rate: build a deterministic top-100
+# token vocabulary (count desc, token asc — total order, so ties can't
+# flip membership), then measure per-language out-of-vocabulary token
+# mass and the share of docs that are majority-OOV. The tokenizer is
+# the shared functions/text.py whitespace contract. Scale shape: one
+# explode + two hash aggs + a 100-row broadcast semi-join; the final
+# OOV ratio is ONE double division of exact BIGINTs, so it compares
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+_VOCAB_K = 100
+
+
+def q42_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import text as TXT
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(TXT.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    vocab = counts.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _VOCAB_K
+    ).select("tok")
+    flagged = toks.join(F.broadcast(vocab), "tok", "left_semi").groupBy(
+        "doc_id"
+    ).agg(F.count(F.lit(1)).alias("in_vocab"))
+    per_doc = (
+        toks.groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+        .join(flagged, "doc_id", "left")
+        .select(
+            "lang",
+            "n_tok",
+            F.coalesce("in_vocab", F.lit(0)).alias("in_vocab"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum(F.col("n_tok") - F.col("in_vocab")).alias("oov_tokens"),
+            F.sum(
+                ((F.col("n_tok") - F.col("in_vocab")) * 2 > F.col("n_tok")).cast("long")
+            ).alias("majority_oov_docs"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.col("oov_tokens").cast("double") / F.col("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q42_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lang, t.tok
+  FROM documents, UNNEST(string_split_regex(lower(text), '\s+')) AS t(tok)
+  WHERE t.tok <> ''
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+    ORDER BY n DESC, tok ASC LIMIT {_VOCAB_K}
+  )
+), per_doc AS (
+  SELECT doc_id, lang,
+         COUNT(*) AS n_tok,
+         SUM(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 1 ELSE 0 END) AS in_vocab
+  FROM toks
+  GROUP BY doc_id, lang
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_tok - in_vocab) AS BIGINT) AS oov_tokens,
+       CAST(SUM(CASE WHEN (n_tok - in_vocab) * 2 > n_tok THEN 1 ELSE 0 END) AS BIGINT)
+         AS majority_oov_docs,
+       CAST(CAST(SUM(n_tok - in_vocab) AS BIGINT) AS DOUBLE)
+         / CAST(SUM(n_tok) AS BIGINT) AS oov_rate
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+"""
+
+QUERIES["q42_oov_rate"] = q42_oov_rate
+ORACLES["q42_oov_rate"] = Q42_SQL

@@ -456,3 +456,41 @@ def test_training_shards_deterministic(spark, tmp_path):
     # balanced-ish: no shard more than 2x the mean
     sizes = [len(v) for v in c1.values()]
     assert max(sizes) <= 2 * (2000 / 8)
+
+
+def test_orc_format_round_trip(spark, tmp_path):
+    """S8 seam, second real implementation: OrcFormat writes/reads ORC
+    files with the same append/overwrite/read/exists contract —
+    including the empty-frame-on-first-run read and the read-union-
+    overwrite lineage handling the parquet tier pioneered."""
+    from developing_img_etl_spark.sinks.writer import OrcFormat, TableFormat
+
+    fmt = OrcFormat()
+    assert isinstance(fmt, TableFormat)
+    path = str(tmp_path / "orc_table")
+    schema = "k INT, name STRING"
+
+    # first-run read: no files yet -> empty frame with the schema
+    assert not fmt.exists(spark, path)
+    assert fmt.read(spark, path, schema).count() == 0
+
+    fmt.append(spark.createDataFrame([(1, "a"), (2, "b")], schema), path)
+    assert fmt.exists(spark, path)
+    import os
+
+    assert any(f.endswith(".orc") or "part-" in f for f in os.listdir(path))
+
+    # read -> union -> overwrite of the SAME path (the catalog lineage)
+    merged = fmt.read(spark, path).unionByName(
+        spark.createDataFrame([(3, "c")], schema)
+    )
+    fmt.overwrite(merged, path)
+    got = {r["k"]: r["name"] for r in fmt.read(spark, path).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+
+    # partitioned append keeps hive layout
+    part_path = str(tmp_path / "orc_part")
+    fmt.append(
+        spark.createDataFrame([(1, "x"), (2, "y")], schema), part_path, partition_cols=["k"]
+    )
+    assert fmt.read(spark, part_path).select("k").distinct().count() == 2
