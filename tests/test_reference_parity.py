@@ -126,3 +126,33 @@ def test_pil_resize_contract_matches_fake_arithmetic():
     fake = IMG.make_fake_image(w, h)
     out = IMG._recompress(fake, IMG.MAX_DIM, IMG.JPEG_QUALITY)
     assert IMG._decode_dims(out) == (1024, 768)
+
+
+def test_xlsx_datasource_matches_driver_side_reader(spark):
+    """S14: the registered `xlsx` Python data source reads the REAL
+    reference workbook identically to the S1 driver-side loader —
+    same header-derived schema, same stringly rows — while parsing on
+    executors (one InputPartition per file)."""
+    from developing_img_etl_spark.sources.excel import read_excel
+    from developing_img_etl_spark.sources.xlsx_datasource import register_xlsx_source
+
+    register_xlsx_source(spark)
+
+    driver_df = read_excel(spark, XLSX)
+    ds_df = spark.read.format("xlsx").load(XLSX)  # schema inferred from header
+    assert [f.name for f in ds_df.schema.fields] == [
+        f.name for f in driver_df.schema.fields
+    ]
+    key = driver_df.columns[0]
+    a = [tuple(str(v) if v is not None else None for v in r) for r in
+         sorted(driver_df.collect(), key=lambda r: str(r[key]))]
+    b = [tuple(str(v) if v is not None else None for v in r) for r in
+         sorted(ds_df.collect(), key=lambda r: str(r[key]))]
+    assert a == b and len(a) > 0
+
+    # explicit schema selects + reorders columns by header name
+    two = spark.read.format("xlsx").schema(
+        f"`{driver_df.columns[1]}` string, `{driver_df.columns[0]}` string"
+    ).load(XLSX)
+    assert two.columns == [driver_df.columns[1], driver_df.columns[0]]
+    assert two.count() == len(a)
