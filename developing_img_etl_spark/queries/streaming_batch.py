@@ -733,3 +733,63 @@ ORDER BY event_type
 
 QUERIES["st6_streaming_dedup"] = st6_streaming_dedup
 ORACLES["st6_streaming_dedup"] = ST6_SQL
+
+
+# ---------------------------------------------------------------------------
+# ST7 — st5's per-user lifetime totals re-run on Spark 4's
+# transformWithStateInPandas (typed ValueState handles, the successor
+# to applyInPandasWithState). Same integer-cents state machine, same
+# drain harness, and the SAME ST5 oracle — hash-matching both
+# implementations against one oracle is the migration-safety proof for
+# moving a fleet's stateful jobs to the new API.
+# ---------------------------------------------------------------------------
+def st7_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..streaming.stateful import user_totals_tws
+
+    src = _staged_stream_dir(sf_dir)
+    tmp = tempfile.mkdtemp(prefix="stq7_")
+    stream = _raw_events_stream(spark, sf_dir, src).select("user_id", "value")
+    out = f"{tmp}/out"
+
+    def sink(batch, batch_id):
+        batch.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    q = (
+        user_totals_tws(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    w = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+    return (
+        spark.read.parquet(out)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "n_events", "total_cents", "total_value")
+        .orderBy("user_id")
+    )
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas ships its state protocol over
+    protobuf; without the google.protobuf package the driver worker
+    crashes at init. Declare st7 only where it can actually run (the
+    operator itself and its pytest are gated the same way)."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+if _tws_available():
+    QUERIES["st7_transform_with_state"] = st7_transform_with_state
+    ORACLES["st7_transform_with_state"] = ST5_SQL

@@ -618,3 +618,44 @@ ORDER BY lang
 
 QUERIES["q42_oov_rate"] = q42_oov_rate
 ORACLES["q42_oov_rate"] = Q42_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q43 — VariantType JSON (F14's modern engine, Spark 4): props parsed
+# ONCE into a Variant (binary semi-structured form) and field-extracted
+# with variant_get — the shredded/columnar path that replaces per-
+# access string re-parsing (q12b's get_json_object re-reads the string
+# per field). At 100 TB the parse happens once per row regardless of
+# how many fields are read downstream.
+# ---------------------------------------------------------------------------
+def q43_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        ev.select(k.alias("k_val"), "event_type", "value")
+        .groupBy(F.pmod(F.col("k_val"), F.lit(10)).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.min("k_val").alias("k_min"),
+            F.max("k_val").alias("k_max"),
+            dsum("value").alias("sum_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+Q43_SQL = f"""
+SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_types,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+       {sql_dsum("CAST(value AS DECIMAL(12,4))")} AS sum_value
+FROM events
+GROUP BY k_bucket
+ORDER BY k_bucket
+"""
+
+QUERIES["q43_variant_json"] = q43_variant_json
+ORACLES["q43_variant_json"] = Q43_SQL

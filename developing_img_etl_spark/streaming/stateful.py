@@ -73,3 +73,57 @@ def user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# The same operator on Spark 4's transformWithStateInPandas — the
+# successor API (SPARK-49413): typed state handles (ValueState here;
+# ListState/MapState/timers available), state schema evolution, and
+# per-key iterator batches. Kept semantically identical to user_totals
+# (integer-cents accumulator) so BOTH implementations hash-match the
+# SAME oracle — the migration-safety proof a fleet wants before
+# switching state APIs.
+# ---------------------------------------------------------------------------
+try:  # Spark 4+: the API and its processor base class
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _UserTotalsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += _row_cents(pdf["value"])
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                    "total_value": [cents / 100.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def user_totals_tws(events: DataFrame) -> DataFrame:
+        """user_totals on the transformWithStateInPandas API."""
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_UserTotalsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover - Spark <4 fallback
+
+    def user_totals_tws(events: DataFrame) -> DataFrame:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires Spark 4+; use user_totals"
+        )

@@ -243,3 +243,25 @@ def test_corrupt_sink_fails_batch_not_double_append(spark, tmp_path):
     # the corrupt marker is still the only file — nothing was appended
     names = [p.name for p in target_dir.iterdir() if not p.name.startswith((".", "_"))]
     assert names == ["part-00000.parquet"]
+
+
+def test_transform_with_state_matches_st5_oracle(spark, sf_dir):
+    """ST7: the transformWithStateInPandas implementation must produce
+    the SAME result as applyInPandasWithState (both hash the ST5
+    oracle). Gated: the API's state protocol needs google.protobuf,
+    absent in some containers — the operator raises cleanly there and
+    the declared query self-removes (streaming_batch._tws_available)."""
+    import pytest
+
+    from developing_img_etl_spark.queries.streaming_batch import (
+        ST5_SQL,
+        _tws_available,
+        st7_transform_with_state,
+    )
+
+    if not _tws_available():
+        pytest.skip("google.protobuf not installed; transformWithState cannot run")
+    from tests.oracle_utils import assert_matches
+
+    df = st7_transform_with_state(spark, sf_dir)
+    assert_matches(df, ST5_SQL, sf_dir, require_rows=True)
