@@ -337,3 +337,52 @@ def ivf_topk(
         .select("probe_id", "vec_id")
     )
     return _rerank_survivors(emb, pairs, probes, k=k, n_probes=n_probes)
+
+
+def arrow_topk(emb: DataFrame, probes_pd: pd.DataFrame, k: int = 5) -> DataFrame:
+    """numpy_topk on mapInArrow: the candidate matrix is rebuilt from
+    the Arrow ListArray's FLAT values buffer (one reshape, no
+    per-row list materialization and no Arrow→pandas conversion) — the
+    cheapest Python-side path Spark offers for dense vector math. Same
+    total order and rounding contract as numpy_topk/q13, so all three
+    share one oracle."""
+    import pyarrow as pa
+
+    pm = np.array(probes_pd["embedding"].tolist(), dtype=np.float64)
+    pm /= np.linalg.norm(pm, axis=1, keepdims=True)
+    probe_ids = probes_pd["vec_id"].to_numpy()
+
+    out_schema = "probe_id long, vec_id long, sim double"
+
+    def score(batches):
+        for batch in batches:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            col = batch.column("embedding")
+            if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+                col = col.combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            cm = flat.reshape(len(ids), -1)
+            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+            sims = cm @ pm.T
+            out_pid, out_vid, out_sim = [], [], []
+            for j, pid in enumerate(probe_ids):
+                mask = ids != pid
+                s = sims[:, j][mask]
+                r = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
+                cand_ids = ids[mask]
+                order = np.lexsort((cand_ids, -r))[: min(k, len(r))]
+                out_pid.append(np.full(len(order), pid, dtype=np.int64))
+                out_vid.append(cand_ids[order])
+                out_sim.append(r[order])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_pid), type=pa.int64()),
+                    pa.array(np.concatenate(out_vid), type=pa.int64()),
+                    pa.array(np.concatenate(out_sim), type=pa.float64()),
+                ],
+                names=["probe_id", "vec_id", "sim"],
+            )
+
+    partial = emb.select("vec_id", "embedding").mapInArrow(score, out_schema)
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "vec_id")
+    return partial.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")

@@ -222,6 +222,20 @@ def m8_numpy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rk")
 
 
+def m13_arrow_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m8 on mapInArrow (flat-buffer reshape, no pandas hop) — third
+    exact tier, same Q13 oracle: Catalyst (q13), mapInPandas (m8), and
+    mapInArrow (here) must agree bit-for-bit. Same bounded
+    plan-construction NOTE as m8 (probe collection)."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes_pd = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding").toPandas()
+    out = SIM.arrow_topk(emb, probes_pd, k=5)
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "vec_id")
+    return out.select(
+        "probe_id", "vec_id", "sim", F.row_number().over(w).cast("long").alias("rk")
+    ).orderBy("probe_id", "rk")
+
+
 QUERIES = {
     "m1_image_compress": m1_image_compress,
     "m2_image_metadata": m2_image_metadata,
@@ -231,15 +245,17 @@ QUERIES = {
     "m6_ann_lsh_topk": m6_ann_lsh_topk,
     "m8_numpy_topk": m8_numpy_topk,
     "m9_ann_ivf_topk": m9_ann_ivf_topk,
+    "m13_arrow_topk": m13_arrow_topk,
 }
 
-from .similarity import Q13_SQL  # noqa: E402  (m8 is exact — same oracle)
+from .similarity import Q13_SQL  # noqa: E402  (m8/m13 are exact — same oracle)
 
 ORACLES = {
     "m1_image_compress": M1_SQL,
     "m2_image_metadata": M2_SQL,
     "m7_multimodal_bind": M7_SQL,
     "m8_numpy_topk": Q13_SQL,
+    "m13_arrow_topk": Q13_SQL,
     # m4/m5/m6: approximate or Spark-hash-specific → rows-only
 }
 
