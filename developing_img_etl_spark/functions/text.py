@@ -99,3 +99,18 @@ def shingles(text: Column, n: int = 3) -> Column:
         grams = F.zip_with(grams, shifted, lambda g, t: F.concat_ws(" ", g, t))
     valid = F.greatest(sz - (n - 1), F.lit(0))
     return F.array_distinct(F.slice(grams, 1, valid))
+
+
+def chunk_starts(n_chars: Column, size: int, overlap: int) -> Column:
+    """Start offsets (0-based) for fixed-size overlapping chunks: one
+    chunk every ``size - overlap`` characters while text remains. Pure
+    `F.sequence` — explodes JVM-side, no UDF. Contract: every char is
+    covered, consecutive chunks share exactly ``overlap`` chars (except
+    a shorter final chunk), and offsets are a pure function of length —
+    so chunk identity is stable across runs and engines."""
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    step = size - overlap
+    return F.sequence(
+        F.lit(0), F.greatest(F.lit(0), n_chars.cast("long") - 1), F.lit(step)
+    )

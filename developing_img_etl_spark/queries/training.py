@@ -659,3 +659,56 @@ ORDER BY k_bucket
 
 QUERIES["q43_variant_json"] = q43_variant_json
 ORACLES["q43_variant_json"] = Q43_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q44 — document chunking (M18): fixed-size overlapping context windows
+# (size 64, overlap 16 → a new chunk every 48 chars), the split every
+# training pipeline runs before tokenization. One F.sequence explode +
+# substring — all codegen; chunk identity is pinned cross-engine by
+# MD5 of the chunk text (bit-identical in Spark and DuckDB), so the
+# oracle verifies CONTENT, not just counts.
+# ---------------------------------------------------------------------------
+_CHUNK_SIZE = 64
+_CHUNK_OVERLAP = 16
+_CHUNK_STEP = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+def q44_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import chunk_starts
+
+    docs = load(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id",
+        "text",
+        F.explode(chunk_starts(F.col("n_chars"), _CHUNK_SIZE, _CHUNK_OVERLAP)).alias(
+            "start"
+        ),
+    )
+    chunk = F.substring(F.col("text"), F.col("start").cast("int") + 1, _CHUNK_SIZE)
+    return exploded.select(
+        "doc_id",
+        F.expr(f"start DIV {_CHUNK_STEP}").alias("chunk_idx"),
+        F.length(chunk).alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+Q44_SQL = f"""
+WITH s AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, GREATEST(0, CAST(n_chars AS BIGINT) - 1),
+                                {_CHUNK_STEP})) AS start
+  FROM documents
+)
+SELECT doc_id,
+       start // {_CHUNK_STEP} AS chunk_idx,
+       CAST(length(substring(text, CAST(start AS INT) + 1, {_CHUNK_SIZE})) AS INT)
+         AS chunk_len,
+       md5(substring(text, CAST(start AS INT) + 1, {_CHUNK_SIZE})) AS chunk_md5
+FROM s
+ORDER BY doc_id, chunk_idx
+"""
+
+QUERIES["q44_document_chunks"] = q44_document_chunks
+ORACLES["q44_document_chunks"] = Q44_SQL
