@@ -712,3 +712,74 @@ ORDER BY doc_id, chunk_idx
 
 QUERIES["q44_document_chunks"] = q44_document_chunks
 ORACLES["q44_document_chunks"] = Q44_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q45 — TF-IDF top terms per document. The idf is kept RATIONAL
+# (score = tf * 1e6 * N DIV df — same ranking as tf * N/df, which is
+# monotone in tf * ln(N/df)-style weights for fixed tf) so the score
+# is exact integer arithmetic: a float ln() can drift 1 ulp between
+# engines and flip a rank tie, an integer ratio cannot. Top-3 terms
+# per doc, ties broken by term — total order, hash-stable.
+# Scale shape: explode + two hash aggs + one join on term + per-doc
+# window; the N scalar rides in via a 1-row broadcast cross join, so
+# the plan stays fully lazy (no driver-side count at build time).
+# ---------------------------------------------------------------------------
+_TFIDF_K = 3
+
+
+def q45_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import text as TXT
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.expr("tf * 1000000 * n_docs DIV df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _TFIDF_K)
+        .select("doc_id", "rk", "tok", "tf", "df", "score")
+        .orderBy("doc_id", "rk")
+    )
+
+
+Q45_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents, UNNEST(string_split_regex(lower(text), '\s+')) AS t(tok)
+  WHERE t.tok <> ''
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         (tf.tf * 1000000 * n.n_docs) // df.df AS score
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, tok, tf, df, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, rk, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score AS BIGINT) AS score
+FROM ranked
+WHERE rk <= {_TFIDF_K}
+ORDER BY doc_id, rk
+"""
+
+QUERIES["q45_tfidf_topterms"] = q45_tfidf_topterms
+ORACLES["q45_tfidf_topterms"] = Q45_SQL
