@@ -783,3 +783,118 @@ ORDER BY doc_id, rk
 
 QUERIES["q45_tfidf_topterms"] = q45_tfidf_topterms
 ORACLES["q45_tfidf_topterms"] = Q45_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q46 — referential-integrity audit: orphan counts for every FK edge of
+# the star schema in ONE result — the data-quality gate a pipeline runs
+# before joining 100 TB of facts against dims (a silently-broken FK
+# turns inner joins into row loss). Each edge is a left-anti count;
+# all are tiny aggregates unioned into one frame.
+# ---------------------------------------------------------------------------
+def q46_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+
+    def orphans(name, child, fk, parent, pk):
+        n = (
+            child.join(parent.select(F.col(pk).alias(fk)), fk, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .withColumn("fk_edge", F.lit(name))
+        )
+        total = child.agg(F.count(F.lit(1)).alias("n_rows")).withColumn(
+            "fk_edge", F.lit(name)
+        )
+        return n.join(total, "fk_edge").select("fk_edge", "n_rows", "n_orphans")
+
+    edges = [
+        orphans("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        orphans("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+        orphans("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        orphans("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+        orphans("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out.orderBy("fk_edge")
+
+
+Q46_SQL = """
+SELECT 'customer.c_nationkey->nation' AS fk_edge,
+       (SELECT COUNT(*) FROM customer) AS n_rows,
+       (SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS n_orphans
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+ORDER BY fk_edge
+"""
+
+QUERIES["q46_fk_integrity"] = q46_fk_integrity
+ORACLES["q46_fk_integrity"] = Q46_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q47 — join-key skew profiler: the diagnosis that decides when
+# operators/skew.py's salting is worth its scatter cost. For a join
+# key, report the heaviest keys and what share of all rows the top-10
+# carry — share as integer parts-per-million (exact division of exact
+# counts, cross-engine stable).
+# ---------------------------------------------------------------------------
+def q47_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = li.agg(F.count(F.lit(1)).alias("total"))
+    w = Window.orderBy(F.desc("n"), F.asc("key"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rk",
+            "key",
+            "n",
+            F.expr("n * 1000000 DIV total").alias("share_ppm"),
+        )
+        .orderBy("rk")
+    )
+
+
+Q47_SQL = """
+WITH counts AS (
+  SELECT l_suppkey AS key, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey
+), t AS (
+  SELECT COUNT(*) AS total FROM lineitem
+), ranked AS (
+  SELECT key, n, ROW_NUMBER() OVER (ORDER BY n DESC, key ASC) AS rk FROM counts
+)
+SELECT rk, key, CAST(n AS BIGINT) AS n,
+       CAST((n * 1000000) // t.total AS BIGINT) AS share_ppm
+FROM ranked CROSS JOIN t
+WHERE rk <= 10
+ORDER BY rk
+"""
+
+QUERIES["q47_skew_profile"] = q47_skew_profile
+ORACLES["q47_skew_profile"] = Q47_SQL
