@@ -289,3 +289,79 @@ ORDER BY doc_id
 
 QUERIES["q30_dedup_clusters"] = q30_dedup_clusters
 ORACLES["q30_dedup_clusters"] = Q30_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q48 — exact edit-distance verification of near-dup candidates: the
+# third verification metric beside set-Jaccard (q14c) and cosine (q31).
+# Candidates come from the SAME inverted shingle index (>= 3 shared
+# word trigrams — cheap, bucketed, never all-pairs); only survivors pay
+# the O(len²) Levenshtein DP, and distances are INTEGERS (similarity
+# reported as exact ppm of the longer string), so the comparison is
+# engine-exact where a float similarity could drift.
+# ---------------------------------------------------------------------------
+def q48_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", "source", TXT.shingles(F.col("text"), 3).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", "source", F.explode("sh").alias("s"))
+    )
+    a = sh.select("source", "s", F.col("doc_id").alias("id_a"))
+    b = sh.select("source", "s", F.col("doc_id").alias("id_b"))
+    cand = (
+        a.join(b, ["source", "s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("source", "id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 3)
+    )
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    verified = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "source",
+            "id_a",
+            "id_b",
+            "n_common",
+            F.levenshtein(F.col("text_a"), F.col("text_b")).cast("long").alias("lev"),
+            F.expr(
+                "CAST(levenshtein(text_a, text_b) * 1000000"
+                " DIV GREATEST(length(text_a), length(text_b)) AS BIGINT)"
+            ).alias("dist_ppm"),
+        )
+    )
+    return verified.orderBy("source", "id_a", "id_b")
+
+
+Q48_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+  FROM toks WHERE len(t) >= 3
+), inv AS (
+  SELECT doc_id, source, UNNEST(s) AS shingle FROM sh
+), cand AS (
+  SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM inv a JOIN inv b
+    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) >= 3
+)
+SELECT c.source, c.id_a, c.id_b, c.n_common,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+       CAST((levenshtein(da.text, db.text) * 1000000)
+            // GREATEST(length(da.text), length(db.text)) AS BIGINT) AS dist_ppm
+FROM cand c
+JOIN documents da ON c.id_a = da.doc_id
+JOIN documents db ON c.id_b = db.doc_id
+ORDER BY c.source, c.id_a, c.id_b
+"""
+
+QUERIES["q48_edit_distance_pairs"] = q48_edit_distance_pairs
+ORACLES["q48_edit_distance_pairs"] = Q48_SQL
