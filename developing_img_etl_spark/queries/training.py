@@ -898,3 +898,69 @@ ORDER BY rk
 
 QUERIES["q47_skew_profile"] = q47_skew_profile
 ORACLES["q47_skew_profile"] = Q47_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q49 — JSONL ingestion round-trip (gives S11 an oracle-checked query):
+# the documents table is staged as JSON-lines (once per process+SF,
+# Spark-written so escaping is canonical) with three malformed lines
+# injected, read back through sources/jsonl.py's PERMISSIVE
+# corrupt-capture, and the GOOD rows aggregated. The oracle aggregates
+# the parquet table directly — so a hash match proves the write→read
+# round trip is lossless AND that corruption capture quarantined
+# exactly the bad lines (a leaked corrupt row would show up as an
+# all-NULL row and flip n_docs/null counts). The corrupt-side count is
+# asserted in-query via a crossJoin'd scalar so the oracle sees it too.
+# ---------------------------------------------------------------------------
+_JSONL_STAGE_CACHE: dict[str, str] = {}
+_JSONL_N_CORRUPT = 3
+
+
+def _staged_jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _JSONL_STAGE_CACHE:
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="jsonl_docs_")
+        docs = load(spark, sf_dir, "documents")
+        docs.coalesce(1).write.mode("overwrite").json(d)
+        with open(os.path.join(d, "zz-corrupt.json"), "w") as fh:
+            fh.write('{"doc_id": broken\n{not json at all\n{"text": "unterminated\n')
+        _JSONL_STAGE_CACHE[sf_dir] = d
+    return _JSONL_STAGE_CACHE[sf_dir]
+
+
+def q49_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import TABLES
+    from ..sources.jsonl import read_jsonl, split_corrupt
+
+    path = _staged_jsonl_dir(spark, sf_dir)
+    good, bad = split_corrupt(read_jsonl(spark, path, TABLES["documents"]))
+    n_bad = bad.agg(F.count(F.lit(1)).alias("n_corrupt"))
+    return (
+        good.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("total_text_len"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .crossJoin(F.broadcast(n_bad))
+        .orderBy("source")
+    )
+
+
+Q49_SQL = f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_len,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST({_JSONL_N_CORRUPT} AS BIGINT) AS n_corrupt
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["q49_jsonl_roundtrip"] = q49_jsonl_roundtrip
+ORACLES["q49_jsonl_roundtrip"] = Q49_SQL

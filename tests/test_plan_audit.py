@@ -22,8 +22,20 @@ import pytest
 
 from developing_img_etl_spark.queries import all_queries
 
-# queries whose plan legitimately contains a BroadcastNestedLoopJoin
-BNLJ_ALLOWED = {"q11d_bucket_range_join", "q13_brute_force_topk"}
+# queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+# q11d/q13 broadcast a small dimension/probe set against every row (the
+# algorithm); the r3b entries broadcast a ONE-ROW aggregate scalar
+# (corpus size / row total / corrupt count) via crossJoin — a 1×N
+# nested loop is the cheapest way to attach a lazy scalar, and the
+# broadcast side can never exceed one row by construction.
+BNLJ_ALLOWED = {
+    "q11d_bucket_range_join",
+    "q13_brute_force_topk",
+    "q45_tfidf_topterms",
+    "q46_fk_integrity",
+    "q47_skew_profile",
+    "q49_jsonl_roundtrip",
+}
 
 # no exemptions today: every declared query ships ids through hash
 # shuffles and re-attaches fat payloads by key
