@@ -99,3 +99,24 @@ def train_test_split(
         .when(b < val_hi, F.lit("val"))
         .otherwise(F.lit("train")),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | Column,
+    *,
+    seed: int = 42,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Per-ROW keep probability from a column (clamped to [0, 1]) —
+    quality- or length-proportional mixing, still deterministic by key:
+    the same row keeps or drops identically across runs, retries, and
+    partitionings. Threshold is floor(weight · 1e6) compared against
+    the key bucket, all codegen; `bucket` override as elsewhere."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    b = _key_bucket(key_col, seed) if bucket is None else bucket
+    thresh = F.floor(
+        F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)) * F.lit(_BUCKETS)
+    ).cast("long")
+    return df.filter(b < thresh)

@@ -964,3 +964,57 @@ ORDER BY source
 
 QUERIES["q49_jsonl_roundtrip"] = q49_jsonl_roundtrip
 ORACLES["q49_jsonl_roundtrip"] = Q49_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q50 — weighted sampling (M13 extension): per-row keep probability
+# proportional to document length (floor-exact arithmetic: floor() on
+# BOTH sides because DuckDB's double→BIGINT cast rounds where Spark's
+# truncates). The quality-weighted-mixing primitive: longer/better
+# docs survive at higher rates, still deterministic by key.
+# ---------------------------------------------------------------------------
+def q50_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "w", F.col("n_chars") / F.lit(400.0)
+    )
+    bucket = F.pmod(F.col("doc_id") * F.lit(_K) + F.lit(_SEED), F.lit(_BUCKETS))
+    kept = weighted_sample(docs, "doc_id", "w", bucket=bucket)
+    n_kept = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+    return (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(n_kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_chars", F.lit(0)).alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+Q50_SQL = f"""
+WITH w AS (
+  SELECT source, n_chars,
+         (doc_id * {_K} + {_SEED}) % {_BUCKETS} AS b,
+         CAST(FLOOR(LEAST(GREATEST(n_chars / 400.0, 0.0), 1.0) * {_BUCKETS}) AS BIGINT)
+           AS thresh
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN b < thresh THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN b < thresh THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM w
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["q50_weighted_sampling"] = q50_weighted_sampling
+ORACLES["q50_weighted_sampling"] = Q50_SQL
