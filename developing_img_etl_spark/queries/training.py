@@ -1018,3 +1018,73 @@ ORDER BY source
 
 QUERIES["q50_weighted_sampling"] = q50_weighted_sampling
 ORACLES["q50_weighted_sampling"] = Q50_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q51 — snapshot diff (operators/diff.py): documents vs a derived
+# second snapshot (every 7th doc re-chunked to a new length, every
+# 13th deleted, shifted-key inserts) classified added/removed/changed/
+# unchanged in one full-outer join with null-safe column comparison —
+# the post-backfill audit. Counts per (source, status) hash-match the
+# oracle's IS NOT DISTINCT FROM mirror.
+# ---------------------------------------------------------------------------
+def q51_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.diff import table_diff
+
+    docs = load(spark, sf_dir, "documents")
+    mutated = (
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(13)) != 0)
+        .withColumn(
+            "n_chars",
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(7)) == 0, F.col("n_chars") + 5
+            ).otherwise(F.col("n_chars")),
+        )
+        .unionByName(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(11)) == 0).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(1_000_000)
+            )
+        )
+    )
+    source_of = docs.select("doc_id", "source").unionByName(
+        mutated.select("doc_id", "source")
+    ).distinct()
+    diff = table_diff(docs, mutated, "doc_id", compare_cols=["n_chars", "text"])
+    return (
+        diff.join(source_of, "doc_id")
+        .groupBy("source", "diff_status")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("source", "diff_status")
+    )
+
+
+Q51_SQL = """
+WITH mutated AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars,
+         text, source
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, n_chars, text, source
+  FROM documents WHERE doc_id % 11 = 0
+), diff AS (
+  SELECT COALESCE(o.doc_id, m.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN m.doc_id IS NULL THEN 'removed'
+              WHEN (o.n_chars IS NOT DISTINCT FROM m.n_chars)
+               AND (o.text IS NOT DISTINCT FROM m.text) THEN 'unchanged'
+              ELSE 'changed' END AS diff_status
+  FROM documents o FULL OUTER JOIN mutated m ON o.doc_id = m.doc_id
+), source_of AS (
+  SELECT DISTINCT doc_id, source FROM (
+    SELECT doc_id, source FROM documents
+    UNION ALL SELECT doc_id, source FROM mutated)
+)
+SELECT s.source, d.diff_status, COUNT(*) AS n_keys
+FROM diff d JOIN source_of s USING (doc_id)
+GROUP BY s.source, d.diff_status
+ORDER BY s.source, d.diff_status
+"""
+
+QUERIES["q51_snapshot_diff"] = q51_snapshot_diff
+ORACLES["q51_snapshot_diff"] = Q51_SQL
