@@ -1088,3 +1088,61 @@ ORDER BY s.source, d.diff_status
 
 QUERIES["q51_snapshot_diff"] = q51_snapshot_diff
 ORACLES["q51_snapshot_diff"] = Q51_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q52 — calendar gap-fill (time-series resample): a complete daily
+# spine from the table's own min/max dates (lazy 1-row scalar, same
+# broadcast-cross shape as q45) exploded from F.sequence, left-joined
+# to the daily aggregate, empties zero-filled — the densify step every
+# time-series model needs before windowing, where a naive groupBy
+# silently drops empty days. Spine length = date span, not row count.
+# ---------------------------------------------------------------------------
+def q52_calendar_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderdate").cast("date").alias("d"), "o_totalprice"
+    )
+    bounds = urgent.agg(
+        F.min("d").alias("dmin"), F.max("d").alias("dmax")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(dmin, dmax, interval 1 day)")).alias("day")
+    )
+    daily = urgent.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice").alias("rev"),
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+            F.coalesce("rev", F.lit(0.0)).alias("revenue"),
+        )
+        .orderBy("day")
+    )
+
+
+Q52_SQL = f"""
+WITH urgent AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, o_totalprice
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+), bounds AS (
+  SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM urgent
+), spine AS (
+  SELECT unnest(generate_series(dmin, dmax, INTERVAL 1 DAY))::DATE AS day FROM bounds
+), daily AS (
+  SELECT d AS day, COUNT(*) AS n,
+         {sql_dsum("CAST(o_totalprice AS DECIMAL(12,4))")} AS rev
+  FROM urgent GROUP BY d
+)
+SELECT s.day,
+       CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_orders,
+       COALESCE(daily.rev, 0.0) AS revenue
+FROM spine s LEFT JOIN daily USING (day)
+ORDER BY s.day
+"""
+
+QUERIES["q52_calendar_gapfill"] = q52_calendar_gapfill
+ORACLES["q52_calendar_gapfill"] = Q52_SQL
