@@ -794,17 +794,26 @@ APPROX_PCT_ACCURACY = 10_000  # 1/accuracy relative-rank error bound
 
 
 def q23_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Result is posexploded to scalar rows (no array column in the
+    # output): the driver harness canonicalizes via pandas sort_values,
+    # which cannot hash list-typed cells. Rule: declared queries return
+    # only scalar columns.
     lineitem = load(spark, sf_dir, "lineitem")
     acc = APPROX_PCT_ACCURACY
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.expr(
+            f"approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.9), {acc})"
+        ).alias("approx_quartiles"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
     return (
-        lineitem.groupBy("l_returnflag")
-        .agg(
-            F.expr(
-                f"approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.9), {acc})"
-            ).alias("approx_quartiles"),
-            F.count(F.lit(1)).alias("n_rows"),
+        agg.select(
+            "l_returnflag",
+            "n_rows",
+            F.posexplode("approx_quartiles").alias("q_pos", "q_value"),
         )
-        .orderBy("l_returnflag")
+        .select("l_returnflag", "q_pos", "q_value", "n_rows")
+        .orderBy("l_returnflag", "q_pos")
     )
 
 

@@ -134,14 +134,17 @@ def test_approx_percentile_within_accuracy(spark, sf_dir):
     )
 
     exact_rows = {r.l_returnflag: r for r in q22_percentiles(spark, sf_dir).collect()}
-    approx_rows = {r.l_returnflag: r for r in q23_approx_percentiles(spark, sf_dir).collect()}
+    approx_rows: dict[str, list[float]] = {}
+    for r in q23_approx_percentiles(spark, sf_dir).collect():
+        approx_rows.setdefault(r.l_returnflag, []).append(r.q_value)
     assert exact_rows.keys() == approx_rows.keys()
+    assert all(len(v) == 4 for v in approx_rows.values())
 
     lineitem = load(spark, sf_dir, "lineitem")
     rank_eps = 4.0 / APPROX_PCT_ACCURACY
-    for flag, ar in approx_rows.items():
+    for flag, quartiles in approx_rows.items():
         grp = lineitem.filter(F.col("l_returnflag") == flag)
-        for p, got in zip((0.25, 0.5, 0.75, 0.9), ar.approx_quartiles):
+        for p, got in zip((0.25, 0.5, 0.75, 0.9), quartiles):
             lo, hi = max(p - rank_eps, 0.0), min(p + rank_eps, 1.0)
             bounds = grp.agg(
                 F.expr(f"percentile(l_extendedprice, {lo})").alias("lo"),
