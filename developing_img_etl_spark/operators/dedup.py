@@ -207,17 +207,30 @@ def contaminated_ids(
     id_col: str = "doc_id",
     text_col: str = "text",
     probe_id_col: str = "doc_id",
+    docs_shingled: DataFrame | None = None,
+    probes_shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Ids of documents sharing >= min_common distinct n-gram shingles
     with ANY probe document (benchmark/eval contamination check). Same
     inverted-index shape as exact Jaccard: explode both sides, equi-join
     on the shingle, count per (doc, probe) — never an all-pairs scan.
     Self-matches are excluded so a benchmark document that also lives in
-    the corpus does not flag itself."""
-    d_sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n).select("doc_id", "s")
-    p_sh = shingle_rows(probes, id_col=probe_id_col, text_col=text_col, n=n).select(
-        F.col("doc_id").alias("probe_id"), "s"
-    )
+    the corpus does not flag itself.
+
+    ``docs_shingled`` / ``probes_shingled`` accept a prebuilt exploded
+    index (columns including ``doc_id``/``probe id`` and ``s``) so
+    callers with a staged/persisted shingle table (queries/_shingle.py)
+    don't re-pay the tokenize→explode scan."""
+    d_sh = (
+        docs_shingled
+        if docs_shingled is not None
+        else shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
+    ).select("doc_id", "s")
+    p_sh = (
+        probes_shingled
+        if probes_shingled is not None
+        else shingle_rows(probes, id_col=probe_id_col, text_col=text_col, n=n)
+    ).select(F.col("doc_id").alias("probe_id"), "s")
     return (
         d_sh.join(p_sh, "s")
         .filter(F.col("doc_id") != F.col("probe_id"))

@@ -1,0 +1,60 @@
+"""Shared word-3-gram shingle inverted index over ``documents``.
+
+q14c (Jaccard pairs), q27 (decontamination), q30 (dedup clusters) and
+q48 (edit-distance verification) all consume the IDENTICAL exploded
+index ``(doc_id, source, n_sh, s)``. Building it per-query re-pays the
+tokenize→shingle→explode scan four times (VERDICT r3: ~6-8 s of pure
+waste at sf0.1). Here it is built once per (session, sf_dir, n) and
+persisted MEMORY_AND_DISK; every consumer reuses the cached blocks.
+
+Scale note (100 TB): in a deployed pipeline this frame is a *staged
+table* — written once to bucketed parquet (bucketed by ``s`` so the
+downstream self-joins are shuffle-free) and reused by every dedup
+consumer. The in-session persist is the sandbox equivalent of that
+stage; the consumers are agnostic to which one backs them.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import text as TXT
+
+_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def shingle_index(spark: SparkSession, sf_dir: str, *, n: int = 3) -> DataFrame:
+    """Exploded shingle inverted index: (doc_id, source, n_sh, s).
+
+    ``n_sh`` is the per-document distinct-shingle count (q14c's Jaccard
+    denominator); ``s`` is one distinct word-n-gram per row. Documents
+    with fewer than ``n`` tokens contribute no rows.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir, n)
+    df = _CACHE.get(key)
+    if df is None:
+        docs = load(spark, sf_dir, "documents")
+        # A small local parquet is 1-2 splits; without widening, the
+        # regex tokenize + shingle HOF would run on 1 core AND the
+        # persisted blocks would pin that layout for every downstream
+        # join. At 100 TB the scan already has thousands of splits and
+        # this is a no-op (same guard as operators/dedup._widen).
+        target = spark.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < target:
+            docs = docs.repartition(target)
+        df = (
+            docs.select("doc_id", "source", TXT.shingles(F.col("text"), n).alias("sh"))
+            .filter(F.size("sh") > 0)
+            .select(
+                "doc_id",
+                "source",
+                F.size("sh").alias("n_sh"),
+                F.explode("sh").alias("s"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _CACHE[key] = df
+    return df

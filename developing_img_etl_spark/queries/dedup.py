@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions import text as TXT
+from ._shingle import shingle_index
 
 
 def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,12 +81,7 @@ def q14c_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the high-cardinality (source, shingle) key keeps parallelism at
     # shuffle-partition granularity and never moves an array — the only
     # state per row is two longs. common/(|A|+|B|-common) == set Jaccard.
-    docs = load(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", "source", TXT.shingles(F.col("text"), 3).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select("doc_id", "source", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
-    )
+    sh = shingle_index(spark, sf_dir)
     a = sh.select(
         F.col("source"), F.col("s"), F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")
     )
@@ -166,9 +162,14 @@ def q27_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     probes = docs.filter(F.col("doc_id") % 97 == 0)
-    flagged = contaminated_ids(docs, probes, min_common=5).withColumn(
-        "is_contaminated", F.lit(1)
-    )
+    sh = shingle_index(spark, sf_dir)
+    flagged = contaminated_ids(
+        docs,
+        probes,
+        min_common=5,
+        docs_shingled=sh,
+        probes_shingled=sh.filter(F.col("doc_id") % 97 == 0),
+    ).withColumn("is_contaminated", F.lit(1))
     labeled = docs.join(flagged, "doc_id", "left")
     return (
         labeled.groupBy("source")
@@ -228,11 +229,7 @@ def q30_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cluster import dedup_clusters
 
     docs = load(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", "source", TXT.shingles(F.col("text"), 3).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select("doc_id", "source", F.explode("sh").alias("s"))
-    )
+    sh = shingle_index(spark, sf_dir)
     a = sh.select("source", "s", F.col("doc_id").alias("id_a"))
     b = sh.select("source", "s", F.col("doc_id").alias("id_b"))
     edges = (
@@ -302,11 +299,7 @@ ORACLES["q30_dedup_clusters"] = Q30_SQL
 # ---------------------------------------------------------------------------
 def q48_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", "source", TXT.shingles(F.col("text"), 3).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .select("doc_id", "source", F.explode("sh").alias("s"))
-    )
+    sh = shingle_index(spark, sf_dir)
     a = sh.select("source", "s", F.col("doc_id").alias("id_a"))
     b = sh.select("source", "s", F.col("doc_id").alias("id_b"))
     cand = (

@@ -54,6 +54,9 @@ Q20_SQL = Q20_TEXT  # dialect-shared: the same text runs on DuckDB
 # Edges: within an order, line n+1 depends on line n (the q19 chain).
 # Output: every (descendant, ancestor) pair with its path depth.
 # ---------------------------------------------------------------------------
+_UNROLL_DEPTH = 8  # closures at most this deep take the single-plan fast path
+
+
 def q21_dependency_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load(spark, sf_dir, "lineitem")
     edges = (
@@ -92,6 +95,40 @@ def q21_dependency_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.agg(F.max("l_linenumber").alias("m")).collect()[0].m or 1
     ) - 1
     closure = edges.withColumn("depth", F.lit(1))
+    if max_depth <= _UNROLL_DEPTH:
+        # Shallow-closure fast path (VERDICT r3): for bounded depth,
+        # unroll the frontier extension into ONE declarative plan —
+        # max_depth-1 chained joins, no per-round driver barrier, no
+        # dropDuplicates, no checkpoints. In this chain graph every
+        # (child, ancestor) pair has exactly one path, so the unrolled
+        # union is already duplicate-free. Catalyst/AQE schedule the
+        # whole DAG as one job; the doubling loop below remains the
+        # unbounded-depth path.
+        step = edges.select(
+            F.col("orderkey").alias("r_orderkey"),
+            F.col("child_line").alias("r_child"),
+            F.col("parent_line").alias("r_parent"),
+            F.col("mult").alias("r_mult"),
+        )
+        cur = closure
+        for _ in range(max_depth - 1):
+            cur = cur.join(
+                step,
+                (F.col("orderkey") == F.col("r_orderkey"))
+                & (F.col("parent_line") == F.col("r_child")),
+            ).select(
+                "orderkey",
+                "child_line",
+                F.col("r_parent").alias("parent_line"),
+                (F.col("depth") + 1).alias("depth"),
+                (F.col("mult") * F.col("r_mult")).alias("mult"),
+            )
+            closure = closure.unionByName(cur)
+        return (
+            closure.withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("mult"))))
+            .drop("__i", "mult")
+            .orderBy("orderkey", "child_line", "parent_line")
+        )
     reach = 1
     while reach < max_depth:
         # rename-before-join instead of alias(): both sides of this
@@ -169,11 +206,14 @@ ORACLES = {
 # (85*s) DIV 100) so every engine computes bit-identical ranks — FP
 # PageRank can never hash-match across engines, integer PageRank must.
 # The graph is symmetrized (both edge directions) so no node dangles.
-# Scale shape: the edge list and degree table are computed once and
-# localCheckpoint'd (reused every round); each iteration is one join +
-# one groupBy on the SAME src key — at 1000 executors pre-partitioning
-# edges by src makes every round exchange-free after the first. Round
-# count is fixed (3), not data-dependent.
+# Scale shape (VERDICT r3 exchange-fusion): the degree is folded into
+# the edge list ONCE (edges ⋈ deg, pre-partitioned by src and
+# localCheckpoint'd — LogicalRDD keeps the hash partitioning), so each
+# iteration is exactly (small rank exchange on node) + (contribution
+# exchange on dst): two exchanges, one join, one agg — the edge side is
+# never re-shuffled after round 0. The rank-update formula is fused
+# into the aggregate's output projection. Round count is fixed (3),
+# not data-dependent.
 # ---------------------------------------------------------------------------
 _PR_ITERS = 3
 
@@ -189,14 +229,19 @@ def q39_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(eager=True)
+    # degree-annotated edges, hash-partitioned on the per-round join key
+    e_deg = (
+        edges.join(deg, "src")
+        .select("src", "dst", "d")
+        .repartition(F.col("src"))
+        .localCheckpoint(eager=True)
+    )
     rank = deg.select(F.col("src").alias("node"), F.lit(1_000_000).alias("r"))
     for _ in range(_PR_ITERS):
         rank = (
-            edges.join(rank, edges.src == rank.node)
-            .join(deg, "src")
-            .select(F.col("dst"), F.expr("r DIV d").alias("c"))
+            e_deg.join(rank, e_deg.src == rank.node)
             .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
+            .agg(F.sum(F.expr("r DIV d")).alias("s"))
             .select(
                 F.col("dst").alias("node"),
                 (F.lit(150_000) + F.expr("(85 * s) DIV 100")).alias("r"),
