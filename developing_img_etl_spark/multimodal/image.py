@@ -2,15 +2,20 @@
 unreadable-guard — the reference's core custom compute
 (/root/reference/test.py:44-59) as vectorized pandas UDFs.
 
-Codec strategy, three tiers:
+Codec strategy, four tiers:
   1. BMP (24-bit uncompressed): the stdlib+numpy codec in bmp.py —
      a REAL raster decode → nearest-neighbor downscale → re-encode
      that runs in any container, always routed here for determinism
      (BMP is lossless, so quality is a no-op on this branch);
-  2. PIL/cv2 when importable: JPEG/PNG/etc. full decode+re-encode;
-  3. FAKEIMG (`FAKEIMG:{w}:{h}:` header + payload): the synthetic
-     seam for formats whose codec is absent — plus stdlib JPEG-SOF /
-     PNG-IHDR header parsing so real files still get real metadata.
+  2. PNG (8-bit gray/RGB/RGBA, non-interlaced): the stdlib zlib codec
+     in png.py — a real *compressed* format through the same pixel
+     pipeline, also container-independent and deterministic (PNG out
+     is lossless; quality is a no-op). Exotic PNGs (palette, 16-bit,
+     interlaced) fall through to PIL where importable;
+  3. PIL/cv2 when importable: JPEG/etc. full decode+re-encode;
+  4. FAKEIMG (`FAKEIMG:{w}:{h}:` header + payload): the synthetic
+     seam for formats whose codec is absent — plus stdlib JPEG-SOF
+     header parsing so real files still get real metadata.
 The Spark-side plumbing — BinaryType columns, Arrow batch shape,
 null-on-unreadable semantics, aspect-preserving resize arithmetic,
 quality knob — is identical across tiers, which is what the engine
@@ -28,7 +33,7 @@ import io
 
 import pandas as pd
 
-from . import bmp
+from . import bmp, png
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -95,17 +100,6 @@ def _jpeg_dims(data: bytes) -> tuple[int, int] | None:
     return None
 
 
-def _png_dims(data: bytes) -> tuple[int, int] | None:
-    """Stdlib PNG dimension parse: IHDR is always the first chunk."""
-    if len(data) < 24 or data[0:8] != b"\x89PNG\r\n\x1a\n":
-        return None
-    if data[12:16] != b"IHDR":
-        return None
-    w = int.from_bytes(data[16:20], "big")
-    h = int.from_bytes(data[20:24], "big")
-    return (w, h)
-
-
 def _decode_dims(data: bytes | None) -> tuple[int, int] | None:
     """(width, height), or None if unreadable (test.py:45-48 guard)."""
     if data is None:
@@ -119,6 +113,8 @@ def _decode_dims(data: bytes | None) -> tuple[int, int] | None:
             return None
     if data.startswith(b"BM"):
         return bmp.bmp_dims(data)
+    if data.startswith(b"\x89PNG"):
+        return png.png_dims(data)  # IHDR parse — exact for every PNG shape
     if _CODEC == "pil":
         from PIL import Image
 
@@ -127,8 +123,8 @@ def _decode_dims(data: bytes | None) -> tuple[int, int] | None:
                 return im.size
         except Exception:  # noqa: BLE001
             return None
-    # codec-less: header-level metadata for the common formats
-    return _jpeg_dims(data) or _png_dims(data)
+    # codec-less: header-level metadata for the remaining common formats
+    return _jpeg_dims(data)
 
 
 def _recompress(data: bytes | None, max_dim: int, quality: int) -> bytes | None:
@@ -157,6 +153,15 @@ def _recompress(data: bytes | None, max_dim: int, quality: int) -> bytes | None:
         if (w, h) != (arr.shape[1], arr.shape[0]):
             arr = bmp.nn_resize(arr, w, h)
         return bmp.bmp_encode(arr)
+    if data.startswith(b"\x89PNG"):
+        # real compressed path: inflate+unfilter → downscale →
+        # refilter+deflate. PNG out (lossless); quality does not apply.
+        # Unsupported PNG shapes fall through to PIL when importable.
+        arr = png.png_decode(bytes(data))
+        if arr is not None:
+            if (w, h) != (arr.shape[1], arr.shape[0]):
+                arr = bmp.nn_resize(arr, w, h)
+            return png.png_encode(arr)
     if _CODEC == "pil":
         from PIL import Image
 

@@ -392,8 +392,20 @@ def _gen_bmp(w: pd.Series, h: pd.Series, seed: pd.Series) -> pd.Series:
     )
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Small local scans are 1-2 splits; the pandas-UDF pixel work would
+    run on 1 of 32 cores without this. No-op at real scan sizes."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _bmp_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load(spark, sf_dir, "part")
+    # every 10th part: the pixel corpus exercises the codec fully at a
+    # tenth of the per-row Python cost (and keeps m14's per-pixel
+    # oracle bounded — same sampling there)
+    part = _widen(load(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0))
     corrupt = F.col("p_partkey") % 97 == 0
     w = F.when(F.col("p_size") > 48, 1200 + F.col("p_size")).otherwise(
         16 + F.pmod(F.col("p_size"), F.lit(64))
@@ -429,6 +441,7 @@ WITH dims AS (
          CASE WHEN p_partkey % 97 = 0 THEN NULL
               WHEN p_size > 48 THEN 8 ELSE 12 END AS h
   FROM part
+  WHERE p_partkey % 10 = 0
 ),
 resized AS (
   SELECT p_partkey, w, h,
@@ -454,3 +467,126 @@ ORDER BY p_partkey
 
 QUERIES["m12_bmp_compress"] = m12_bmp_compress
 ORACLES["m12_bmp_compress"] = M12_SQL
+
+
+# --------------------------------------------------------------------------
+# M14 — PNG compress: the stdlib *compressed*-format pixel path
+# (multimodal/png.py). Same decode→resize→re-encode pipeline as m12,
+# but through inflate/unfilter and refilter/deflate. DEFLATE output
+# size is not arithmetic, so instead of byte counts the query emits a
+# position-weighted checksum of the DECODED OUTPUT pixels — the oracle
+# recomputes it in pure SQL from the gradient + nearest-neighbor index
+# arithmetic (min(floor(dst * src/dst), src-1), the reference's
+# truncation style). Any corrupted/moved/dropped byte anywhere in
+# generate → deflate → inflate → resize → deflate → inflate mismatches.
+# Corpus is every 10th part so the oracle's per-pixel UNNEST stays
+# bounded (~1.5 M rows at sf0.1).
+# --------------------------------------------------------------------------
+@pandas_udf(T.BinaryType())
+def _gen_png(w: pd.Series, h: pd.Series, seed: pd.Series) -> pd.Series:
+    from ..multimodal.png import make_png
+
+    return pd.Series(
+        [
+            None if pd.isna(a) else make_png(int(a), int(b), int(s))
+            for a, b, s in zip(w, h, seed)
+        ],
+        dtype=object,
+    )
+
+
+@pandas_udf(T.LongType())
+def _png_pixel_checksum(content: pd.Series) -> pd.Series:
+    from ..multimodal.png import pixel_checksum, png_decode
+
+    def chk(b):
+        if b is None:
+            return None
+        arr = png_decode(bytes(b))
+        return None if arr is None else pixel_checksum(arr)
+
+    return content.map(chk)
+
+
+def _png_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _widen(load(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0))
+    corrupt = F.col("p_partkey") % 97 == 0
+    w = F.when(F.col("p_size") > 48, 1200 + F.col("p_size")).otherwise(
+        16 + F.pmod(F.col("p_size"), F.lit(48))
+    )
+    h = F.when(F.col("p_size") > 48, F.lit(8)).otherwise(12 + F.pmod(F.col("p_size"), F.lit(16)))
+    return part.select(
+        "p_partkey",
+        F.when(corrupt, F.lit(b"\x89PNG-corrupt"))
+        .otherwise(_gen_png(w, h, F.pmod(F.col("p_partkey"), F.lit(251))))
+        .alias("content"),
+    )
+
+
+def m14_png_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = _png_corpus(spark, sf_dir)
+    out = compress_pipeline(imgs)
+    stats = with_image_stats(out, "content_out")
+    return stats.select(
+        "p_partkey",
+        "status",
+        "width",
+        "height",
+        _png_pixel_checksum(F.col("content_out")).alias("pixel_checksum"),
+    ).orderBy("p_partkey")
+
+
+M14_SQL = """
+WITH dims AS (
+  SELECT p_partkey,
+         p_partkey % 251 AS seed,
+         CASE WHEN p_partkey % 97 = 0 THEN NULL
+              WHEN p_size > 48 THEN 1200 + p_size
+              ELSE 16 + (p_size % 48) END AS w,
+         CASE WHEN p_partkey % 97 = 0 THEN NULL
+              WHEN p_size > 48 THEN 8
+              ELSE 12 + (p_size % 16) END AS h
+  FROM part
+  WHERE p_partkey % 10 = 0
+),
+resized AS (
+  SELECT p_partkey, seed, w, h,
+         CASE WHEN greatest(w, h) > 1024
+              THEN greatest(CAST(floor(w * (1024.0 / greatest(w, h))) AS INT), 1)
+              ELSE w END AS w2,
+         CASE WHEN greatest(w, h) > 1024
+              THEN greatest(CAST(floor(h * (1024.0 / greatest(w, h))) AS INT), 1)
+              ELSE h END AS h2
+  FROM dims
+),
+px AS (
+  SELECT p_partkey,
+         SUM(
+           -- source indices: the nn_resize gather, min(floor(dst*src/dst), src-1)
+           ((seed * 29 + least(CAST(floor(x2 * (w * 1.0 / w2)) AS BIGINT), w - 1)
+                       + least(CAST(floor(y2 * (h * 1.0 / h2)) AS BIGINT), h - 1)) % 256)
+             * ((y2 * w2 + x2) * 3 + 1)
+           + ((seed * 11 + least(CAST(floor(x2 * (w * 1.0 / w2)) AS BIGINT), w - 1) * 3
+                         + least(CAST(floor(y2 * (h * 1.0 / h2)) AS BIGINT), h - 1) * 5) % 256)
+             * ((y2 * w2 + x2) * 3 + 2)
+           + ((seed + least(CAST(floor(x2 * (w * 1.0 / w2)) AS BIGINT), w - 1) * 7
+                    + least(CAST(floor(y2 * (h * 1.0 / h2)) AS BIGINT), h - 1) * 13) % 256)
+             * ((y2 * w2 + x2) * 3 + 3)
+         ) AS pixel_checksum
+  FROM resized,
+       UNNEST(range(0, resized.h2)) AS ty(y2),
+       UNNEST(range(0, resized.w2)) AS tx(x2)
+  WHERE w IS NOT NULL
+  GROUP BY p_partkey
+)
+SELECT r.p_partkey,
+       CASE WHEN r.w IS NULL THEN 'unreadable' ELSE 'ok' END AS status,
+       r.w2 AS width,
+       r.h2 AS height,
+       px.pixel_checksum
+FROM resized r LEFT JOIN px ON r.p_partkey = px.p_partkey
+ORDER BY r.p_partkey
+"""
+
+QUERIES["m14_png_compress"] = m14_png_compress
+ORACLES["m14_png_compress"] = M14_SQL

@@ -154,6 +154,179 @@ def test_bmp_pil_cross_check():
 
 
 # --------------------------------------------------------------------------
+# PNG: the stdlib COMPRESSED raster path (multimodal/png.py)
+# --------------------------------------------------------------------------
+from developing_img_etl_spark.multimodal import png
+
+
+def _png_with_filter(arr, ftype):
+    """Reference forward-filter encoder (RFC 2083 §6) used to exercise
+    the decoder's unfilter paths — the production encoder only emits
+    filter 0."""
+    import struct
+    import zlib
+
+    h, w = arr.shape[:2]
+    bpp = 3
+    rows = arr.reshape(h, w * 3).astype(np.int64)
+    out = bytearray()
+    prev = np.zeros(w * 3, np.int64)
+    for y in range(h):
+        cur = rows[y]
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = cur.copy()
+            filt[bpp:] = (cur[bpp:] - cur[:-bpp]) % 256
+        elif ftype == 2:
+            filt = (cur - prev) % 256
+        elif ftype == 3:
+            filt = np.empty(w * 3, np.int64)
+            for x in range(w * 3):
+                left = cur[x - bpp] if x >= bpp else 0
+                filt[x] = (cur[x] - ((left + prev[x]) >> 1)) % 256
+        else:
+            filt = np.empty(w * 3, np.int64)
+            for x in range(w * 3):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[x] = (cur[x] - pr) % 256
+        out.append(ftype)
+        out += bytes(filt.astype(np.uint8))
+        prev = cur
+
+    def chunk(t, p):
+        return (
+            len(p).to_bytes(4, "big") + t + p
+            + (zlib.crc32(t + p) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_bit_exact():
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, (21, 37, 3), dtype=np.uint8)  # odd width
+    assert np.array_equal(png.png_decode(png.png_encode(arr)), arr)
+    assert png.png_dims(png.png_encode(arr)) == (37, 21)
+
+
+def test_png_all_filters_decode():
+    rng = np.random.default_rng(13)
+    arr = rng.integers(0, 256, (9, 14, 3), dtype=np.uint8)
+    for f in range(5):
+        got = png.png_decode(_png_with_filter(arr, f))
+        assert got is not None and np.array_equal(got, arr), f"filter {f}"
+
+
+def test_png_rejects_garbage_and_corruption():
+    assert png.png_decode(b"\x89PNG-corrupt") is None
+    assert png.png_decode(b"not a png") is None
+    data = bytearray(png.make_png(8, 8, seed=2))
+    assert png.png_decode(bytes(data)) is not None
+    data[len(data) // 2] ^= 0xFF  # flip an IDAT byte → CRC mismatch
+    assert png.png_decode(bytes(data)) is None
+    # truncated mid-chunk
+    assert png.png_decode(bytes(png.make_png(8, 8))[:30]) is None
+
+
+def test_png_gray_and_rgba_normalize():
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(17)
+    rgb = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+
+    def encode_ct(px, ct):
+        h, w, ch = px.shape
+        body = np.zeros((h, 1 + w * ch), np.uint8)
+        body[:, 1:] = px.reshape(h, w * ch)
+
+        def chunk(t, p):
+            return (
+                len(p).to_bytes(4, "big") + t + p
+                + (zlib.crc32(t + p) & 0xFFFFFFFF).to_bytes(4, "big")
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(body.tobytes()))
+            + chunk(b"IEND", b"")
+        )
+
+    gray = rgb[:, :, 0:1]
+    assert np.array_equal(png.png_decode(encode_ct(gray, 0)), np.repeat(gray, 3, axis=2))
+    rgba = np.concatenate([rgb, np.full((6, 5, 1), 7, np.uint8)], axis=2)
+    assert np.array_equal(png.png_decode(encode_ct(rgba, 6)), rgb)
+
+
+def test_png_recompress_end_to_end(spark):
+    """M1 through the compressed format: inflate → nn-downscale →
+    deflate via the pandas-UDF path, deterministic and decodable."""
+    rows = [
+        (1, png.make_png(2048, 1536, seed=1)),  # over cap → 1024×768
+        (2, png.make_png(100, 60, seed=2)),     # under cap → lossless re-encode
+        (3, b"\x89PNG-corrupt"),                 # unreadable → null
+    ]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = IMG.compress_pipeline(df)
+    got = {r.id: r for r in IMG.with_image_stats(out, "content_out").collect()}
+    assert (got[1].width, got[1].height) == (1024, 768)
+    assert (got[2].width, got[2].height) == (100, 60)
+    assert got[3].status == "unreadable" and got[3].content_out is None
+    local = bmp.nn_resize(png.png_decode(rows[0][1]), 1024, 768)
+    assert np.array_equal(png.png_decode(bytes(got[1].content_out)), local)
+    # under-cap: same pixels, and byte-identical (same encoder settings)
+    assert bytes(got[2].content_out) == rows[1][1]
+
+
+def test_png_pixel_checksum_sensitivity():
+    arr = png.png_decode(png.make_png(16, 9, seed=4))
+    base = png.pixel_checksum(arr)
+    moved = arr.copy()
+    moved[0, 0, 0], moved[0, 1, 0] = moved[0, 1, 0], moved[0, 0, 0]
+    if not np.array_equal(moved, arr):  # gradient may coincide
+        assert png.pixel_checksum(moved) != base
+    bumped = arr.copy()
+    bumped[3, 3, 1] = (int(bumped[3, 3, 1]) + 1) % 256
+    assert png.pixel_checksum(bumped) != base
+
+
+def test_png_pil_cross_check():
+    """When PIL is importable it must agree with the stdlib codec bit
+    for bit in both directions (PIL reads/writes PNG natively)."""
+    try:
+        from PIL import Image
+    except ImportError:
+        import pytest as _pytest
+
+        _pytest.skip("PIL not installed in this container")
+    import io
+
+    data = png.make_png(33, 17, seed=5)
+    with Image.open(io.BytesIO(data)) as im:
+        assert im.size == (33, 17)
+        theirs = np.asarray(im.convert("RGB"))
+    assert np.array_equal(theirs, png.png_decode(data))
+    # and our decoder must read PIL's own (filtered) output
+    buf = io.BytesIO()
+    Image.fromarray(theirs).save(buf, "PNG")
+    assert np.array_equal(png.png_decode(buf.getvalue()), theirs)
+
+
+# --------------------------------------------------------------------------
 # audio/video plumbing (multimodal/av.py)
 # --------------------------------------------------------------------------
 def test_audio_metadata_and_guard(spark):
