@@ -127,12 +127,26 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+_RAW_TS_TYPE_CACHE: dict[tuple[str, str], T.DataType] = {}
+
+
 def raw_events_ts_type(spark: SparkSession, sf_dir: str) -> T.DataType:
     """The type Spark reads events.ts as BEFORE normalization — what a
     readStream schema must declare (LongType on <4.1, TIMESTAMP_NTZ on
-    4.1+)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    4.1+).
+
+    SIDE EFFECT (ADVICE r3): sets spark.sql.legacy.parquet.nanosAsLong
+    on the session — required for the probe itself on <4.1, and the
+    session always wants it on anyway (load() sets the same conf for
+    every events read). The probed type is cached per (session, sf_dir)
+    so repeated stream constructions don't re-read the footer."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _RAW_TS_TYPE_CACHE.get(key)
+    if cached is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        cached = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+        _RAW_TS_TYPE_CACHE[key] = cached
+    return cached
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -10,6 +10,16 @@ Redaction order is part of the contract: EMAIL first (its pattern
 contains digits and dots that the looser patterns could clip), then
 PHONE, then IPV4. Counting uses the same patterns, so
 ``pii_count(text) == 0`` after ``redact(text)`` by construction.
+
+Counting semantics (ADVICE r3): per-type counts are RAW PATTERN HITS
+on the original text and may overlap across types — a phone number
+embedded in an email local part ('555-123-4567@x.org') increments both
+``phone_count`` and ``email_count`` yet is redacted once, as <EMAIL>,
+by the ordered pass. So per-type counts are detection telemetry (an
+upper bound on replacements of that type), NOT replacement counts;
+only the aggregate guarantee "every count is 0 after redact()" is
+exact. Callers needing replacement-exact per-type counts should count
+on the progressively-redacted text between passes.
 """
 
 from __future__ import annotations

@@ -106,11 +106,15 @@ def chunk_starts(n_chars: Column, size: int, overlap: int) -> Column:
     chunk every ``size - overlap`` characters while text remains. Pure
     `F.sequence` — explodes JVM-side, no UDF. Contract: every char is
     covered, consecutive chunks share exactly ``overlap`` chars (except
-    a shorter final chunk), and offsets are a pure function of length —
-    so chunk identity is stable across runs and engines."""
+    a shorter final chunk), offsets are a pure function of length — so
+    chunk identity is stable across runs and engines — and zero-length
+    text yields NO chunks (ADVICE r3: the unguarded sequence emitted
+    one phantom empty chunk per empty doc, violating 'while text
+    remains')."""
     if overlap >= size:
         raise ValueError(f"overlap ({overlap}) must be < size ({size})")
     step = size - overlap
-    return F.sequence(
-        F.lit(0), F.greatest(F.lit(0), n_chars.cast("long") - 1), F.lit(step)
-    )
+    n = n_chars.cast("long")
+    return F.when(
+        n > 0, F.sequence(F.lit(0), F.greatest(F.lit(0), n - 1), F.lit(step))
+    ).otherwise(F.array().cast("array<bigint>"))

@@ -92,30 +92,23 @@ def lsh_candidate_pairs(signatures: DataFrame, *, bands: int = 16, rows: int = 4
 
 
 def verify_jaccard(candidates: DataFrame, shingled: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate pairs only: count common shingles via
-    the inverted index restricted to candidates (semi-join), then
-    common/(|A|+|B|-common).
+    """Exact Jaccard for candidate pairs only: anchor every join on the
+    PAIR, never on the shingle alone, then common/(|A|+|B|-common).
 
-    The per-doc shingle counts ride along on the occurrence rows
-    (shingle_rows already emits n_sh) and come out of the same groupBy
-    via first() — the earlier form re-derived them with a separate
-    groupBy plus two joins, three avoidable stages of fixed overhead."""
-    # Restrict the inverted index to candidate documents BEFORE pairing —
-    # otherwise verification re-pays the full all-pairs cost LSH avoided.
-    cand_ids = candidates.select(
-        F.explode(F.array("id_a", "id_b")).alias("doc_id")
-    ).distinct()
-    occ = shingled.join(cand_ids, "doc_id", "left_semi").select("doc_id", "n_sh", "s")
-    x = occ.select(
-        F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"), "s"
-    )
-    y = occ.select(
-        F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"), "s"
-    )
+    Shape matters at scale: the earlier form semi-joined the inverted
+    index to candidate docs and re-self-joined on `s` — when the
+    candidate set is dense (a heavily duplicated corpus) that re-pays
+    the Σ cnt(s)² all-pairs cost LSH existed to avoid (5.7 s of m4's
+    6.4 s at sf0.1). Here the work is bounded by |pairs| × shingles
+    per doc: expand each pair by the left doc's shingles, keep the
+    ones the right doc also has via an equi-join on (id_b, s), count.
+    Hot shingles never meet each other."""
+    occ = shingled.select("doc_id", "n_sh", "s")
+    a = occ.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"), "s")
+    b = occ.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"), "s")
     pairs_common = (
-        x.join(y, "s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .join(candidates, ["id_a", "id_b"], "left_semi")
+        candidates.join(a, "id_a")
+        .join(b, ["id_b", "s"])
         .groupBy("id_a", "id_b")
         .agg(
             F.count(F.lit(1)).alias("n_common"),

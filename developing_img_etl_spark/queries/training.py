@@ -700,6 +700,7 @@ WITH s AS (
          unnest(generate_series(0, GREATEST(0, CAST(n_chars AS BIGINT) - 1),
                                 {_CHUNK_STEP})) AS start
   FROM documents
+  WHERE n_chars > 0  -- empty docs yield no chunks (mirrors chunk_starts)
 )
 SELECT doc_id,
        start // {_CHUNK_STEP} AS chunk_idx,

@@ -66,36 +66,59 @@ def _cell_text(cell: ET.Element, shared: list[str]) -> str | None:
     return txt
 
 
+def _load_shared_strings(z: zipfile.ZipFile) -> list[str]:
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in z.namelist():
+        sst = ET.fromstring(z.read("xl/sharedStrings.xml"))
+        for si in sst.iter(f"{_NS}si"):
+            shared.append("".join(n.text or "" for n in si.iter(f"{_NS}t")))
+    return shared
+
+
+def _sheet_member(z: zipfile.ZipFile, sheet_name: int | str) -> str:
+    """Worksheet zip member for a sheet index or name: workbook.xml
+    order == sheetN.xml order for the simple exports this targets."""
+    wb = ET.fromstring(z.read("xl/workbook.xml"))
+    sheets = [s.get("name") for s in wb.iter(f"{_NS}sheet")]
+    n = sheets.index(sheet_name) + 1 if isinstance(sheet_name, str) else sheet_name + 1
+    return f"xl/worksheets/sheet{n}.xml"
+
+
+def _parse_row(row: ET.Element, shared: list[str]) -> list[str | None]:
+    cells: dict[int, str | None] = {}
+    next_idx = 0  # running position for cells missing the r= ref
+    for c in row.iter(f"{_NS}c"):
+        idx = _col_index(c.get("r"))
+        if idx is None:
+            idx = next_idx
+        cells[idx] = _cell_text(c, shared)
+        next_idx = idx + 1
+    width = max(cells) + 1 if cells else 0
+    return [cells.get(i) for i in range(width)]
+
+
+def read_xlsx_header(path: str, sheet_name: int | str = 0) -> list[str]:
+    """Header row only: stream-parse the worksheet and stop at the
+    first </row> (ADVICE r3 — schema inference previously parsed the
+    entire workbook driver-side just to read one row). Shared strings
+    are still loaded (header cells may reference them)."""
+    with zipfile.ZipFile(path) as z:
+        shared = _load_shared_strings(z)
+        with z.open(_sheet_member(z, sheet_name)) as f:
+            for _event, elem in ET.iterparse(f):
+                if elem.tag == f"{_NS}row":
+                    row0 = _parse_row(elem, shared)
+                    return [h if h is not None else f"col{i}" for i, h in enumerate(row0)]
+    return []
+
+
 def _read_xlsx_stdlib(path: str, sheet_name: int | str = 0) -> tuple[list[str], list[list[str | None]]]:
     """Parse one worksheet into (header, rows) of strings."""
     with zipfile.ZipFile(path) as z:
-        shared: list[str] = []
-        if "xl/sharedStrings.xml" in z.namelist():
-            sst = ET.fromstring(z.read("xl/sharedStrings.xml"))
-            for si in sst.iter(f"{_NS}si"):
-                shared.append("".join(n.text or "" for n in si.iter(f"{_NS}t")))
-        # resolve the sheet: workbook.xml order == sheetN.xml order for
-        # the simple exports this fallback targets
-        wb = ET.fromstring(z.read("xl/workbook.xml"))
-        sheets = [s.get("name") for s in wb.iter(f"{_NS}sheet")]
-        if isinstance(sheet_name, str):
-            n = sheets.index(sheet_name) + 1
-        else:
-            n = sheet_name + 1
-        ws = ET.fromstring(z.read(f"xl/worksheets/sheet{n}.xml"))
+        shared = _load_shared_strings(z)
+        ws = ET.fromstring(z.read(_sheet_member(z, sheet_name)))
 
-    grid: list[list[str | None]] = []
-    for row in ws.iter(f"{_NS}row"):
-        cells: dict[int, str | None] = {}
-        next_idx = 0  # running position for cells missing the r= ref
-        for c in row.iter(f"{_NS}c"):
-            idx = _col_index(c.get("r"))
-            if idx is None:
-                idx = next_idx
-            cells[idx] = _cell_text(c, shared)
-            next_idx = idx + 1
-        width = max(cells) + 1 if cells else 0
-        grid.append([cells.get(i) for i in range(width)])
+    grid: list[list[str | None]] = [_parse_row(row, shared) for row in ws.iter(f"{_NS}row")]
     if not grid:
         return [], []
     width = max(len(r) for r in grid)

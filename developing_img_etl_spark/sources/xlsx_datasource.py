@@ -43,16 +43,30 @@ class XlsxDataSource(DataSource):
         return "xlsx"
 
     def schema(self) -> str:
-        # Infer by parsing the first file's header when the user gave
-        # no schema. Runs driver-side once; executors re-parse their
-        # own files only.
-        from .excel import _read_xlsx_stdlib
+        # Infer from the first file's header ROW ONLY (stream-parse,
+        # stops at the first </row> — ADVICE r3: the earlier form parsed
+        # the whole workbook driver-side). Runs driver-side once;
+        # executors re-parse their own files only.
+        from .excel import read_xlsx_header
 
-        header, _ = _read_xlsx_stdlib(_paths(self.options)[0])
+        header = read_xlsx_header(_paths(self.options)[0])
+        _check_no_duplicate_headers(header)
         return ", ".join(f"`{h}` string" for h in header)
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _XlsxReader(schema, _paths(self.options))
+
+
+def _check_no_duplicate_headers(header: list[str]) -> None:
+    """Duplicate header names would silently resolve to the LAST
+    occurrence in the positional lookup — fail loudly instead
+    (ADVICE r3)."""
+    dups = sorted({h for h in header if header.count(h) > 1})
+    if dups:
+        raise ValueError(
+            f"duplicate xlsx header names {dups}: rename the columns or "
+            "provide an explicit schema selecting distinct names"
+        )
 
 
 def _paths(options) -> list[str]:
@@ -81,6 +95,7 @@ class _XlsxReader(DataSourceReader):
         from .excel import _read_xlsx_stdlib
 
         header, rows = _read_xlsx_stdlib(partition.path)
+        _check_no_duplicate_headers(header)
         idx = {h: i for i, h in enumerate(header)}
         missing = [f for f in self.fields if f not in idx]
         if missing:

@@ -494,3 +494,31 @@ def test_orc_format_round_trip(spark, tmp_path):
         spark.createDataFrame([(1, "x"), (2, "y")], schema), part_path, partition_cols=["k"]
     )
     assert fmt.read(spark, part_path).select("k").distinct().count() == 2
+
+
+def test_chunk_starts_contract(spark):
+    """ADVICE r3: zero-length text must yield NO chunks; non-empty text
+    is fully covered with exact overlap."""
+    from pyspark.sql import functions as F
+
+    from developing_img_etl_spark.functions.text import chunk_starts
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a" * 5), (3, "b" * 10), (4, "c" * 11)], "id long, text string"
+    ).withColumn("n", F.length("text"))
+    got = {
+        r.id: r.starts
+        for r in df.select(
+            "id", chunk_starts(F.col("n"), size=8, overlap=3).alias("starts")
+        ).collect()
+    }
+    assert got[1] == []                 # empty doc -> no phantom chunk
+    assert got[2] == [0]                # shorter than size -> one chunk
+    assert got[3] == [0, 5]             # step = size - overlap = 5
+    assert got[4] == [0, 5, 10]
+    # coverage + overlap: consecutive chunks share exactly `overlap`
+    # chars while both are full-size
+    for starts, n in ((got[3], 10), (got[4], 11)):
+        assert starts[0] == 0 and starts[-1] < n
+        for a, b in zip(starts, starts[1:]):
+            assert b - a == 5

@@ -93,6 +93,42 @@ def test_bnlj_only_where_intended(plans):
         assert any(n.nodeName() == "BroadcastNestedLoopJoin" for n in _walk(plan)), name
 
 
+# the subset of BNLJ_ALLOWED whose justification is "broadcasts a
+# ONE-ROW aggregate scalar" — verified structurally below, so a future
+# edit sneaking a genuine cartesian join into an exempted query fails
+# the audit instead of hiding behind the name-based allowlist
+# (ADVICE r3).
+SCALAR_BNLJ = {
+    "q45_tfidf_topterms",
+    "q46_fk_integrity",
+    "q47_skew_profile",
+    "q49_jsonl_roundtrip",
+}
+
+
+def test_scalar_bnlj_broadcast_side_is_one_row_aggregate(plans):
+    for name in sorted(SCALAR_BNLJ):
+        plan, _ = plans[name]
+        bnljs = [n for n in _walk(plan) if n.nodeName() == "BroadcastNestedLoopJoin"]
+        assert bnljs, f"{name}: exempted but has no BNLJ"
+        for j in bnljs:
+            # sparkPlan() predates exchange insertion, so identify the
+            # broadcast side via the join's buildSide instead of a
+            # BroadcastExchange node
+            ch = j.children()
+            build = ch.apply(0) if "BuildLeft" in j.buildSide().toString() else ch.apply(1)
+            # the FIRST aggregate under the build side (skipping row-
+            # preserving projections) must be GLOBAL — no grouping keys
+            # → exactly one row by construction
+            node = build
+            while node.nodeName() in ("Project", "Filter"):
+                node = node.children().apply(0)
+            assert "Aggregate" in node.nodeName() and node.groupingExpressions().isEmpty(), (
+                f"{name}: broadcast side of BNLJ is not a 1-row global aggregate "
+                f"(top build node: {node.nodeName()})"
+            )
+
+
 def test_no_fat_hash_shuffles(plans):
     """Hash-partitioned exchanges must carry scalar columns only."""
     offenders = {}
