@@ -262,3 +262,164 @@ LIMIT 20
 
 QUERIES["q32_vocab_topk"] = q32_vocab_topk
 ORACLES["q32_vocab_topk"] = Q32_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q53 — document fingerprinting via WINNOWING (training-data mandate:
+# "document fingerprinting (rolling hash)"). The winnowing scheme
+# (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS algorithm): slide a
+# window of w consecutive k-grams over the document and keep each
+# window's MINIMUM gram as a fingerprint; matching documents share
+# fingerprints wherever they share a k-gram run >= w, which is how
+# plagiarism/overlap detectors prune candidate pairs without all-pairs
+# comparison. Deterministic total order = the gram itself (min-string
+# winnowing) so both engines select identical fingerprints with no
+# engine-specific hash. Pure window functions — one shuffle on doc_id,
+# codegen'd, no UDF.
+# ---------------------------------------------------------------------------
+_WINNOW_K = 2  # tokens per gram
+_WINNOW_W = 5  # grams per window
+
+
+def q53_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias("i", "tok"),
+    ).filter(F.col("tok") != "")
+    w_next = Window.partitionBy("doc_id").orderBy("i")
+    grams = (
+        toks.select(
+            "doc_id",
+            "source",
+            "i",
+            F.concat_ws(" ", "tok", F.lead("tok", 1).over(w_next)).alias("gram"),
+            F.lead("tok", 1).over(w_next).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .drop("nxt")
+    )
+    w_win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, _WINNOW_W - 1)
+    w_cnt = Window.partitionBy("doc_id")
+    fps = (
+        grams.withColumn("win_min", F.min("gram").over(w_win))
+        .withColumn("n_grams", F.count(F.lit(1)).over(w_cnt))
+        .withColumn("rn", F.row_number().over(w_next))
+        .filter(F.col("rn") <= F.col("n_grams") - (_WINNOW_W - 1))  # full windows only
+        .select("doc_id", "source", F.col("win_min").alias("fp"))
+        .distinct()
+    )
+    return (
+        fps.groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.md5(F.array_join(F.array_sort(F.collect_list("fp")), "|")).alias("fp_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q53_SQL = rf"""
+WITH split AS (
+  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+  FROM documents
+),
+toks AS (
+  -- position-preserving unnest (DuckDB lacks WITH ORDINALITY):
+  -- lateral range over the list length, index back into the list
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY doc_id ORDER BY r.i) - 1 AS i,
+         t[r.i] AS tok
+  FROM split, UNNEST(range(1, len(t) + 1)) AS r(i)
+  WHERE t[r.i] <> ''
+),
+grams AS (
+  SELECT doc_id, source, i,
+         tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS gram,
+         lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+  FROM toks
+),
+g2 AS (SELECT doc_id, source, i, gram FROM grams WHERE nxt IS NOT NULL),
+winmin AS (
+  SELECT doc_id, source, i,
+         MIN(gram) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS win_min,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+  FROM g2
+),
+fps AS (
+  SELECT DISTINCT doc_id, source, win_min AS fp
+  FROM winmin
+  WHERE rn <= n_grams - {_WINNOW_W - 1}
+)
+SELECT doc_id, source,
+       COUNT(*) AS n_fingerprints,
+       md5(string_agg(fp, '|' ORDER BY fp)) AS fp_md5
+FROM fps
+GROUP BY doc_id, source
+ORDER BY doc_id
+"""
+
+QUERIES["q53_winnowing_fingerprints"] = q53_winnowing_fingerprints
+ORACLES["q53_winnowing_fingerprints"] = Q53_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q54 — BPE-style regex token counting (training-data mandate: "token
+# counting (whitespace + a BPE-ish regex)"). Whitespace counts (q12a)
+# undercount what a subword tokenizer bills for; the GPT-2 pre-split
+# regex family is the standard proxy. The pattern here is its
+# lookahead-free, ASCII portable core — contraction suffixes, space-
+# prefixed letter runs, digit runs, punctuation runs, whitespace runs —
+# valid under both Java regex (Spark codegen) and RE2 (DuckDB), so the
+# oracle runs the IDENTICAL pattern. Pure regexp_extract_all +
+# aggregation: scan-speed, no UDF.
+# ---------------------------------------------------------------------------
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+_BPE_SQL = _BPE_RE.replace("'", "''")  # SQL string-literal escaping
+
+
+def q54_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        "n_chars",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))).alias(
+            "n_bpe"
+        ),
+        TXT.token_count(F.col("text")).alias("n_ws"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.sum("n_ws").alias("total_ws_tokens"),
+            # integer ratios: engine-exact (no float division drift)
+            F.expr("SUM(n_bpe) DIV COUNT(*)").alias("bpe_per_doc"),
+            F.expr("SUM(CAST(n_chars AS BIGINT)) DIV SUM(n_bpe)").alias("chars_per_bpe"),
+            F.expr("SUM(n_bpe) * 1000 DIV SUM(n_ws)").alias("bpe_per_1k_ws"),
+        )
+        .orderBy("source")
+    )
+
+
+Q54_SQL = rf"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '{_BPE_SQL}'))) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM(len(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '{_BPE_SQL}'))) // COUNT(*) AS BIGINT) AS bpe_per_doc,
+       CAST(SUM(CAST(n_chars AS BIGINT)) // SUM(len(regexp_extract_all(text, '{_BPE_SQL}'))) AS BIGINT) AS chars_per_bpe,
+       CAST(SUM(len(regexp_extract_all(text, '{_BPE_SQL}'))) * 1000 // SUM(len(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS bpe_per_1k_ws
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["q54_bpe_token_stats"] = q54_bpe_token_stats
+ORACLES["q54_bpe_token_stats"] = Q54_SQL
