@@ -1147,3 +1147,96 @@ ORDER BY s.day
 
 QUERIES["q52_calendar_gapfill"] = q52_calendar_gapfill
 ORACLES["q52_calendar_gapfill"] = Q52_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q55 — transactional time travel (TxLogFormat, sinks/txlog.py): write
+# the customer table as commit v0, overwrite with a deterministic
+# segment migration as commit v1 (snapshot-isolated — readers of v0
+# never saw a gap), then read BOTH versions back via time travel and
+# reconcile per-segment counts. The oracle recomputes both snapshots
+# from the raw table, so a wrong byte in either version's live file
+# set hash-mismatches. The physical table is built once per (process,
+# sf_dir) in a temp dir; the declared query itself is read-only over
+# the transaction log.
+# ---------------------------------------------------------------------------
+_TXDEMO_CACHE: dict[str, str] = {}
+
+
+def _txdemo_table(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _TXDEMO_CACHE:
+        import tempfile
+
+        from ..sinks.txlog import TxLogFormat
+
+        fmt = TxLogFormat()
+        path = tempfile.mkdtemp(prefix="txdemo_") + "/customer"
+        cust = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        fmt.append(cust, path)  # v0: the raw snapshot
+        migrated = cust.withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_acctbal") > 5000, F.lit("PREMIUM")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+        fmt.overwrite(migrated, path)  # v1: one atomic snapshot swap
+        _TXDEMO_CACHE[sf_dir] = path
+    return _TXDEMO_CACHE[sf_dir]
+
+
+def q55_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.txlog import TxLogFormat
+
+    fmt = TxLogFormat()
+    path = _txdemo_table(spark, sf_dir)
+    v0 = (
+        fmt.read(spark, path, version=0)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("v0_customers"), dsum("c_acctbal").alias("v0_bal"))
+    )
+    v1 = (
+        fmt.read(spark, path)  # latest
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("v1_customers"))
+    )
+    return (
+        v0.join(v1, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("v0_customers", F.lit(0)).alias("v0_customers"),
+            F.coalesce("v1_customers", F.lit(0)).alias("v1_customers"),
+            (
+                F.coalesce("v1_customers", F.lit(0)) - F.coalesce("v0_customers", F.lit(0))
+            ).alias("delta_customers"),
+            F.coalesce("v0_bal", F.lit(0.0)).alias("v0_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q55_SQL = f"""
+WITH v0 AS (
+  SELECT c_mktsegment,
+         COUNT(*) AS v0_customers,
+         {sql_dsum("CAST(c_acctbal AS DECIMAL(12,4))")} AS v0_bal
+  FROM customer
+  GROUP BY c_mktsegment
+), v1 AS (
+  SELECT CASE WHEN c_acctbal > 5000 THEN 'PREMIUM' ELSE c_mktsegment END AS c_mktsegment,
+         COUNT(*) AS v1_customers
+  FROM customer
+  GROUP BY 1
+)
+SELECT COALESCE(v0.c_mktsegment, v1.c_mktsegment) AS c_mktsegment,
+       COALESCE(v0_customers, 0) AS v0_customers,
+       COALESCE(v1_customers, 0) AS v1_customers,
+       COALESCE(v1_customers, 0) - COALESCE(v0_customers, 0) AS delta_customers,
+       COALESCE(v0_bal, 0.0) AS v0_bal
+FROM v0 FULL OUTER JOIN v1 ON v0.c_mktsegment = v1.c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+QUERIES["q55_time_travel_diff"] = q55_time_travel_diff
+ORACLES["q55_time_travel_diff"] = Q55_SQL

@@ -10,7 +10,10 @@ persists a table goes through a `TableFormat`, and the default
 swaps in a `DeltaFormat`/`IcebergFormat` (same four methods, their
 commit protocol underneath — e.g. `df.write.format("delta")` /
 `format("iceberg")`) and nothing upstream changes; users stop
-hand-rolling atomicity on top of directory renames.
+hand-rolling atomicity on top of directory renames. `TxLogFormat`
+(sinks/txlog.py) is the in-repo transactional implementation of this
+seam — snapshot isolation, atomic commits, conflict detection, time
+travel — proving the protocol shape with zero dependencies.
 
 Why the parquet tier is "atomic enough" locally and not at fleet
 scale: overwrite is delete-then-write (a reader can observe the gap),
