@@ -154,3 +154,95 @@ ORACLES = {
     "q13_brute_force_topk": Q13_SQL,
     "q31_cosine_near_dups": Q31_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Q56 — embedding column statistics (F-suite over array<float>): per
+# label, vector count, average L2 norm, and the norm of the label
+# CENTROID — the basic health check a training pipeline runs before
+# trusting an embedding table (collapsed labels show up as centroid
+# norms near the average vector norm; isotropic ones near zero).
+#
+# Cross-engine FP discipline (same rules as q13/_det):
+#   - per-vector norms are double folds rounded to 6dp, then averaged
+#     through an exact DECIMAL sum;
+#   - per-dimension centroid sums accumulate as DECIMAL(20,10) (order-
+#     independent, engine-exact), are rounded to a double ONCE, squared
+#     (deterministic per row), and re-summed through DECIMAL — so no
+#     float aggregation ever depends on row order.
+# ---------------------------------------------------------------------------
+def q56_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "label", F.round(norm(F.col("embedding")), 6).alias("nrm")
+    )
+    per_label = norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (
+            F.round(F.sum(F.col("nrm").cast("decimal(16,6)")), 6).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_norm"),
+    )
+    comps = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    spos = comps.groupBy("label", "pos").agg(
+        F.round(F.sum(F.col("x").cast("decimal(20,10)")), 6).cast("double").alias("s")
+    )
+    sq = spos.groupBy("label").agg(
+        F.round(
+            F.sum(F.round(F.col("s") * F.col("s"), 6).cast("decimal(24,6)")), 6
+        )
+        .cast("double")
+        .alias("ss")
+    )
+    return (
+        per_label.join(sq, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round("avg_norm", 6).alias("avg_norm"),
+            F.round(
+                F.sqrt(F.col("ss") / (F.col("n_vecs") * F.col("n_vecs"))), 6
+            ).alias("centroid_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+Q56_SQL = """
+WITH base AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+norms AS (
+  SELECT label,
+         round(sqrt(list_sum(list_transform(e, x -> x * x))), 6) AS nrm
+  FROM base
+),
+per_label AS (
+  SELECT label, COUNT(*) AS n_vecs,
+         CAST(ROUND(SUM(CAST(nrm AS DECIMAL(16,6))), 6) AS DOUBLE) / COUNT(*) AS avg_norm
+  FROM norms GROUP BY label
+),
+comps AS (
+  SELECT label, r.i AS pos, CAST(e[r.i] AS DECIMAL(20,10)) AS x
+  FROM base, UNNEST(range(1, len(e) + 1)) AS r(i)
+),
+spos AS (
+  SELECT label, pos, CAST(ROUND(SUM(x), 6) AS DOUBLE) AS s
+  FROM comps GROUP BY label, pos
+),
+sq AS (
+  SELECT label,
+         CAST(ROUND(SUM(CAST(round(s * s, 6) AS DECIMAL(24,6))), 6) AS DOUBLE) AS ss
+  FROM spos GROUP BY label
+)
+SELECT p.label, p.n_vecs,
+       round(p.avg_norm, 6) AS avg_norm,
+       round(sqrt(sq.ss / (p.n_vecs * p.n_vecs)), 6) AS centroid_norm
+FROM per_label p JOIN sq ON p.label = sq.label
+ORDER BY p.label
+"""
+
+QUERIES["q56_embedding_stats"] = q56_embedding_stats
+ORACLES["q56_embedding_stats"] = Q56_SQL
