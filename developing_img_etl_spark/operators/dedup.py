@@ -154,23 +154,26 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
         F.explode(TXT.tokens(F.col(text_col))).alias("t"),
     )
     h = F.xxhash64(F.col("t"))
+    # sign(Σ ±1 per bit) == (2·popcount_i > n): aggregate the raw BIT
+    # SUMS B_i plus one token count instead of materializing 64 ±1
+    # branch columns per token — same result, half the per-row
+    # expression work in the hot projection.
     contrib = toks.select(
         "doc_id",
-        *[
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-            .alias(f"b{i}")
-            for i in range(bits)
-        ],
+        *[F.shiftright(h, i).bitwiseAND(F.lit(1)).alias(f"b{i}") for i in range(bits)],
     )
     summed = contrib.groupBy("doc_id").agg(
-        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)]
+        F.count(F.lit(1)).alias("n_tok"),
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(bits)],
     )
     sig = summed.select(
         "doc_id",
         sum(
-            (F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long")).otherwise(0) * F.lit(2**i).cast("long")
-             for i in range(bits - 1)),  # bit 63 omitted: keep the value positive in a signed long
+            (
+                F.when(F.col(f"s{i}") * 2 > F.col("n_tok"), F.lit(1).cast("long")).otherwise(0)
+                * F.lit(2**i).cast("long")
+                for i in range(bits - 1)
+            ),  # bit 63 omitted: keep the value positive in a signed long
             start=F.lit(0).cast("long"),
         ).alias("simhash"),
     )
