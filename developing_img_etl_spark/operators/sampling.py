@@ -120,3 +120,40 @@ def weighted_sample(
         F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)) * F.lit(_BUCKETS)
     ).cast("long")
     return df.filter(b < thresh)
+
+
+def group_topk_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+    *,
+    seed: int = 42,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """EXACTLY-k-per-group deterministic sample (the distributed,
+    reproducible stand-in for per-group reservoir sampling): rank rows
+    within each group by (key-hash, key) and keep the k smallest.
+
+    Bernoulli sampling (hash_sample) gives a BINOMIAL group size —
+    fine for mixing rates, wrong when the contract is "exactly k docs
+    per source" (eval subsets, per-domain probes, balanced holdouts).
+    A classic reservoir is sequential by nature; ranking by a uniform
+    key hash draws the same uniform-without-replacement sample with no
+    sequential state, the same rows on every run/retry/partitioning.
+
+    Scale shape: ONE shuffle on the group key, partial top-k map-side
+    (Spark's window TopK pushes the k-filter into the sort); no global
+    sort, no driver state. The key tiebreak makes rank total even on
+    hash collisions."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    b = _key_bucket(key_col, seed) if bucket is None else bucket
+    w = Window.partitionBy(group_col).orderBy(b.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -84,3 +84,59 @@ ORDER BY source
 
 QUERIES = {"q26_deterministic_sampling": q26_deterministic_sampling}
 ORACLES = {"q26_deterministic_sampling": Q26_SQL}
+
+
+# ---------------------------------------------------------------------------
+# Q57 — exactly-k-per-group deterministic sampling (the reservoir-
+# sampling contract, rank-by-hash construction: operators/sampling.py::
+# group_topk_sample). q26's Bernoulli gives binomial group sizes; this
+# guarantees EXACTLY k docs per source (balanced eval subsets). The
+# declared query emits the selected doc_ids' aggregate (count, id sum,
+# char sum) per source, so a single different selection anywhere
+# hash-mismatches; portable-hash bucket as in q26, xxhash64 path pinned
+# by pytest.
+# ---------------------------------------------------------------------------
+_TOPK = 7
+
+
+def q57_group_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import group_topk_sample
+
+    docs = load(spark, sf_dir, "documents")
+    picked = group_topk_sample(
+        docs, "source", "doc_id", _TOPK, bucket=_portable_bucket()
+    )
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_picked"),
+            F.sum("doc_id").alias("picked_id_sum"),
+            F.sum("n_chars").cast("long").alias("picked_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+Q57_SQL = f"""
+WITH h AS (
+  SELECT source, doc_id, n_chars,
+         (doc_id * {_K} + {_SEED}) % {_BUCKETS} AS b
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY b, doc_id) AS rk
+  FROM h
+)
+SELECT source,
+       COUNT(*) AS n_picked,
+       CAST(SUM(doc_id) AS BIGINT) AS picked_id_sum,
+       CAST(SUM(n_chars) AS BIGINT) AS picked_chars
+FROM ranked
+WHERE rk <= {_TOPK}
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["q57_group_topk_sample"] = q57_group_topk_sample
+ORACLES["q57_group_topk_sample"] = Q57_SQL

@@ -522,3 +522,38 @@ def test_chunk_starts_contract(spark):
         assert starts[0] == 0 and starts[-1] < n
         for a, b in zip(starts, starts[1:]):
             assert b - a == 5
+
+
+def test_group_topk_sample_contract(spark, sf_dir):
+    """Exactly-k per group, deterministic across partitionings, and the
+    xxhash64 production path picks a uniform-without-replacement subset
+    (all rows distinct, subset of the group)."""
+    from pyspark.sql import functions as F
+
+    from developing_img_etl_spark.catalog import load
+    from developing_img_etl_spark.operators.sampling import group_topk_sample
+
+    docs = load(spark, sf_dir, "documents")
+    k = 5
+    picked = group_topk_sample(docs, "source", "doc_id", k, seed=3)
+    sizes = {r.source: r.n for r in picked.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r.source: r.n for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for src, n in sizes.items():
+        assert n == min(k, totals[src]), (src, n)
+
+    ids = sorted(r.doc_id for r in picked.select("doc_id").collect())
+    assert len(ids) == len(set(ids))
+    # repartitioning the input must not change the selection
+    ids2 = sorted(
+        r.doc_id
+        for r in group_topk_sample(docs.repartition(13), "source", "doc_id", k, seed=3)
+        .select("doc_id")
+        .collect()
+    )
+    assert ids == ids2
+    # a different seed draws a different sample (overwhelmingly likely)
+    ids3 = sorted(
+        r.doc_id
+        for r in group_topk_sample(docs, "source", "doc_id", k, seed=4).select("doc_id").collect()
+    )
+    assert ids != ids3
