@@ -423,3 +423,66 @@ ORDER BY source
 
 QUERIES["q54_bpe_token_stats"] = q54_bpe_token_stats
 ORACLES["q54_bpe_token_stats"] = Q54_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q58 — distributed BPE merge step (training-data mandate: the core
+# primitive of BPE vocabulary training, Sennrich et al. ACL'16). A BPE
+# trainer loops: count adjacent-symbol-pair frequencies over the corpus
+# → merge the argmax pair → repeat. The scalable formulation counts
+# over the (word, freq) VOCABULARY, not the corpus — the corpus
+# collapses to ~|vocab| rows in one hash agg, and each merge iteration
+# is then a pair explode + weighted count over that compressed frame
+# (exactly how Rust/C++ trainers do it, distributed here: parallelism =
+# shuffle partitions, never O(corpus) per iteration). This query is one
+# iteration's pair-count + deterministic argmax prefix (top 20); the
+# loop is driver-orchestrated like every fixpoint here (cf. q39/q21).
+# Pure explode + codegen substring — no UDF.
+# ---------------------------------------------------------------------------
+def q58_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = wf.select(
+        "w",
+        "freq",
+        F.explode(F.expr("sequence(1, length(w) - 1)")).alias("i"),
+    ).select(F.expr("substring(w, i, 2)").alias("pair"), "freq", "w")
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").alias("pair_freq"),
+            F.countDistinct("w").alias("n_distinct_words"),
+        )
+        .orderBy(F.desc("pair_freq"), "pair")
+        .limit(20)
+    )
+
+
+Q58_SQL = r"""
+WITH words AS (
+  SELECT UNNEST(string_split_regex(lower(text), '\s+')) AS w FROM documents
+),
+wf AS (
+  SELECT w, COUNT(*) AS freq
+  FROM words
+  WHERE regexp_full_match(w, '[a-z]+') AND len(w) >= 2
+  GROUP BY w
+),
+pairs AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair, freq, w
+  FROM (SELECT w, freq, UNNEST(generate_series(1, len(w) - 1)) AS i FROM wf)
+)
+SELECT pair,
+       CAST(SUM(freq) AS BIGINT) AS pair_freq,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_words
+FROM pairs
+GROUP BY pair
+ORDER BY pair_freq DESC, pair
+LIMIT 20
+"""
+
+QUERIES["q58_bpe_merge_pairs"] = q58_bpe_merge_pairs
+ORACLES["q58_bpe_merge_pairs"] = Q58_SQL

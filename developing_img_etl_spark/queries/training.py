@@ -1240,3 +1240,103 @@ ORDER BY c_mktsegment
 
 QUERIES["q55_time_travel_diff"] = q55_time_travel_diff
 ORACLES["q55_time_travel_diff"] = Q55_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q59 — native MERGE INTO on the transactional format with FILE-LEVEL
+# PRUNING (TxLogFormat.merge_into, sinks/txlog.py): the customer table
+# is laid out range-partitioned on c_custkey (8 files whose min/max
+# key stats land in the commit log), then a small update set — win-back
+# segment flips for low-key customers with an URGENT order, tombstone
+# deletes for low-key negative-balance customers without one — merges
+# in ONE atomic commit that rewrites only the files whose logged key
+# range intersects the update keys; every other file survives
+# byte-identical (pruning asserted in tests/test_txlog.py). The oracle
+# recomputes the post-merge state from the raw tables, so a lost
+# update, a surviving tombstone, or a row dropped from an untouched
+# file all hash-mismatch. Table built once per (process, sf_dir); the
+# declared query reads the committed snapshot.
+# ---------------------------------------------------------------------------
+_TXMERGE_CACHE: dict[str, str] = {}
+
+
+def _txmerge_table(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _TXMERGE_CACHE:
+        import tempfile
+
+        from ..sinks.txlog import TxLogFormat
+
+        fmt = TxLogFormat()
+        path = tempfile.mkdtemp(prefix="txmerge_") + "/customer"
+        cust = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        )
+        fmt.append(cust.repartitionByRange(8, "c_custkey"), path)
+
+        urgent = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select(F.col("o_custkey").alias("c_custkey"))
+            .distinct()
+        )
+        band = cust.filter(F.col("c_custkey") <= 150)
+        upserts = (
+            band.join(urgent, "c_custkey", "left_semi")
+            .withColumn("c_mktsegment", F.lit("WON_BACK"))
+            .withColumn("is_deleted", F.lit(False))
+        )
+        tombstones = (
+            band.filter(F.col("c_acctbal") < 0)
+            .join(urgent, "c_custkey", "left_anti")
+            .withColumn("is_deleted", F.lit(True))
+        )
+        fmt.merge_into(
+            spark,
+            path,
+            upserts.unionByName(tombstones),
+            "c_custkey",
+            delete_col="is_deleted",
+        )
+        _TXMERGE_CACHE[sf_dir] = path
+    return _TXMERGE_CACHE[sf_dir]
+
+
+def q59_merge_into_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.txlog import TxLogFormat
+
+    fmt = TxLogFormat()
+    path = _txmerge_table(spark, sf_dir)
+    return (
+        fmt.read(spark, path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q59_SQL = f"""
+WITH urgent AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+merged AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey <= 150 AND c_custkey IN (SELECT o_custkey FROM urgent)
+              THEN 'WON_BACK' ELSE c_mktsegment END AS c_mktsegment,
+         c_acctbal
+  FROM customer
+  WHERE NOT (c_custkey <= 150 AND c_acctbal < 0
+             AND c_custkey NOT IN (SELECT o_custkey FROM urgent))
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       {sql_dsum("CAST(c_acctbal AS DECIMAL(12,4))")} AS total_bal
+FROM merged
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+QUERIES["q59_merge_into_pruned"] = q59_merge_into_pruned
+ORACLES["q59_merge_into_pruned"] = Q59_SQL

@@ -27,6 +27,15 @@ Protocol (public knowledge — the Delta Lake paper, VLDB 2020):
   the property ParquetFormat.overwrite cannot give (delete-then-write).
 - Old versions stay readable (`read(..., version=k)`) until a
   `vacuum()` drops files no live-or-retained version references.
+- Each `add` action carries **per-file column statistics** (row count,
+  min/max/null-count per leaf column, harvested from the parquet
+  footer at stage time — a metadata read, never a data scan). Readers
+  use them for **file skipping** (`read(..., where=[...])` prunes
+  files whose min/max range cannot satisfy the predicate — Delta's
+  data-skipping index), and `merge_into` uses them to rewrite ONLY the
+  files whose key ranges intersect the update set — the native
+  MERGE INTO shape (scan-prune → rewrite touched files → one commit)
+  rather than the full-table anti-join+union fallback.
 
 Scale notes: the log is O(commits) JSON records, replayed driver-side
 (Delta does exactly this, with periodic checkpoints of the replayed
@@ -38,13 +47,17 @@ commit step is swapped for a put-if-absent — the seam stays the same.
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 import os
 import shutil
 import tempfile
 import uuid
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _LOG_DIR = "_txlog"
 
@@ -70,17 +83,150 @@ def _versions(path: str) -> list[int]:
     )
 
 
-def _replay(path: str, version: int | None = None) -> list[str]:
-    """Live file names (relative) at `version` (latest if None)."""
-    live: set[str] = set()
+def _norm(v):
+    """JSON-safe, order-preserving normal form shared by the stats
+    writer and the predicate evaluator (so comparisons line up):
+    dates/timestamps → ISO strings (lexicographic == chronological),
+    Decimal → float, bytes → utf-8 or unusable (None)."""
+    if isinstance(v, bool) or v is None:
+        return v
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
+def _file_stats(fp: str) -> tuple[int, dict]:
+    """(row_count, {col: [min, max, null_count]}) from the parquet
+    FOOTER — a metadata read, no data scan. Columns whose stats are
+    absent or non-normalizable in any row group are omitted (readers
+    treat missing stats as 'cannot prune' — always safe)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fp).metadata
+    stats: dict[str, list] = {}
+    bad: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name in bad:
+                continue
+            s = col.statistics
+            if s is None or not s.has_min_max:
+                bad.add(name)
+                continue
+            mn, mx = _norm(s.min), _norm(s.max)
+            nulls = s.null_count if s.has_null_count else 0
+            if mn is None or mx is None:
+                bad.add(name)
+                continue
+            if name in stats:
+                cur = stats[name]
+                cur[0] = min(cur[0], mn)
+                cur[1] = max(cur[1], mx)
+                cur[2] += nulls
+            else:
+                stats[name] = [mn, mx, nulls]
+    for name in bad:
+        stats.pop(name, None)
+    return md.num_rows, stats
+
+
+def _replay_actions(path: str, version: int | None = None) -> list[dict]:
+    """Live add-actions at `version` (latest if None), sorted by file
+    name. Accepts both the v0 record shape (add = [name, ...]) and the
+    stats-bearing shape (add = [{"path":..,"rows":..,"stats":..}, ...])."""
+    live: dict[str, dict] = {}
     for v in _versions(path):
         if version is not None and v > version:
             break
         with open(_record_path(path, v)) as f:
             rec = json.load(f)
-        live -= set(rec.get("remove", []))
-        live |= set(rec.get("add", []))
-    return sorted(live)
+        for name in rec.get("remove", []):
+            live.pop(name, None)
+        for a in rec.get("add", []):
+            if isinstance(a, str):
+                a = {"path": a, "rows": None, "stats": {}}
+            live[a["path"]] = a
+    return [live[k] for k in sorted(live)]
+
+
+def _replay(path: str, version: int | None = None) -> list[str]:
+    """Live file names (relative) at `version` (latest if None)."""
+    return [a["path"] for a in _replay_actions(path, version)]
+
+
+_PRUNE_OPS = {"==", "!=", "<", "<=", ">", ">=", "in"}
+
+
+def _file_may_match(action: dict, where: Sequence[tuple]) -> bool:
+    """Can this file possibly contain a row satisfying ALL predicates?
+    Missing stats for a column → cannot prune on it (keep the file)."""
+    stats = action.get("stats") or {}
+    for col, op, val in where:
+        st = stats.get(col)
+        if st is None:
+            continue
+        mn, mx, _nulls = st
+        vals = [_norm(v) for v in (val if op == "in" else [val])]
+        if any(v is None for v in vals):
+            continue
+        if op in ("==",):
+            if not (mn <= vals[0] <= mx):
+                return False
+        elif op == "in":
+            if not any(mn <= v <= mx for v in vals):
+                return False
+        elif op == "<":
+            if not (mn < vals[0]):
+                return False
+        elif op == "<=":
+            if not (mn <= vals[0]):
+                return False
+        elif op == ">":
+            if not (mx > vals[0]):
+                return False
+        elif op == ">=":
+            if not (mx >= vals[0]):
+                return False
+        elif op == "!=":
+            if mn == mx == vals[0]:
+                return False
+    return True
+
+
+def _where_expr(where: Sequence[tuple]):
+    """The exact Column predicate for the residual filter (pruning is
+    an optimization; the filter is the semantics)."""
+    expr = F.lit(True)
+    for col, op, val in where:
+        c = F.col(col)
+        if op == "in":
+            e = c.isin(list(val))
+        elif op == "==":
+            e = c == val
+        elif op == "!=":
+            e = c != val
+        elif op == "<":
+            e = c < val
+        elif op == "<=":
+            e = c <= val
+        elif op == ">":
+            e = c > val
+        else:
+            e = c >= val
+        expr = expr & e
+    return expr
 
 
 class TxLogFormat:
@@ -90,27 +236,29 @@ class TxLogFormat:
         self.max_commit_retries = max_commit_retries
 
     # -- commit protocol ---------------------------------------------------
-    def _stage(self, df: DataFrame, path: str) -> list[str]:
+    def _stage(self, df: DataFrame, path: str) -> list[dict]:
         """Write df's parquet files into the table dir under a fresh
         uuid prefix (invisible until a commit record references them);
-        returns the relative file names."""
+        returns the add-actions (name + footer-harvested stats)."""
         os.makedirs(path, exist_ok=True)
         scratch = tempfile.mkdtemp(prefix="txstage_")
         try:
             df.write.mode("overwrite").parquet(scratch)
             prefix = f"data-{uuid.uuid4().hex}"
-            names = []
+            actions = []
             for f in sorted(os.listdir(scratch)):
                 if not f.endswith(".parquet"):
                     continue
                 name = f"{prefix}-{f}"
-                shutil.move(os.path.join(scratch, f), os.path.join(path, name))
-                names.append(name)
-            return names
+                dst = os.path.join(path, name)
+                shutil.move(os.path.join(scratch, f), dst)
+                rows, stats = _file_stats(dst)
+                actions.append({"path": name, "rows": rows, "stats": stats})
+            return actions
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
 
-    def _commit(self, path: str, add: list[str], remove: list[str],
+    def _commit(self, path: str, add: list[dict], remove: list[str],
                 expected_version: int | None = None) -> int:
         """Atomically publish a commit record as the next version.
         os.link is the put-if-absent: EEXIST → a concurrent writer won
@@ -167,12 +315,29 @@ class TxLogFormat:
         schema: str | None = None,
         *,
         version: int | None = None,
+        where: Sequence[tuple] | None = None,
     ) -> DataFrame:
-        files = _replay(path, version) if os.path.isdir(_log_dir(path)) else None
+        """Snapshot read. ``where`` is an optional conjunction of
+        ``(col, op, value)`` predicates (op ∈ ==, !=, <, <=, >, >=, in):
+        files whose logged min/max range cannot satisfy it are SKIPPED
+        (never opened — Delta-style data skipping), and the predicate is
+        re-applied as a plan filter so semantics never depend on stats."""
+        have_log = os.path.isdir(_log_dir(path))
+        actions = _replay_actions(path, version) if have_log else None
+        files = None if actions is None else [a["path"] for a in actions]
+        if files and where:
+            if any(op not in _PRUNE_OPS for _c, op, _v in where):
+                raise ValueError(f"unsupported predicate op; use one of {_PRUNE_OPS}")
+            kept = [a["path"] for a in actions if _file_may_match(a, where)]
+            if not kept:  # provably empty: schema-only scan of one live file
+                one = spark.read.parquet(os.path.join(path, files[0]))
+                return one.filter(F.lit(False))
+            files = kept
         if files:
             paths = [os.path.join(path, f) for f in files]
             reader = spark.read.schema(schema) if schema else spark.read
-            return reader.parquet(*paths)
+            df = reader.parquet(*paths)
+            return df.filter(_where_expr(where)) if where else df
         if files is not None and schema is None:
             # an existing table whose live set is empty still has a schema
             # in a full impl (log metadata); here require one explicitly
@@ -187,6 +352,107 @@ class TxLogFormat:
     # -- extras beyond the seam --------------------------------------------
     def versions(self, path: str) -> list[int]:
         return _versions(path)
+
+    def files(self, path: str, version: int | None = None) -> list[dict]:
+        """Live add-actions (name, rows, per-column stats) at a version."""
+        return _replay_actions(path, version)
+
+    def merge_into(
+        self,
+        spark: SparkSession,
+        path: str,
+        updates: DataFrame,
+        key_cols: str | Sequence[str],
+        *,
+        delete_col: str | None = None,
+        max_collected_keys: int = 100_000,
+    ) -> dict:
+        """Native MERGE INTO with file-level pruning: rewrite ONLY the
+        data files whose logged key ranges intersect the update set;
+        untouched files survive the commit untouched (no data movement).
+        This is the shape `operators/merge.py::merge_upsert` documents
+        compiling to on a transactional format — scan-prune via file
+        stats, rewrite the touched subset, one atomic commit (so readers
+        see pre- or post-merge, never a torn state).
+
+        Pruning tiers: per-key-column [min,max] interval overlap always;
+        for single-column keys with ≤ ``max_collected_keys`` distinct
+        update keys, exact membership (key ∈ [file.min, file.max]) —
+        bounded driver-side collect, same trick Delta uses when it
+        builds the matched-file list. Returns a summary dict
+        ({version, files_rewritten, files_skipped, rows_scanned}).
+
+        Concurrency: conflicts with any commit that lands between the
+        snapshot read and our commit (expected_version CAS) → TxConflict;
+        the caller re-runs against the fresh snapshot."""
+        keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+        actions = _replay_actions(path) if os.path.isdir(_log_dir(path)) else []
+        vs = _versions(path)
+        expected = (vs[-1] + 1) if vs else 0
+
+        # one bounded driver action: per-key-column bounds (+ exact key
+        # set for single-column keys when small enough)
+        aggs = [F.min(k).alias(f"__mn_{i}") for i, k in enumerate(keys)]
+        aggs += [F.max(k).alias(f"__mx_{i}") for i, k in enumerate(keys)]
+        aggs.append(F.count(F.lit(1)).alias("__n"))
+        b = updates.agg(*aggs).collect()[0]
+        key_values = None
+        if len(keys) == 1 and (b["__n"] or 0) <= max_collected_keys:
+            key_values = sorted(
+                {
+                    _norm(r[0])
+                    for r in updates.select(keys[0]).distinct().collect()
+                    if r[0] is not None and _norm(r[0]) is not None
+                }
+            )
+
+        def touched(a: dict) -> bool:
+            stats = a.get("stats") or {}
+            for i, k in enumerate(keys):
+                st = stats.get(k)
+                if st is None:
+                    return True  # no stats → must assume a match
+                mn, mx, _ = st
+                umn, umx = _norm(b[f"__mn_{i}"]), _norm(b[f"__mx_{i}"])
+                if umn is None or umx is None:
+                    return True
+                if mx < umn or mn > umx:
+                    return False
+                if key_values is not None and not any(
+                    mn <= v <= mx for v in key_values
+                ):
+                    return False
+            return True
+
+        hit = [a for a in actions if touched(a)]
+        miss = [a for a in actions if not touched(a)]
+        from ..operators.merge import merge_upsert
+
+        tgt_cols = [c for c in updates.columns if c != delete_col]
+        if hit:
+            target = spark.read.parquet(
+                *[os.path.join(path, a["path"]) for a in hit]
+            ).select(*tgt_cols)
+            merged = merge_upsert(target, updates, keys, delete_col=delete_col)
+        elif delete_col is None:
+            merged = updates.select(*tgt_cols)
+        else:
+            merged = updates.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).select(*tgt_cols)
+        add = self._stage(merged, path)
+        version = self._commit(
+            path,
+            add=add,
+            remove=[a["path"] for a in hit],
+            expected_version=expected,
+        )
+        return {
+            "version": version,
+            "files_rewritten": len(hit),
+            "files_skipped": len(miss),
+            "rows_scanned": sum(a["rows"] or 0 for a in hit),
+        }
 
     def vacuum(self, path: str, *, retain_versions: int = 0) -> list[str]:
         """Delete data files unreachable from the latest

@@ -98,3 +98,112 @@ def test_vacuum_drops_only_unreachable(spark, tmp_path):
         fmt.read(spark, path, SCHEMA, version=0).collect()
     # idempotent
     assert fmt.vacuum(path, retain_versions=0) == []
+
+
+def _range_table(spark, n=1000, files=4):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, n).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    return df.repartitionByRange(files, "k")
+
+
+def test_add_actions_carry_footer_stats(spark, tmp_path):
+    fmt = TxLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(_range_table(spark), path)
+    actions = fmt.files(path)
+    assert len(actions) == 4
+    ks = [a["stats"]["k"] for a in actions]
+    # per-file min/max present, ranges disjoint (repartitionByRange), rows sum
+    assert all(mn <= mx for mn, mx, _ in ks)
+    ordered = sorted(ks)
+    assert all(a[1] < b[0] for a, b in zip(ordered, ordered[1:]))
+    assert sum(a["rows"] for a in actions) == 1000
+    assert min(mn for mn, _, _ in ks) == 0 and max(mx for _, mx, _ in ks) == 999
+
+
+def test_read_where_skips_files(spark, tmp_path):
+    fmt = TxLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(_range_table(spark), path)
+
+    full = fmt.read(spark, path, SCHEMA)
+    pruned = fmt.read(spark, path, SCHEMA, where=[("k", "<", 100)])
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.count() == 100
+    # point lookup touches one file; residual filter still exact
+    point = fmt.read(spark, path, SCHEMA, where=[("k", "==", 500)])
+    assert len(point.inputFiles()) == 1
+    assert [r.v for r in point.collect()] == ["v500"]
+    # provably-empty predicate: no data files opened beyond the schema probe
+    empty = fmt.read(spark, path, SCHEMA, where=[("k", ">", 10_000)])
+    assert empty.count() == 0
+    # IN-list across two files
+    two = fmt.read(spark, path, SCHEMA, where=[("k", "in", [10, 990])])
+    assert len(two.inputFiles()) == 2
+    assert sorted(r.k for r in two.collect()) == [10, 990]
+
+
+def test_merge_into_rewrites_only_touched_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    fmt = TxLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(_range_table(spark), path)
+    before = {a["path"] for a in fmt.files(path)}
+
+    updates = spark.createDataFrame(
+        [(5, "UP5"), (7, "UP7"), (1005, "NEW")], SCHEMA
+    )
+    res = fmt.merge_into(spark, path, updates, "k")
+    assert res["files_rewritten"] == 1, res
+    assert res["files_skipped"] == 3
+    after = {a["path"] for a in fmt.files(path)}
+    # the three untouched files survive the commit byte-identical
+    assert len(before & after) == 3
+
+    got = {r.k: r.v for r in fmt.read(spark, path, SCHEMA).collect()}
+    assert got[5] == "UP5" and got[7] == "UP7" and got[1005] == "NEW"
+    assert got[6] == "v6" and got[999] == "v999" and len(got) == 1001
+
+
+def test_merge_into_insert_only_touches_nothing(spark, tmp_path):
+    fmt = TxLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(_range_table(spark), path)
+    res = fmt.merge_into(
+        spark, path, spark.createDataFrame([(2000, "n1"), (2001, "n2")], SCHEMA), "k"
+    )
+    assert res["files_rewritten"] == 0 and res["rows_scanned"] == 0
+    assert fmt.read(spark, path, SCHEMA).count() == 1002
+
+
+def test_merge_into_tombstone_delete(spark, tmp_path):
+    fmt = TxLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(_range_table(spark, n=100, files=2), path)
+    updates = spark.createDataFrame(
+        [(3, None, True), (4, "UP4", False)], "k INT, v STRING, is_deleted BOOLEAN"
+    )
+    res = fmt.merge_into(spark, path, updates, "k", delete_col="is_deleted")
+    assert res["files_rewritten"] == 1
+    got = {r.k: r.v for r in fmt.read(spark, path, SCHEMA).collect()}
+    assert 3 not in got and got[4] == "UP4" and len(got) == 99
+
+
+def test_merge_into_exact_key_pruning_beats_bounds(spark, tmp_path):
+    # keys 5 and 995 span all four file ranges as an interval, but exact
+    # membership keeps the middle two files out of the rewrite
+    fmt = TxLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(_range_table(spark), path)
+    res = fmt.merge_into(
+        spark, path, spark.createDataFrame([(5, "A"), (995, "B")], SCHEMA), "k"
+    )
+    assert res["files_rewritten"] == 2, res
+    got = {r.k: r.v for r in fmt.read(spark, path, SCHEMA).collect()}
+    assert got[5] == "A" and got[995] == "B" and len(got) == 1000
