@@ -486,3 +486,88 @@ LIMIT 20
 
 QUERIES["q58_bpe_merge_pairs"] = q58_bpe_merge_pairs
 ORACLES["q58_bpe_merge_pairs"] = Q58_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q62 — corpus curation funnel (training-data mandate, the C4/Gopher
+# pipeline shape): one scan applies the cumulative filter chain
+# length-gate → quality-gate (token count + punctuation ratio) →
+# langid-agreement → PII-clean, and reports per-source survival at
+# every stage. All four stages are codegen'd expressions from
+# functions/text.py + functions/pii.py (no UDF, no join, ONE shuffle
+# for the final per-source agg) — at 100 TB this is the scan-speed
+# pass that decides what enters training. Stages mirror q12c/q12d/q34
+# expression-for-expression, so the oracle reproduces every count.
+# ---------------------------------------------------------------------------
+def q62_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import pii as PII
+
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    s1 = F.col("n_chars").between(100, 50_000)
+    s2 = s1 & TXT.quality_ok(t)
+    s3 = s2 & (TXT.lang_id(t) == F.col("lang"))
+    s4 = s3 & (
+        (PII.email_count(t) + PII.phone_count(t) + PII.ipv4_count(t)) == 0
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(s1.cast("long")).alias("n_len_ok"),
+            F.sum(s2.cast("long")).alias("n_quality_ok"),
+            F.sum(s3.cast("long")).alias("n_lang_ok"),
+            F.sum(s4.cast("long")).alias("n_curated"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q62_sql() -> str:
+    from ..functions import pii as PII
+
+    npii = " + ".join(
+        f"len(regexp_extract_all(text, '{p}'))"
+        for p, _tok in PII.PATTERNS
+    )
+    return rf"""
+WITH b AS (
+  SELECT source, lang, n_chars, text,
+         len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+         (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+           * 1.0 / length(text) AS punct_ratio,
+         CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+              WHEN regexp_matches(text, '[ñ¿¡]') THEN 'es'
+              WHEN regexp_matches(text, '[àâçèêëîïôùûœ]') THEN 'fr'
+              WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+              ELSE 'en' END AS lang_pred,
+         {npii} AS n_pii
+  FROM documents
+),
+f AS (
+  SELECT source,
+         (n_chars BETWEEN 100 AND 50000) AS s1,
+         (n_chars BETWEEN 100 AND 50000)
+           AND (n_tokens >= 5 AND n_tokens <= 100000 AND punct_ratio < 0.1) AS s2,
+         (n_chars BETWEEN 100 AND 50000)
+           AND (n_tokens >= 5 AND n_tokens <= 100000 AND punct_ratio < 0.1)
+           AND lang_pred = lang AS s3,
+         (n_chars BETWEEN 100 AND 50000)
+           AND (n_tokens >= 5 AND n_tokens <= 100000 AND punct_ratio < 0.1)
+           AND lang_pred = lang AND n_pii = 0 AS s4
+  FROM b
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+       CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+       CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+       CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_curated
+FROM f
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES["q62_curation_funnel"] = q62_curation_funnel
+ORACLES["q62_curation_funnel"] = _q62_sql()

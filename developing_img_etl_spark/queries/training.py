@@ -1340,3 +1340,150 @@ ORDER BY c_mktsegment
 
 QUERIES["q59_merge_into_pruned"] = q59_merge_into_pruned
 ORACLES["q59_merge_into_pruned"] = Q59_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q60 — incremental materialized-view maintenance (operators/ivm.py):
+# a grouped COUNT/SUM view over pre-1997 orders is refreshed with a
+# SIGNED delta — 1997+ orders as inserts, a deterministic slice of old
+# finished orders as retractions — by aggregating the DELTA ONLY and
+# merging partials (refresh cost ∝ |delta| + |groups|, never the base).
+# The view stores exact DECIMAL partial sums (a stored rounded double
+# cannot be additively maintained); rounding happens once at
+# presentation. The oracle recomputes the final state from the full
+# orders table, so a wrong partial, a lost retraction, or premature
+# rounding all hash-mismatch.
+# ---------------------------------------------------------------------------
+_IVM_CUT = "1997-01-01"
+
+
+def q60_incremental_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ivm import build_view, delta_aggregate, incremental_refresh
+
+    orders = load(spark, sf_dir, "orders")
+    cut = F.lit(_IVM_CUT).cast("date")
+    base = orders.filter(F.col("o_orderdate") < cut)
+    view = build_view(base, ["o_orderpriority"], ["o_totalprice"])
+
+    inserts = orders.filter(F.col("o_orderdate") >= cut).withColumn("s", F.lit(1))
+    retractions = base.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 97 == 0)
+    ).withColumn("s", F.lit(-1))
+    dagg = delta_aggregate(
+        inserts.unionByName(retractions),
+        ["o_orderpriority"],
+        ["o_totalprice"],
+        sign_col="s",
+    )
+    refreshed = incremental_refresh(view, dagg, ["o_orderpriority"], ["o_totalprice"])
+    return refreshed.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(F.col("o_totalprice"), 2).cast("double").alias("total_price"),
+    ).orderBy("o_orderpriority")
+
+
+Q60_SQL = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_dsum("CAST(o_totalprice AS DECIMAL(12,4))")} AS total_price
+FROM orders
+WHERE NOT (o_orderdate < DATE '{_IVM_CUT}'
+           AND o_orderstatus = 'F' AND o_orderkey % 97 = 0)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+QUERIES["q60_incremental_view_refresh"] = q60_incremental_view_refresh
+ORACLES["q60_incremental_view_refresh"] = Q60_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q61 — Bloom-filter semi-join reduction (operators/bloom.py): build a
+# 256-bit / 2-hash Bloom bitmap over the suppliers of one nation (one
+# hash agg, bit_or-packed words, no driver collect), probe every
+# lineitem row map-side (broadcast word frame + codegen bit tests —
+# the fact table never shuffles), and score the filter per suppkey
+# residue class: rows kept by the Bloom vs rows that truly match
+# (exact broadcast semi-join), false positives = kept - true. The hash
+# family is bounded modular arithmetic, so the DuckDB oracle rebuilds
+# the identical bitmap: one wrong bit anywhere flips a count and
+# hash-mismatches. (Spark's runtime bloomFilter join does this
+# implicitly inside one query; the operator is the explicit, portable,
+# cross-stage form.)
+# ---------------------------------------------------------------------------
+_BLOOM_NATION = 3
+_BLOOM_M = 256
+_BLOOM_K = 2
+
+
+def q61_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_build, bloom_might_contain
+
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == _BLOOM_NATION)
+        .select("s_suppkey")
+    )
+    words = bloom_build(supp, "s_suppkey", m_bits=_BLOOM_M, k_hashes=_BLOOM_K)
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey")
+    probed = bloom_might_contain(
+        li, "l_suppkey", words, m_bits=_BLOOM_M, k_hashes=_BLOOM_K
+    )
+    flagged = probed.join(
+        F.broadcast(supp.withColumn("is_true", F.lit(True))),
+        probed.l_suppkey == supp.s_suppkey,
+        "left",
+    ).select(
+        (F.col("l_suppkey") % 8).alias("residue"),
+        F.col("bloom_pass").cast("long").alias("p"),
+        F.coalesce("is_true", F.lit(False)).cast("long").alias("t"),
+    )
+    return (
+        flagged.groupBy("residue")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("p").alias("n_bloom_pass"),
+            F.sum("t").alias("n_true_match"),
+            F.sum(F.col("p") * (1 - F.col("t"))).alias("n_false_pos"),
+        )
+        .orderBy("residue")
+    )
+
+
+Q61_SQL = f"""
+WITH dimpos AS (
+  SELECT DISTINCT
+         (((s_suppkey % 2147483647) * 1103515245 + 12345) % 2147483647
+          + i * (((s_suppkey % 2147483647) * 69069 + 362437) % 2147483647))
+         % 2147483647 % {_BLOOM_M} AS pos
+  FROM (SELECT s_suppkey, UNNEST([0, 1]) AS i
+        FROM supplier WHERE s_nationkey = {_BLOOM_NATION})
+),
+probe AS (
+  SELECT l_suppkey,
+         (SELECT COUNT(*) FROM dimpos WHERE pos =
+            (((l_suppkey % 2147483647) * 1103515245 + 12345) % 2147483647)
+            % 2147483647 % {_BLOOM_M}) > 0
+         AND
+         (SELECT COUNT(*) FROM dimpos WHERE pos =
+            (((l_suppkey % 2147483647) * 1103515245 + 12345) % 2147483647
+             + ((l_suppkey % 2147483647) * 69069 + 362437) % 2147483647)
+            % 2147483647 % {_BLOOM_M}) > 0 AS bloom_pass,
+         l_suppkey IN (SELECT s_suppkey FROM supplier
+                       WHERE s_nationkey = {_BLOOM_NATION}) AS is_true
+  FROM lineitem
+)
+SELECT l_suppkey % 8 AS residue,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+       CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match,
+       CAST(SUM(CASE WHEN bloom_pass AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos
+FROM probe
+GROUP BY residue
+ORDER BY residue
+"""
+
+QUERIES["q61_bloom_semijoin_reduction"] = q61_bloom_semijoin_reduction
+ORACLES["q61_bloom_semijoin_reduction"] = Q61_SQL

@@ -208,3 +208,101 @@ def test_pii_redaction_is_complete_and_targeted(spark):
         assert (r["re"], r["rp"], r["ri"]) == (0, 0, 0)
     assert got[0]["r"] == "mail me at <EMAIL> or <PHONE>"
     assert got[2]["r"] == "clean text, no pii at all"
+
+
+# -- incremental view maintenance (operators/ivm.py) ------------------------
+
+
+def test_ivm_refresh_equals_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from developing_img_etl_spark.operators.ivm import (
+        build_view,
+        delta_aggregate,
+        incremental_refresh,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 5.0), ("b", 7.0), ("c", 1.0)],
+        "g STRING, x DOUBLE",
+    )
+    view = build_view(base, ["g"], ["x"])
+    # retract one 'a' row and the ONLY 'c' row; insert new 'b' and 'd' rows
+    delta = spark.createDataFrame(
+        [("a", 20.0, -1), ("c", 1.0, -1), ("b", 3.0, 1), ("d", 9.0, 1)],
+        "g STRING, x DOUBLE, s INT",
+    )
+    refreshed = incremental_refresh(
+        view, delta_aggregate(delta, ["g"], ["x"], sign_col="s"), ["g"], ["x"]
+    )
+    got = {
+        r.g: (r.n, float(r.x)) for r in refreshed.collect()
+    }
+    # equals a from-scratch recompute of the post-delta base
+    assert got == {"a": (1, 10.0), "b": (3, 15.0), "d": (1, 9.0)}
+    assert "c" not in got  # emptied group dropped
+
+
+def test_ivm_unsigned_delta_defaults_to_inserts(spark):
+    from developing_img_etl_spark.operators.ivm import (
+        build_view,
+        delta_aggregate,
+        incremental_refresh,
+    )
+
+    base = spark.createDataFrame([("a", 1.0)], "g STRING, x DOUBLE")
+    delta = spark.createDataFrame([("a", 2.0), ("b", 3.0)], "g STRING, x DOUBLE")
+    view = incremental_refresh(
+        build_view(base, ["g"], ["x"]),
+        delta_aggregate(delta, ["g"], ["x"]),
+        ["g"],
+        ["x"],
+    )
+    got = {r.g: (r.n, float(r.x)) for r in view.collect()}
+    assert got == {"a": (2, 3.0), "b": (1, 3.0)}
+
+
+# -- bloom semi-join reduction (operators/bloom.py) -------------------------
+
+
+def test_bloom_never_false_negative_and_bounded_fp(spark):
+    from pyspark.sql import functions as F
+
+    from developing_img_etl_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    keys = spark.range(0, 50).select((F.col("id") * 13 + 1).alias("k"))
+    words = bloom_build(keys, "k", m_bits=1024, k_hashes=3)
+    # word frame is tiny and packed
+    assert words.count() <= 1024 // 64
+    probe = spark.range(0, 2000).select(F.col("id").alias("k"))
+    flagged = bloom_might_contain(probe, "k", words, m_bits=1024, k_hashes=3)
+    rows = {r.k: r.bloom_pass for r in flagged.collect()}
+    member = {i * 13 + 1 for i in range(50)}
+    # no false negatives, ever
+    assert all(rows[k] for k in member if k in rows)
+    # false positives exist but are bounded (m/n/k chosen for ~<5%)
+    fp = sum(1 for k, p in rows.items() if p and k not in member)
+    assert fp / len(rows) < 0.05
+
+
+def test_bloom_probe_plan_is_mapside(spark):
+    from pyspark.sql import functions as F
+
+    from developing_img_etl_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    keys = spark.range(0, 10).select(F.col("id").alias("k"))
+    words = bloom_build(keys, "k", m_bits=256, k_hashes=2)
+    probe = spark.range(0, 100).select(F.col("id").alias("k"))
+    plan = bloom_might_contain(
+        probe, "k", words, m_bits=256, k_hashes=2
+    )._jdf.queryExecution().executedPlan().toString()
+    # the fact side joins the word frame by broadcast only — a shuffle of
+    # the probe side would make the reduction pointless
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
