@@ -142,11 +142,13 @@ def _file_stats(fp: str) -> tuple[int, dict]:
     return md.num_rows, stats
 
 
-def _replay_actions(path: str, version: int | None = None) -> list[dict]:
-    """Live add-actions at `version` (latest if None), sorted by file
-    name. Accepts both the v0 record shape (add = [name, ...]) and the
-    stats-bearing shape (add = [{"path":..,"rows":..,"stats":..}, ...])."""
+def _replay_state(path: str, version: int | None = None) -> tuple[list[dict], str | None]:
+    """(live add-actions, latest logged schema JSON) at `version`
+    (latest if None), actions sorted by file name. Accepts both the v0
+    record shape (add = [name, ...]) and the stats-bearing shape
+    (add = [{"path":..,"rows":..,"stats":..}, ...])."""
     live: dict[str, dict] = {}
+    schema: str | None = None
     for v in _versions(path):
         if version is not None and v > version:
             break
@@ -158,7 +160,12 @@ def _replay_actions(path: str, version: int | None = None) -> list[dict]:
             if isinstance(a, str):
                 a = {"path": a, "rows": None, "stats": {}}
             live[a["path"]] = a
-    return [live[k] for k in sorted(live)]
+        schema = rec.get("schema", schema)
+    return [live[k] for k in sorted(live)], schema
+
+
+def _replay_actions(path: str, version: int | None = None) -> list[dict]:
+    return _replay_state(path, version)[0]
 
 
 def _replay(path: str, version: int | None = None) -> list[str]:
@@ -259,12 +266,15 @@ class TxLogFormat:
             shutil.rmtree(scratch, ignore_errors=True)
 
     def _commit(self, path: str, add: list[dict], remove: list[str],
-                expected_version: int | None = None) -> int:
+                expected_version: int | None = None,
+                schema_json: str | None = None) -> int:
         """Atomically publish a commit record as the next version.
         os.link is the put-if-absent: EEXIST → a concurrent writer won
         the version → TxConflict (caller re-reads and retries)."""
         os.makedirs(_log_dir(path), exist_ok=True)
         rec = {"add": add, "remove": remove}
+        if schema_json is not None:
+            rec["schema"] = schema_json
         for _ in range(self.max_commit_retries):
             vs = _versions(path)
             version = (vs[-1] + 1) if vs else 0
@@ -289,24 +299,65 @@ class TxLogFormat:
                 os.unlink(tmp)
         raise TxConflict(f"{path}: lost the commit race {self.max_commit_retries} times")
 
+    @staticmethod
+    def _evolved_schema(logged_json: str | None, df: DataFrame) -> str:
+        """ADDITIVE schema evolution for appends (the Delta mergeSchema
+        contract): new columns join the table schema; appends may omit
+        existing columns (read as null); a TYPE change for an existing
+        column is rejected — silent coercion corrupts old files."""
+        from pyspark.sql.types import StructType
+
+        if logged_json is None:
+            return df.schema.json()
+        old = StructType.fromJson(json.loads(logged_json))
+        by_name = {f.name: f for f in old.fields}
+        merged = list(old.fields)
+        for f in df.schema.fields:
+            prev = by_name.get(f.name)
+            if prev is None:
+                merged.append(f)
+            elif prev.dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution rejected: column {f.name!r} is "
+                    f"{prev.dataType.simpleString()}, append has "
+                    f"{f.dataType.simpleString()}"
+                )
+        return StructType(merged).json()
+
     # -- TableFormat seam --------------------------------------------------
     def append(
         self, df: DataFrame, path: str, *, partition_cols: list[str] | None = None
     ) -> None:
         # partition pruning comes from the log's per-file metadata in a
         # full implementation; this one keeps the file set flat
-        self._commit(path, add=self._stage(df, path), remove=[])
+        _, logged = (
+            _replay_state(path) if os.path.isdir(_log_dir(path)) else ([], None)
+        )
+        # validate evolution BEFORE staging so a rejected append leaves
+        # zero debris (staged-but-uncommitted files are invisible, but
+        # they'd sit until vacuum)
+        schema_json = self._evolved_schema(logged, df)
+        self._commit(
+            path, add=self._stage(df, path), remove=[], schema_json=schema_json
+        )
 
     def overwrite(self, df: DataFrame, path: str) -> None:
         """Snapshot-isolated replace: stage new files, then ONE commit
         removing every previously-live file. No reader can observe the
         gap, and read(path) → transform → overwrite(path) needs no
-        localCheckpoint — the input files are immutable."""
+        localCheckpoint — the input files are immutable. The table
+        schema is replaced outright (a snapshot swap owns its schema)."""
         live_before = _replay(path) if os.path.isdir(_log_dir(path)) else []
         vs = _versions(path)
         expected = (vs[-1] + 1) if vs else 0
         add = self._stage(df, path)
-        self._commit(path, add=add, remove=live_before, expected_version=expected)
+        self._commit(
+            path,
+            add=add,
+            remove=live_before,
+            expected_version=expected,
+            schema_json=df.schema.json(),
+        )
 
     def read(
         self,
@@ -323,13 +374,21 @@ class TxLogFormat:
         (never opened — Delta-style data skipping), and the predicate is
         re-applied as a plan filter so semantics never depend on stats."""
         have_log = os.path.isdir(_log_dir(path))
-        actions = _replay_actions(path, version) if have_log else None
+        actions, logged_schema = (
+            _replay_state(path, version) if have_log else (None, None)
+        )
+        if schema is None and logged_schema is not None:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(logged_schema))
         files = None if actions is None else [a["path"] for a in actions]
         if files and where:
             if any(op not in _PRUNE_OPS for _c, op, _v in where):
                 raise ValueError(f"unsupported predicate op; use one of {_PRUNE_OPS}")
             kept = [a["path"] for a in actions if _file_may_match(a, where)]
-            if not kept:  # provably empty: schema-only scan of one live file
+            if not kept:  # provably empty: no data file opened at all
+                if schema is not None:
+                    return spark.createDataFrame([], schema)
                 one = spark.read.parquet(os.path.join(path, files[0]))
                 return one.filter(F.lit(False))
             files = kept
@@ -339,8 +398,8 @@ class TxLogFormat:
             df = reader.parquet(*paths)
             return df.filter(_where_expr(where)) if where else df
         if files is not None and schema is None:
-            # an existing table whose live set is empty still has a schema
-            # in a full impl (log metadata); here require one explicitly
+            # pre-schema-tracking log (no "schema" key in any record)
+            # whose live set is empty: nothing to infer from
             raise ValueError(f"{path}: empty live set at version {version}; pass a schema")
         if schema is None:
             raise FileNotFoundError(path)

@@ -207,3 +207,42 @@ def test_merge_into_exact_key_pruning_beats_bounds(spark, tmp_path):
     assert res["files_rewritten"] == 2, res
     got = {r.k: r.v for r in fmt.read(spark, path, SCHEMA).collect()}
     assert got[5] == "A" and got[995] == "B" and len(got) == 1000
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    fmt = TxLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame([(1, "a")], SCHEMA), path)
+    # additive evolution: a new column joins the table schema
+    fmt.append(
+        spark.createDataFrame([(2, "b", 7)], "k INT, v STRING, extra INT"), path
+    )
+    cur = fmt.read(spark, path)  # no explicit schema: the LOG's schema
+    assert [f.name for f in cur.schema.fields] == ["k", "v", "extra"]
+    got = {r.k: (r.v, r.extra) for r in cur.collect()}
+    assert got == {1: ("a", None), 2: ("b", 7)}  # old files null-fill
+    # time travel sees the schema as of that version
+    v0 = fmt.read(spark, path, version=0)
+    assert [f.name for f in v0.schema.fields] == ["k", "v"]
+
+
+def test_schema_evolution_type_change_rejected(spark, tmp_path):
+    fmt = TxLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame([(1, "a")], SCHEMA), path)
+    with pytest.raises(ValueError, match="schema evolution rejected"):
+        fmt.append(
+            spark.createDataFrame([("x", "b")], "k STRING, v STRING"), path
+        )
+    # the failed append staged no commit: table state is untouched
+    assert fmt.versions(path) == [0]
+
+
+def test_empty_live_set_reads_logged_schema(spark, tmp_path):
+    fmt = TxLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(spark.createDataFrame([(1, "a")], SCHEMA), path)
+    fmt.overwrite(spark.createDataFrame([], SCHEMA), path)
+    cur = fmt.read(spark, path)  # no schema argument needed anymore
+    assert cur.count() == 0
+    assert [f.name for f in cur.schema.fields] == ["k", "v"]
