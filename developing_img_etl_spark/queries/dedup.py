@@ -358,3 +358,79 @@ ORDER BY c.source, c.id_a, c.id_b
 
 QUERIES["q48_edit_distance_pairs"] = q48_edit_distance_pairs
 ORACLES["q48_edit_distance_pairs"] = Q48_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q63 — repeated n-gram overlap profile (training-data mandate,
+# substring-granularity dedup à la Lee et al. "Deduplicating Training
+# Data Makes Language Models Better": repeated spans across documents
+# are memorization fuel even when whole-doc dedup passes). Grams shared
+# by >= 2 distinct documents are found on the SAME persisted shingle
+# inverted index the rest of the dedup family uses (_shingle.py — zero
+# extra scans), then rolled up per source: documents affected, shared-
+# gram mass, corpus overlap fraction. One groupBy + one broadcast-size
+# join on the gram key; never all-pairs.
+# ---------------------------------------------------------------------------
+def q63_repeated_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inv = shingle_index(spark, sf_dir)
+    shared = (
+        inv.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("s", F.lit(1).alias("is_shared"))
+    )
+    per_doc = (
+        inv.join(shared, "s", "left")
+        .groupBy("doc_id", "source", "n_sh")
+        .agg(F.sum(F.coalesce("is_shared", F.lit(0))).alias("shared_n"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("shared_n") > 0).cast("long")).alias("n_docs_overlapping"),
+            F.sum("shared_n").cast("long").alias("total_shared_grams"),
+            F.sum("n_sh").cast("long").alias("total_grams"),
+            F.round(F.sum("shared_n") * 1.0 / F.sum("n_sh"), 6).alias("shared_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+Q63_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+  FROM toks
+  WHERE len(t) >= 3
+),
+inv AS (
+  SELECT doc_id, source, len(s) AS n_sh, UNNEST(s) AS shingle FROM sh
+),
+shared AS (
+  SELECT shingle FROM inv GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+  SELECT i.doc_id, i.source, i.n_sh,
+         SUM(CASE WHEN s.shingle IS NOT NULL THEN 1 ELSE 0 END) AS shared_n
+  FROM inv i LEFT JOIN shared s ON i.shingle = s.shingle
+  GROUP BY 1, 2, 3
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN shared_n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_overlapping,
+       CAST(SUM(shared_n) AS BIGINT) AS total_shared_grams,
+       CAST(SUM(n_sh) AS BIGINT) AS total_grams,
+       round(SUM(shared_n) * 1.0 / SUM(n_sh), 6) AS shared_frac
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["q63_repeated_ngram_overlap"] = q63_repeated_ngram_overlap
+ORACLES["q63_repeated_ngram_overlap"] = Q63_SQL
