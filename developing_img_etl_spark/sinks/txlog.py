@@ -39,7 +39,9 @@ Protocol (public knowledge — the Delta Lake paper, VLDB 2020):
 
 Scale notes: the log is O(commits) JSON records, replayed driver-side
 (Delta does exactly this, with periodic checkpoints of the replayed
-state — `_checkpoint_every` here); data moves are file renames, never
+state — `checkpoint_every` commits here writes a consolidated snapshot
+that replay seeds from, keeping driver cost O(checkpoint_every) rather
+than O(commits)); data moves are file renames, never
 rewrites; and the commit record is one atomic metadata operation
 regardless of data volume. On object stores without atomic rename the
 commit step is swapped for a put-if-absent — the seam stays the same.
@@ -142,14 +144,46 @@ def _file_stats(fp: str) -> tuple[int, dict]:
     return md.num_rows, stats
 
 
+def _checkpoint_path(path: str, version: int) -> str:
+    return os.path.join(_log_dir(path), f"{version:08d}.checkpoint.json")
+
+
+def _checkpoints(path: str) -> list[int]:
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return []
+    suffix = ".checkpoint.json"
+    return sorted(
+        int(f[: -len(suffix)])
+        for f in os.listdir(d)
+        if f.endswith(suffix) and f[: -len(suffix)].isdigit()
+    )
+
+
 def _replay_state(path: str, version: int | None = None) -> tuple[list[dict], str | None]:
     """(live add-actions, latest logged schema JSON) at `version`
-    (latest if None), actions sorted by file name. Accepts both the v0
-    record shape (add = [name, ...]) and the stats-bearing shape
-    (add = [{"path":..,"rows":..,"stats":..}, ...])."""
+    (latest if None), actions sorted by file name. Replay seeds from
+    the newest usable checkpoint ≤ target (Delta's checkpoint trick:
+    driver cost O(checkpoint_every), not O(commits)); a torn/corrupt
+    checkpoint falls back to full log replay — commits remain the only
+    source of truth. Accepts both the v0 record shape
+    (add = [name, ...]) and the stats-bearing dict shape."""
     live: dict[str, dict] = {}
     schema: str | None = None
+    start = -1
+    for cp in reversed([c for c in _checkpoints(path) if version is None or c <= version]):
+        try:
+            with open(_checkpoint_path(path, cp)) as f:
+                snap = json.load(f)
+            live = {a["path"]: a for a in snap["live"]}
+            schema = snap.get("schema")
+            start = cp
+            break
+        except (OSError, ValueError, KeyError, TypeError):
+            live, schema = {}, None  # unusable checkpoint: try older / full replay
     for v in _versions(path):
+        if v <= start:
+            continue
         if version is not None and v > version:
             break
         with open(_record_path(path, v)) as f:
@@ -239,8 +273,9 @@ def _where_expr(where: Sequence[tuple]):
 class TxLogFormat:
     """Transaction-log table format; same seam as ParquetFormat."""
 
-    def __init__(self, max_commit_retries: int = 10):
+    def __init__(self, max_commit_retries: int = 10, checkpoint_every: int = 10):
         self.max_commit_retries = max_commit_retries
+        self.checkpoint_every = checkpoint_every
 
     # -- commit protocol ---------------------------------------------------
     def _stage(self, df: DataFrame, path: str) -> list[dict]:
@@ -288,6 +323,7 @@ class TxLogFormat:
                 json.dump(rec, f)
             try:
                 os.link(tmp, _record_path(path, version))  # atomic put-if-absent
+                self._maybe_checkpoint(path, version)
                 return version
             except FileExistsError:
                 if expected_version is not None:
@@ -298,6 +334,32 @@ class TxLogFormat:
             finally:
                 os.unlink(tmp)
         raise TxConflict(f"{path}: lost the commit race {self.max_commit_retries} times")
+
+    def _maybe_checkpoint(self, path: str, version: int) -> None:
+        """Best-effort log checkpoint every `checkpoint_every` commits:
+        a consolidated snapshot of the replayed state, atomically
+        os.replace'd in. Readers merely SEED from it (commits stay the
+        source of truth), so a failed/torn/raced checkpoint write can
+        never corrupt the table — hence best-effort, never raising into
+        the committer."""
+        if not self.checkpoint_every or version == 0 or version % self.checkpoint_every:
+            return
+        tmp = None
+        try:
+            live, schema = _replay_state(path, version)
+            fd, tmp = tempfile.mkstemp(dir=_log_dir(path), suffix=".tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump({"version": version, "live": live, "schema": schema}, f)
+            os.replace(tmp, _checkpoint_path(path, version))
+            tmp = None
+        except OSError:
+            pass
+        finally:
+            if tmp is not None:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
 
     @staticmethod
     def _evolved_schema(logged_json: str | None, df: DataFrame) -> str:

@@ -246,3 +246,38 @@ def test_empty_live_set_reads_logged_schema(spark, tmp_path):
     cur = fmt.read(spark, path)  # no schema argument needed anymore
     assert cur.count() == 0
     assert [f.name for f in cur.schema.fields] == ["k", "v"]
+
+
+def test_log_checkpoint_seeds_replay(spark, tmp_path):
+    fmt = TxLogFormat(checkpoint_every=3)
+    path = str(tmp_path / "t")
+    for i in range(8):
+        fmt.append(spark.createDataFrame([(i, f"v{i}")], SCHEMA), path)
+    # checkpoints at v3 and v6; commit records all still present
+    cps = [f for f in os.listdir(os.path.join(path, "_txlog"))
+           if f.endswith(".checkpoint.json")]
+    assert sorted(cps) == ["00000003.checkpoint.json", "00000006.checkpoint.json"]
+    assert fmt.versions(path) == list(range(8))
+    assert _rows(spark, path, fmt) == {i: f"v{i}" for i in range(8)}
+    # time travel BEFORE the first checkpoint still replays correctly
+    assert _rows(spark, path, fmt, version=1) == {0: "v0", 1: "v1"}
+    # ... and to a mid-checkpoint version
+    assert _rows(spark, path, fmt, version=4) == {i: f"v{i}" for i in range(5)}
+
+
+def test_corrupt_checkpoint_falls_back_to_log(spark, tmp_path):
+    fmt = TxLogFormat(checkpoint_every=2)
+    path = str(tmp_path / "t")
+    for i in range(5):
+        fmt.append(spark.createDataFrame([(i, f"v{i}")], SCHEMA), path)
+    cp = os.path.join(path, "_txlog", "00000004.checkpoint.json")
+    assert os.path.exists(cp)
+    with open(cp, "w") as f:
+        f.write("{torn")
+    # commits are the source of truth: replay is unaffected
+    assert _rows(spark, path, fmt) == {i: f"v{i}" for i in range(5)}
+    with open(cp, "w") as f:
+        json.dump({"version": 4, "live": []}, f)  # valid JSON, WRONG state
+    # a wrong-but-parseable checkpoint seeds at its word (same trust
+    # model as Delta); earlier intact checkpoints still serve older reads
+    assert _rows(spark, path, fmt, version=1) == {0: "v0", 1: "v1"}
