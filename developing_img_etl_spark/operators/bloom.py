@@ -82,9 +82,11 @@ def bloom_might_contain(
     map-side only (the fact table never shuffles)."""
     out = fact
     k = F.col(key_col).cast("long")
-    tests = []
+    flag = F.lit(True)
+    temp = []
     for i in range(k_hashes):
         pcol, wcol, bcol = f"__bp{i}", f"__bw{i}", f"__bb{i}"
+        temp += [pcol, wcol, bcol]
         out = (
             out.withColumn(pcol, _pos(k, i, m_bits).cast("long"))
             .withColumn(wcol, (F.col(pcol) / 64).cast("long"))
@@ -97,11 +99,5 @@ def bloom_might_contain(
             )
         )
         bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({pcol} % 64 AS INT))")
-        tests.append(F.coalesce(F.col(bcol).bitwiseAND(bit) != 0, F.lit(False)))
-        out = out.withColumn(f"__bt{i}", tests[-1]).drop(pcol, wcol, bcol)
-    flag = F.col("__bt0")
-    for i in range(1, k_hashes):
-        flag = flag & F.col(f"__bt{i}")
-    return out.withColumn(flag_col, flag).drop(
-        *[f"__bt{i}" for i in range(k_hashes)]
-    )
+        flag = flag & F.coalesce(F.col(bcol).bitwiseAND(bit) != 0, F.lit(False))
+    return out.withColumn(flag_col, flag).drop(*temp)

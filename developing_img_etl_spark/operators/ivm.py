@@ -52,14 +52,18 @@ def delta_aggregate(
     sign_col: str | None = None,
 ) -> DataFrame:
     """Partial aggregate of a (optionally signed) delta relation.
-    ``sign_col`` (+1 insert / -1 retraction) defaults to all-inserts."""
+    ``sign_col`` defaults to all-inserts (+1). The sign is a signed
+    MULTIPLICITY (the delta-relation convention): +1 insert, -1
+    retraction, and any other integer contributes ``sgn`` to the count
+    and ``sgn × value`` to each sum — count and sums stay consistent
+    for every sign value, including 0 (a no-op row)."""
     sgn = F.col(sign_col).cast("long") if sign_col else F.lit(1).cast("long")
-    # negate-rather-than-multiply keeps the decimal at exactly the view's
-    # (22,4) sum type, so the union in incremental_refresh never widens
-    signed = lambda c: F.when(sgn < 0, -dec(c)).otherwise(dec(c))  # noqa: E731
+    # multiply (consistent for ANY sign), then cast the exact product-sum
+    # back to the view's (22,4) type so incremental_refresh never widens
+    signed = lambda c: (sgn.cast("decimal(8,0)") * dec(c))  # noqa: E731
     return delta.groupBy(*group_cols).agg(
         F.sum(sgn).alias(count_col),
-        *[F.sum(signed(c)).alias(c) for c in sum_cols],
+        *[F.sum(signed(c)).cast("decimal(22,4)").alias(c) for c in sum_cols],
     )
 
 
@@ -76,13 +80,18 @@ def incremental_refresh(
     no null-coalescing per column), dropping groups whose live row
     count reaches zero. Cost ∝ |view| + |delta groups|."""
     cols = [*group_cols, count_col, *sum_cols]
+    # cast each re-aggregated column back to the view's own type: Spark
+    # widens SUM(decimal(p,s)) to decimal(p+10,s), so an uncast refresh
+    # would grow the schema every cycle and break schema-stable
+    # persistence (e.g. TxLogFormat's type-change rejection)
+    types = {f.name: f.dataType for f in view.schema.fields}
     merged = (
         view.select(*cols)
         .unionByName(delta_agg.select(*cols))
         .groupBy(*group_cols)
         .agg(
-            F.sum(count_col).alias(count_col),
-            *[F.sum(c).alias(c) for c in sum_cols],
+            F.sum(count_col).cast(types[count_col]).alias(count_col),
+            *[F.sum(c).cast(types[c]).alias(c) for c in sum_cols],
         )
     )
     return merged.filter(F.col(count_col) > 0)

@@ -222,27 +222,33 @@ def _file_may_match(action: dict, where: Sequence[tuple]) -> bool:
         vals = [_norm(v) for v in (val if op == "in" else [val])]
         if any(v is None for v in vals):
             continue
-        if op in ("==",):
-            if not (mn <= vals[0] <= mx):
-                return False
-        elif op == "in":
-            if not any(mn <= v <= mx for v in vals):
-                return False
-        elif op == "<":
-            if not (mn < vals[0]):
-                return False
-        elif op == "<=":
-            if not (mn <= vals[0]):
-                return False
-        elif op == ">":
-            if not (mx > vals[0]):
-                return False
-        elif op == ">=":
-            if not (mx >= vals[0]):
-                return False
-        elif op == "!=":
-            if mn == mx == vals[0]:
-                return False
+        try:
+            if op in ("==",):
+                if not (mn <= vals[0] <= mx):
+                    return False
+            elif op == "in":
+                if not any(mn <= v <= mx for v in vals):
+                    return False
+            elif op == "<":
+                if not (mn < vals[0]):
+                    return False
+            elif op == "<=":
+                if not (mn <= vals[0]):
+                    return False
+            elif op == ">":
+                if not (mx > vals[0]):
+                    return False
+            elif op == ">=":
+                if not (mx >= vals[0]):
+                    return False
+            elif op == "!=":
+                if mn == mx == vals[0]:
+                    return False
+        except TypeError:
+            # predicate value type doesn't compare with the stored stats
+            # (e.g. string literal vs int column): pruning is only an
+            # optimization — keep the file, the plan filter decides
+            continue
     return True
 
 
@@ -507,9 +513,29 @@ class TxLogFormat:
         snapshot read and our commit (expected_version CAS) → TxConflict;
         the caller re-runs against the fresh snapshot."""
         keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-        actions = _replay_actions(path) if os.path.isdir(_log_dir(path)) else []
+        actions, logged = (
+            _replay_state(path) if os.path.isdir(_log_dir(path)) else ([], None)
+        )
         vs = _versions(path)
         expected = (vs[-1] + 1) if vs else 0
+
+        tgt_cols = [c for c in updates.columns if c != delete_col]
+        if logged is not None:
+            # updates must cover the FULL table schema: a rewritten file
+            # carries only updates' columns, so a narrower update set
+            # would silently null out real data on every bystander row
+            # of a touched file; a wider one would fork the schema
+            table_cols = [f["name"] for f in json.loads(logged)["fields"]]
+            missing = [c for c in table_cols if c not in tgt_cols]
+            extra = [c for c in tgt_cols if c not in table_cols]
+            if missing or extra:
+                raise ValueError(
+                    f"merge_into schema drift: updates must carry exactly the "
+                    f"table columns {table_cols}"
+                    + (f"; missing {missing}" if missing else "")
+                    + (f"; extra {extra}" if extra else "")
+                )
+            tgt_cols = table_cols  # preserve table column order
 
         # one bounded driver action: per-key-column bounds (+ exact key
         # set for single-column keys when small enough)
@@ -529,27 +555,29 @@ class TxLogFormat:
 
         def touched(a: dict) -> bool:
             stats = a.get("stats") or {}
-            for i, k in enumerate(keys):
-                st = stats.get(k)
-                if st is None:
-                    return True  # no stats → must assume a match
-                mn, mx, _ = st
-                umn, umx = _norm(b[f"__mn_{i}"]), _norm(b[f"__mx_{i}"])
-                if umn is None or umx is None:
-                    return True
-                if mx < umn or mn > umx:
-                    return False
-                if key_values is not None and not any(
-                    mn <= v <= mx for v in key_values
-                ):
-                    return False
-            return True
+            try:
+                for i, k in enumerate(keys):
+                    st = stats.get(k)
+                    if st is None:
+                        return True  # no stats → must assume a match
+                    mn, mx, _ = st
+                    umn, umx = _norm(b[f"__mn_{i}"]), _norm(b[f"__mx_{i}"])
+                    if umn is None or umx is None:
+                        return True
+                    if mx < umn or mn > umx:
+                        return False
+                    if key_values is not None and not any(
+                        mn <= v <= mx for v in key_values
+                    ):
+                        return False
+                return True
+            except TypeError:
+                return True  # incomparable stats/key types: assume a match
 
         hit = [a for a in actions if touched(a)]
         miss = [a for a in actions if not touched(a)]
         from ..operators.merge import merge_upsert
 
-        tgt_cols = [c for c in updates.columns if c != delete_col]
         if hit:
             target = spark.read.parquet(
                 *[os.path.join(path, a["path"]) for a in hit]

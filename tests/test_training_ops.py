@@ -306,3 +306,35 @@ def test_bloom_probe_plan_is_mapside(spark):
     # the probe side would make the reduction pointless
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_ivm_sum_type_stable_across_cycles(spark):
+    from developing_img_etl_spark.operators.ivm import (
+        build_view,
+        delta_aggregate,
+        incremental_refresh,
+    )
+
+    base = spark.createDataFrame([("a", 1.0)], "g STRING, x DOUBLE")
+    view = build_view(base, ["g"], ["x"])
+    t0 = dict(view.dtypes)
+    for i in range(3):  # refresh cycles must not widen the schema
+        delta = spark.createDataFrame([("a", float(i))], "g STRING, x DOUBLE")
+        view = incremental_refresh(
+            view, delta_aggregate(delta, ["g"], ["x"]), ["g"], ["x"]
+        )
+        assert dict(view.dtypes) == t0
+    row = view.collect()[0]
+    assert (row.n, float(row.x)) == (4, 4.0)
+
+
+def test_ivm_sign_is_signed_multiplicity(spark):
+    from developing_img_etl_spark.operators.ivm import delta_aggregate
+
+    delta = spark.createDataFrame(
+        [("a", 10.0, 2), ("a", 3.0, 0), ("a", 5.0, -1)],
+        "g STRING, x DOUBLE, s INT",
+    )
+    r = delta_aggregate(delta, ["g"], ["x"], sign_col="s").collect()[0]
+    # count and sum stay CONSISTENT for any sign: 2+0-1 rows, 2*10+0*3-5
+    assert (r.n, float(r.x)) == (1, 15.0)

@@ -281,3 +281,37 @@ def test_corrupt_checkpoint_falls_back_to_log(spark, tmp_path):
     # a wrong-but-parseable checkpoint seeds at its word (same trust
     # model as Delta); earlier intact checkpoints still serve older reads
     assert _rows(spark, path, fmt, version=1) == {0: "v0", 1: "v1"}
+
+
+def test_merge_into_rejects_narrow_updates(spark, tmp_path):
+    # updates missing a table column would silently null bystander rows
+    # in rewritten files — must refuse up front
+    fmt = TxLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(
+        spark.createDataFrame([(1, "a", 1.5)], "k INT, v STRING, x DOUBLE"), path
+    )
+    with pytest.raises(ValueError, match="merge_into schema drift"):
+        fmt.merge_into(
+            spark, path, spark.createDataFrame([(1, "b")], SCHEMA), "k"
+        )
+    with pytest.raises(ValueError, match="merge_into schema drift"):
+        fmt.merge_into(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(1, "b", 1.5, 9)], "k INT, v STRING, x DOUBLE, y INT"
+            ),
+            "k",
+        )
+    assert fmt.versions(path) == [0]  # nothing committed
+
+
+def test_read_where_type_mismatch_keeps_semantics(spark, tmp_path):
+    # a predicate literal that can't compare with the stored stats type
+    # must fall back to no-prune, not crash the read
+    fmt = TxLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(_range_table(spark, n=100, files=2), path)
+    got = fmt.read(spark, path, SCHEMA, where=[("k", "==", "42")]).collect()
+    assert [r.k for r in got] == [42]  # Spark's own coercion decides
