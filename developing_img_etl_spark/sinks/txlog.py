@@ -308,7 +308,8 @@ class TxLogFormat:
 
     def _commit(self, path: str, add: list[dict], remove: list[str],
                 expected_version: int | None = None,
-                schema_json: str | None = None) -> int:
+                schema_json: str | None = None,
+                txn: tuple[str, int] | None = None) -> int:
         """Atomically publish a commit record as the next version.
         os.link is the put-if-absent: EEXIST → a concurrent writer won
         the version → TxConflict (caller re-reads and retries)."""
@@ -316,6 +317,8 @@ class TxLogFormat:
         rec = {"add": add, "remove": remove}
         if schema_json is not None:
             rec["schema"] = schema_json
+        if txn is not None:
+            rec["txn"] = {"app": txn[0], "batch": int(txn[1])}
         for _ in range(self.max_commit_retries):
             vs = _versions(path)
             version = (vs[-1] + 1) if vs else 0
@@ -394,8 +397,20 @@ class TxLogFormat:
 
     # -- TableFormat seam --------------------------------------------------
     def append(
-        self, df: DataFrame, path: str, *, partition_cols: list[str] | None = None
+        self,
+        df: DataFrame,
+        path: str,
+        *,
+        partition_cols: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
+        expected_version: int | None = None,
     ) -> None:
+        """Append a commit. ``txn=(app_id, batch_id)`` stamps the commit
+        with a transaction marker (the Delta txn action) so idempotent
+        writers — e.g. a streaming foreachBatch replaying after a crash
+        — can detect an already-committed batch via ``txn_batches`` and
+        skip it. Pair with ``expected_version`` (CAS) to close the race
+        between the marker check and the commit."""
         # partition pruning comes from the log's per-file metadata in a
         # full implementation; this one keeps the file set flat
         _, logged = (
@@ -406,8 +421,25 @@ class TxLogFormat:
         # they'd sit until vacuum)
         schema_json = self._evolved_schema(logged, df)
         self._commit(
-            path, add=self._stage(df, path), remove=[], schema_json=schema_json
+            path,
+            add=self._stage(df, path),
+            remove=[],
+            schema_json=schema_json,
+            txn=txn,
+            expected_version=expected_version,
         )
+
+    def txn_batches(self, path: str, app_id: str) -> set[int]:
+        """Batch ids already committed by ``app_id`` (txn markers across
+        the whole log). Driver-side JSON scan, O(commits) — Delta folds
+        these into its checkpoint files; the contract is the same."""
+        out: set[int] = set()
+        for v in _versions(path):
+            with open(_record_path(path, v)) as f:
+                t = json.load(f).get("txn")
+            if t and t.get("app") == app_id:
+                out.add(int(t["batch"]))
+        return out
 
     def overwrite(self, df: DataFrame, path: str) -> None:
         """Snapshot-isolated replace: stage new files, then ONE commit

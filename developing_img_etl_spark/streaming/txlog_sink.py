@@ -1,0 +1,69 @@
+"""Exactly-once streaming sink into the transactional table format
+(SURVEY.md §2.9 ST2 upgraded to the Delta streaming-sink pattern).
+
+`incremental.py::start_incremental_append` gets idempotency from a
+composite-key anti-join — correct, but it needs a natural key and pays
+a sink read per batch. The transactional form needs neither: every
+micro-batch commit is stamped with a **transaction marker**
+``(app_id, batch_id)`` (the Delta `txn` action), and a replayed batch
+— checkpoint rollback, crash between the sink commit and the
+checkpoint advance, or a fully deleted checkpoint re-draining the
+source — is detected from the log and becomes a NO-OP. Idempotence by
+transaction identity, not by data content.
+
+The marker check and the commit are raced-closed with the log's
+version CAS: the writer reads the committed-batch set, commits with
+``expected_version`` = next; if ANOTHER writer (a concurrent retry of
+the same batch) claims the version first, the loser re-reads the
+marker set and discovers the batch is already in — no double append,
+no locks. Exactly the upgrade path the reference's GET-sha-then-PUT
+sink (/root/reference/test.py:70-81) points at.
+
+Scale: the per-batch overhead is one driver-side log scan (O(commits),
+folded into checkpoints by Delta — same contract here via
+`txn_batches`) plus one atomic commit; batch data itself is staged
+exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..sinks.txlog import TxConflict, TxLogFormat
+
+
+def exactly_once_batch_writer(
+    fmt: TxLogFormat, path: str, app_id: str, *, max_retries: int = 10
+):
+    """A foreachBatch callable with transactional exactly-once appends.
+
+    Usage::
+
+        q = (df.writeStream
+               .foreachBatch(exactly_once_batch_writer(fmt, path, "my-app"))
+               .option("checkpointLocation", ckpt)
+               .trigger(availableNow=True)
+               .start())
+    """
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        for _ in range(max_retries):
+            if batch_id in fmt.txn_batches(path, app_id):
+                return  # replay of a committed batch: no-op
+            vs = fmt.versions(path)
+            expected = (vs[-1] + 1) if vs else 0
+            try:
+                fmt.append(
+                    batch,
+                    path,
+                    txn=(app_id, batch_id),
+                    expected_version=expected,
+                )
+                return
+            except TxConflict:
+                continue  # someone committed meanwhile — recheck markers
+        raise TxConflict(
+            f"{path}: batch {batch_id} lost the commit race {max_retries} times"
+        )
+
+    return write_batch

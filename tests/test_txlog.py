@@ -315,3 +315,60 @@ def test_read_where_type_mismatch_keeps_semantics(spark, tmp_path):
     fmt.append(_range_table(spark, n=100, files=2), path)
     got = fmt.read(spark, path, SCHEMA, where=[("k", "==", "42")]).collect()
     assert [r.k for r in got] == [42]  # Spark's own coercion decides
+
+
+# -- exactly-once streaming sink (streaming/txlog_sink.py) ------------------
+
+
+def test_txn_marker_makes_batch_replay_noop(spark, tmp_path):
+    from developing_img_etl_spark.streaming.txlog_sink import (
+        exactly_once_batch_writer,
+    )
+
+    fmt = TxLogFormat()
+    path = str(tmp_path / "t")
+    wb = exactly_once_batch_writer(fmt, path, "app1")
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA)
+    wb(b0, 0)
+    wb(b0, 0)  # crash-between-commit-and-checkpoint replay
+    wb(spark.createDataFrame([(3, "c")], SCHEMA), 1)
+    wb(b0, 0)  # late replay after later batches committed
+    assert _rows(spark, path, fmt) == {1: "a", 2: "b", 3: "c"}
+    assert fmt.txn_batches(path, "app1") == {0, 1}
+    # a DIFFERENT app's batch 0 is its own transaction
+    exactly_once_batch_writer(fmt, path, "app2")(
+        spark.createDataFrame([(9, "z")], SCHEMA), 0
+    )
+    assert _rows(spark, path, fmt)[9] == "z"
+
+
+def test_stream_restart_with_deleted_checkpoint_no_duplicates(spark, tmp_path):
+    """The failure a keyless plain-append sink cannot survive: wiping the
+    checkpoint re-drains the source from scratch and replays every batch
+    id; txn markers turn the whole second run into no-ops."""
+    from developing_img_etl_spark.streaming.txlog_sink import (
+        exactly_once_batch_writer,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(i, f"v{i}") for i in range(10)], SCHEMA).coalesce(
+        1
+    ).write.parquet(src)
+    fmt = TxLogFormat()
+    path = str(tmp_path / "t")
+
+    def drain(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(SCHEMA)
+            .parquet(src)
+            .writeStream.foreachBatch(exactly_once_batch_writer(fmt, path, "etl"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain(str(tmp_path / "ck1"))
+    n1 = fmt.read(spark, path).count()
+    drain(str(tmp_path / "ck2"))  # fresh checkpoint: full replay
+    assert fmt.read(spark, path).count() == n1 == 10
