@@ -205,6 +205,17 @@ def m9_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, probes, k=5).orderBy("probe_id", F.desc("sim"), "vec_id")
 
 
+def m15_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC ANN tier (operators/pq.py) — 32×
+    compressed code scan + exact rerank; recall-checked vs brute force
+    in tests, rows-only here (approximate by design, like m6/m9)."""
+    from ..operators import pq as PQ
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return PQ.pq_topk(emb, probes, k=5).orderBy("probe_id", F.desc("sim"), "vec_id")
+
+
 def m8_numpy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mapInPandas/numpy exact path — must equal q13 (same oracle).
 
@@ -246,6 +257,7 @@ QUERIES = {
     "m8_numpy_topk": m8_numpy_topk,
     "m9_ann_ivf_topk": m9_ann_ivf_topk,
     "m13_arrow_topk": m13_arrow_topk,
+    "m15_ann_pq_topk": m15_ann_pq_topk,
 }
 
 from .similarity import Q13_SQL  # noqa: E402  (m8/m13 are exact — same oracle)

@@ -192,3 +192,30 @@ def test_decontaminate_removes_flagged_only(docs):
     }
     copy_ids = {r.doc_id for r in copies.select("doc_id").collect()}
     assert copy_ids <= flagged2
+
+
+def test_pq_recall_vs_brute_force(emb):
+    from developing_img_etl_spark.operators import pq as PQ
+
+    probes = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.probe_id, r.vec_id)
+        for r in SIM.brute_force_topk(emb, probes, k=5).collect()
+    }
+    approx = {
+        (r.probe_id, r.vec_id)
+        for r in PQ.pq_topk(emb, probes, k=5).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.8, f"pq recall {recall:.2f}"
+
+
+def test_pq_codes_are_compact_and_deterministic(emb):
+    from developing_img_etl_spark.operators import pq as PQ
+
+    books = PQ.pq_train_codebooks(emb)
+    assert books.shape == (8, 64, 8)
+    c1 = {r.vec_id: list(r.codes) for r in PQ.pq_encode(emb, books).collect()}
+    c2 = {r.vec_id: list(r.codes) for r in PQ.pq_encode(emb, books).collect()}
+    assert c1 == c2  # deterministic training sample + argmin
+    assert all(len(v) == 8 and all(0 <= c < 64 for c in v) for v in c1.values())
