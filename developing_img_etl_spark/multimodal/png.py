@@ -126,11 +126,20 @@ def png_decode(data: bytes) -> np.ndarray | None:
             idat.append(payload)
     if not w or not h or not idat:
         return None
+    ch = _CHANNELS[ct]
+    expected = (w * ch + 1) * h  # filter byte + w*ch samples per row
+    if expected > 512 * 1024 * 1024:  # foreign-file guard: reject absurd dims
+        return None
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # decompressobj with max_length caps the inflated allocation at
+        # the header-derived size — a crafted small IDAT claiming huge
+        # output (decompression bomb) can't OOM the executor
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected)
+        if d.unconsumed_tail or len(d.decompress(b"", 1)) > 0:
+            return None  # stream inflates past the declared dimensions
     except zlib.error:
         return None
-    ch = _CHANNELS[ct]
     rows = _unfilter(raw, h, w * ch, ch)
     if rows is None:
         return None
@@ -185,6 +194,8 @@ def pixel_checksum(arr: np.ndarray) -> int:
     value * (flat_index + 1). Any corrupted, moved, or dropped byte
     changes it, and an oracle can recompute it in pure SQL — the
     hash-the-decoded-pixels stand-in for DEFLATE's non-arithmetic byte
-    size. Fits int64: 255 * Σ weights < 2^63 for any image < ~180 MP."""
+    size. Fits int64: with N = 3·pixels weighted bytes, 255·N(N+1)/2 <
+    2^63 holds for any image < ~90 MP (the weight count is per BYTE,
+    3 per pixel — not per pixel)."""
     flat = arr.astype(np.int64).ravel()
     return int(np.dot(flat, np.arange(1, flat.size + 1, dtype=np.int64)))

@@ -48,7 +48,9 @@ def hash_sample(
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     b = _key_bucket(key_col, seed) if bucket is None else bucket
-    return df.filter(b < int(rate * _BUCKETS))
+    # round, not truncate: 0.3 * 1e6 is 299999.99999999994 in binary —
+    # int() would silently shave one bucket off the documented rate
+    return df.filter(b < int(round(rate * _BUCKETS)))
 
 
 def stratified_sample(
@@ -67,9 +69,13 @@ def stratified_sample(
     for s, r in rates.items():
         if not 0.0 <= r <= 1.0:
             raise ValueError(f"rate for {s!r} must be in [0, 1], got {r}")
-    threshold = F.lit(int(default_rate * _BUCKETS))
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1], got {default_rate}")
+    threshold = F.lit(int(round(default_rate * _BUCKETS)))
     for s, r in rates.items():
-        threshold = F.when(F.col(strata_col) == s, int(r * _BUCKETS)).otherwise(threshold)
+        threshold = F.when(F.col(strata_col) == s, int(round(r * _BUCKETS))).otherwise(
+            threshold
+        )
     b = _key_bucket(key_col, seed) if bucket is None else bucket
     return df.filter(b < threshold)
 
@@ -88,11 +94,13 @@ def train_test_split(
     and stable: a key's split never changes for a given seed, so later
     incremental batches land consistently and leakage is structural,
     not probabilistic."""
-    if test_frac + val_frac > 1.0:
-        raise ValueError("test_frac + val_frac must be <= 1")
+    if test_frac < 0.0 or val_frac < 0.0 or test_frac + val_frac > 1.0:
+        raise ValueError(
+            f"fractions must be >= 0 and sum <= 1, got test={test_frac} val={val_frac}"
+        )
     b = _key_bucket(key_col, seed) if bucket is None else bucket
-    test_hi = int(test_frac * _BUCKETS)
-    val_hi = test_hi + int(val_frac * _BUCKETS)
+    test_hi = int(round(test_frac * _BUCKETS))
+    val_hi = test_hi + int(round(val_frac * _BUCKETS))
     return df.withColumn(
         out_col,
         F.when(b < test_hi, F.lit("test"))
@@ -150,7 +158,12 @@ def group_topk_sample(
         raise ValueError(f"k must be positive, got {k}")
     from pyspark.sql import Window
 
-    b = _key_bucket(key_col, seed) if bucket is None else bucket
+    # rank by the FULL 64-bit hash, not the 1e6-bucket quantization: at
+    # ~1e8 rows/group every bucket holds ~100 colliders and the key-
+    # ascending tiebreak would bias the sample toward small keys. The
+    # `bucket` override (oracle-portable hash) ranks by whatever the
+    # caller supplies — the oracle mirrors that same expression.
+    b = F.xxhash64(F.col(key_col), F.lit(seed)) if bucket is None else bucket
     w = Window.partitionBy(group_col).orderBy(b.asc(), F.col(key_col).asc())
     return (
         df.withColumn("__rk", F.row_number().over(w))

@@ -16,12 +16,15 @@ stage; the consumers are agnostic to which one backs them.
 
 from __future__ import annotations
 
+import os
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..functions import text as TXT
+from ..operators.dedup import _widen
 
 _CACHE: dict[tuple[str, str, int], DataFrame] = {}
 
@@ -33,18 +36,20 @@ def shingle_index(spark: SparkSession, sf_dir: str, *, n: int = 3) -> DataFrame:
     denominator); ``s`` is one distinct word-n-gram per row. Documents
     with fewer than ``n`` tokens contribute no rows.
     """
-    key = (spark.sparkContext.applicationId, sf_dir, n)
+    app = spark.sparkContext.applicationId
+    # evict entries from previous SparkSessions: their DataFrames are
+    # dead weight pinning a stopped session's JVM references
+    for stale in [k for k in _CACHE if k[0] != app]:
+        del _CACHE[stale]
+    key = (app, os.path.normpath(sf_dir), n)
     df = _CACHE.get(key)
     if df is None:
-        docs = load(spark, sf_dir, "documents")
         # A small local parquet is 1-2 splits; without widening, the
         # regex tokenize + shingle HOF would run on 1 core AND the
         # persisted blocks would pin that layout for every downstream
         # join. At 100 TB the scan already has thousands of splits and
-        # this is a no-op (same guard as operators/dedup._widen).
-        target = spark.sparkContext.defaultParallelism
-        if docs.rdd.getNumPartitions() < target:
-            docs = docs.repartition(target)
+        # widening is a no-op.
+        docs = _widen(load(spark, sf_dir, "documents"))
         df = (
             docs.select("doc_id", "source", TXT.shingles(F.col("text"), n).alias("sh"))
             .filter(F.size("sh") > 0)

@@ -1487,3 +1487,58 @@ ORDER BY residue
 
 QUERIES["q61_bloom_semijoin_reduction"] = q61_bloom_semijoin_reduction
 ORACLES["q61_bloom_semijoin_reduction"] = Q61_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q64 — k-anonymity risk profile (training-data governance, Sweeney
+# 2002: a released/trained-on table is k-anonymous iff every quasi-
+# identifier combination covers >= k rows; smaller groups re-identify
+# individuals). Quasi-identifier here: (c_mktsegment, c_nationkey).
+# One hash agg builds the group-size table, a second rolls up the risk
+# report per segment: groups, under-k groups, rows that would need
+# suppression/generalization, and the smallest group. Both stages are
+# partial-agg friendly; at 100 TB this is two scans' worth of shuffle
+# on the QI key — the shape of every privacy audit over a corpus.
+# ---------------------------------------------------------------------------
+_KANON_K = 10
+
+
+def q64_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    groups = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("gsize")
+    )
+    return (
+        groups.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum((F.col("gsize") < _KANON_K).cast("long")).alias("n_under_k"),
+            F.sum(
+                F.when(F.col("gsize") < _KANON_K, F.col("gsize")).otherwise(0)
+            ).alias("rows_at_risk"),
+            F.min("gsize").alias("min_group"),
+            F.sum("gsize").alias("n_rows"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q64_SQL = f"""
+WITH groups AS (
+  SELECT c_mktsegment, c_nationkey, COUNT(*) AS gsize
+  FROM customer
+  GROUP BY c_mktsegment, c_nationkey
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN gsize < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_under_k,
+       CAST(SUM(CASE WHEN gsize < {_KANON_K} THEN gsize ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       CAST(MIN(gsize) AS BIGINT) AS min_group,
+       CAST(SUM(gsize) AS BIGINT) AS n_rows
+FROM groups
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+QUERIES["q64_k_anonymity"] = q64_k_anonymity
+ORACLES["q64_k_anonymity"] = Q64_SQL
