@@ -372,3 +372,37 @@ def test_stream_restart_with_deleted_checkpoint_no_duplicates(spark, tmp_path):
     n1 = fmt.read(spark, path).count()
     drain(str(tmp_path / "ck2"))  # fresh checkpoint: full replay
     assert fmt.read(spark, path).count() == n1 == 10
+
+
+def test_gdpr_erasure_workflow(spark, tmp_path):
+    """Right-to-be-forgotten through the transactional stack: tombstone
+    MERGE removes the subject's rows from the live table, VACUUM makes
+    the removal PHYSICAL — the bytes leave disk and even time travel
+    (which would otherwise resurrect them) fails closed."""
+    from pyspark.sql import functions as F
+
+    fmt = TxLogFormat()
+    path = str(tmp_path / "t")
+    fmt.append(_range_table(spark), path)
+
+    subject = [5, 77, 901]
+    tomb = (
+        fmt.read(spark, path)
+        .filter(F.col("k").isin(subject))
+        .withColumn("is_deleted", F.lit(True))
+    )
+    res = fmt.merge_into(spark, path, tomb, "k", delete_col="is_deleted")
+    # keys 5 and 77 share a range file, 901 sits in another: 2 of 4 files
+    assert res["files_rewritten"] == 2
+    live = fmt.read(spark, path)
+    assert live.filter(F.col("k").isin(subject)).count() == 0
+    assert live.count() == 997
+    # pre-vacuum, the data still exists in the old snapshot (time travel)
+    assert fmt.read(spark, path, version=0).filter(F.col("k").isin(subject)).count() == 3
+
+    deleted = fmt.vacuum(path, retain_versions=0)
+    assert len(deleted) == 2  # exactly the rewritten files' predecessors
+    with pytest.raises(Exception):  # noqa: B017 — erased means unreadable
+        fmt.read(spark, path, version=0).filter(F.col("k").isin(subject)).collect()
+    # live table unaffected by the vacuum
+    assert fmt.read(spark, path).count() == 997
