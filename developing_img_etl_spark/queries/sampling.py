@@ -140,3 +140,59 @@ ORDER BY source
 
 QUERIES["q57_group_topk_sample"] = q57_group_topk_sample
 ORACLES["q57_group_topk_sample"] = Q57_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q65 — split/label balance audit (training-data QA): after a
+# deterministic train/val/test split, verify the LABEL distribution is
+# preserved in every split — a skewed eval split silently mismeasures
+# the model. Joins documents to their embedding labels (the cross-modal
+# key contract: doc_id == vec_id), splits by the portable hash (q26's
+# bucket seam; xxhash64 is the production path), and reports per
+# (split, label) counts plus each label's within-split share as an
+# integer ppm ratio (engine-exact, no float drift).
+# ---------------------------------------------------------------------------
+def q65_split_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    joined = docs.join(emb, "doc_id")
+    split = train_test_split(
+        joined, "doc_id", test_frac=0.1, val_frac=0.1, bucket=_portable_bucket()
+    )
+    per = split.groupBy("split", "label").agg(F.count(F.lit(1)).alias("n"))
+    return per.select(
+        "split",
+        "label",
+        "n",
+        F.expr("n * 1000000 DIV SUM(n) OVER (PARTITION BY split)")
+        .cast("long")
+        .alias("share_ppm"),
+    ).orderBy("split", "label")
+
+
+Q65_SQL = f"""
+WITH j AS (
+  SELECT d.doc_id, e.label,
+         (d.doc_id * {_K} + {_SEED}) % {_BUCKETS} AS b
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+s AS (
+  SELECT label,
+         CASE WHEN b < 100000 THEN 'test'
+              WHEN b < 200000 THEN 'val'
+              ELSE 'train' END AS split
+  FROM j
+),
+per AS (
+  SELECT split, label, COUNT(*) AS n FROM s GROUP BY split, label
+)
+SELECT split, label, n,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY split) AS BIGINT) AS share_ppm
+FROM per
+ORDER BY split, label
+"""
+
+QUERIES["q65_split_label_balance"] = q65_split_label_balance
+ORACLES["q65_split_label_balance"] = Q65_SQL
