@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import _maybe_broadcast, _rerank_survivors  # noqa: F401
+from .similarity import _rerank_survivors
 
 
 def pq_train_codebooks(

@@ -202,6 +202,39 @@ def _replay_actions(path: str, version: int | None = None) -> list[dict]:
     return _replay_state(path, version)[0]
 
 
+def _replay_txn(path: str, version: int | None = None) -> dict[str, int]:
+    """{app_id: highest committed batch id} at `version`, seeded from
+    the newest checkpoint that carries a txn map (older checkpoints
+    without one fall back to a full scan) — the same folding Delta does
+    for setTransaction actions, keeping the streaming sink's per-batch
+    marker check O(checkpoint_every), not O(commits)."""
+    txn: dict[str, int] = {}
+    start = -1
+    for cp in reversed([c for c in _checkpoints(path) if version is None or c <= version]):
+        try:
+            with open(_checkpoint_path(path, cp)) as f:
+                snap = json.load(f)
+            folded = snap.get("txn")
+            if not isinstance(folded, dict):
+                continue  # pre-txn-folding checkpoint: try older / full scan
+            txn = {str(a): int(b) for a, b in folded.items()}
+            start = cp
+            break
+        except (OSError, ValueError, KeyError, TypeError):
+            txn = {}
+    for v in _versions(path):
+        if v <= start:
+            continue
+        if version is not None and v > version:
+            break
+        with open(_record_path(path, v)) as f:
+            t = json.load(f).get("txn")
+        if t and "app" in t:
+            app = str(t["app"])
+            txn[app] = max(txn.get(app, -1), int(t["batch"]))
+    return txn
+
+
 def _replay(path: str, version: int | None = None) -> list[str]:
     """Live file names (relative) at `version` (latest if None)."""
     return [a["path"] for a in _replay_actions(path, version)]
@@ -356,9 +389,13 @@ class TxLogFormat:
         tmp = None
         try:
             live, schema = _replay_state(path, version)
+            txn = _replay_txn(path, version)
             fd, tmp = tempfile.mkstemp(dir=_log_dir(path), suffix=".tmp")
             with os.fdopen(fd, "w") as f:
-                json.dump({"version": version, "live": live, "schema": schema}, f)
+                json.dump(
+                    {"version": version, "live": live, "schema": schema, "txn": txn},
+                    f,
+                )
             os.replace(tmp, _checkpoint_path(path, version))
             tmp = None
         except OSError:
@@ -430,9 +467,9 @@ class TxLogFormat:
         )
 
     def txn_batches(self, path: str, app_id: str) -> set[int]:
-        """Batch ids already committed by ``app_id`` (txn markers across
-        the whole log). Driver-side JSON scan, O(commits) — Delta folds
-        these into its checkpoint files; the contract is the same."""
+        """EVERY batch id committed by ``app_id`` — full log scan,
+        O(commits); audit/inspection use. The streaming sink's hot path
+        is ``last_txn_batch`` (checkpoint-seeded)."""
         out: set[int] = set()
         for v in _versions(path):
             with open(_record_path(path, v)) as f:
@@ -440,6 +477,16 @@ class TxLogFormat:
             if t and t.get("app") == app_id:
                 out.add(int(t["batch"]))
         return out
+
+    def last_txn_batch(self, path: str, app_id: str) -> int | None:
+        """Highest batch id committed by ``app_id``, seeded from the log
+        checkpoints (cost O(checkpoint_every), not O(commits)). Spark
+        streaming batch ids are monotonic per query lifetime, so
+        ``batch_id <= last`` ⟺ already committed — the Delta
+        setTransaction idempotency contract."""
+        if not os.path.isdir(_log_dir(path)):
+            return None
+        return _replay_txn(path).get(str(app_id))
 
     def overwrite(self, df: DataFrame, path: str) -> None:
         """Snapshot-isolated replace: stage new files, then ONE commit

@@ -19,10 +19,12 @@ marker set and discovers the batch is already in — no double append,
 no locks. Exactly the upgrade path the reference's GET-sha-then-PUT
 sink (/root/reference/test.py:70-81) points at.
 
-Scale: the per-batch overhead is one driver-side log scan (O(commits),
-folded into checkpoints by Delta — same contract here via
-`txn_batches`) plus one atomic commit; batch data itself is staged
-exactly once.
+Scale: the per-batch overhead is one marker lookup seeded from the
+log's periodic checkpoints (`TxLogFormat.last_txn_batch` —
+O(checkpoint_every) driver work, the Delta setTransaction folding)
+plus one atomic commit; batch data itself is staged exactly once.
+Batch ids are monotonic per Spark query lifetime, so "≤ last
+committed" is the idempotency predicate.
 """
 
 from __future__ import annotations
@@ -48,10 +50,18 @@ def exactly_once_batch_writer(
 
     def write_batch(batch: DataFrame, batch_id: int) -> None:
         for _ in range(max_retries):
-            if batch_id in fmt.txn_batches(path, app_id):
-                return  # replay of a committed batch: no-op
+            # ORDER MATTERS: capture the expected version FIRST, then
+            # scan markers. The marker scan then covers every commit
+            # ≤ expected-1; any commit that lands after it (including a
+            # concurrent replay of THIS batch) claims `expected` and
+            # fails our CAS, forcing a marker re-read. Checking markers
+            # before the version read would leave a window where a
+            # freshly-committed duplicate passes both checks.
             vs = fmt.versions(path)
             expected = (vs[-1] + 1) if vs else 0
+            last = fmt.last_txn_batch(path, app_id)
+            if last is not None and batch_id <= last:
+                return  # replay of a committed batch: no-op
             try:
                 fmt.append(
                     batch,

@@ -406,3 +406,25 @@ def test_gdpr_erasure_workflow(spark, tmp_path):
         fmt.read(spark, path, version=0).filter(F.col("k").isin(subject)).collect()
     # live table unaffected by the vacuum
     assert fmt.read(spark, path).count() == 997
+
+
+def test_txn_markers_fold_into_checkpoints(spark, tmp_path):
+    from developing_img_etl_spark.streaming.txlog_sink import (
+        exactly_once_batch_writer,
+    )
+
+    fmt = TxLogFormat(checkpoint_every=3)
+    path = str(tmp_path / "t")
+    wb = exactly_once_batch_writer(fmt, path, "etl")
+    for i in range(7):
+        wb(spark.createDataFrame([(i, f"v{i}")], SCHEMA), i)
+    # checkpoints exist and carry the folded txn map
+    cp = os.path.join(path, "_txlog", "00000006.checkpoint.json")
+    with open(cp) as f:
+        assert json.load(f)["txn"] == {"etl": 6}
+    assert fmt.last_txn_batch(path, "etl") == 6
+    assert fmt.last_txn_batch(path, "other") is None
+    # replays of any earlier batch are no-ops via the seeded lookup
+    wb(spark.createDataFrame([(0, "dup")], SCHEMA), 0)
+    wb(spark.createDataFrame([(6, "dup")], SCHEMA), 6)
+    assert fmt.read(spark, path).count() == 7
