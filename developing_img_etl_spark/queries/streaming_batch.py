@@ -826,3 +826,74 @@ def _tws_available() -> bool:
 if _tws_available():
     QUERIES["st7_transform_with_state"] = st7_transform_with_state
     ORACLES["st7_transform_with_state"] = ST5_SQL
+
+
+# ---------------------------------------------------------------------------
+# ST8 — exactly-once streaming sink into the TRANSACTIONAL format
+# (streaming/txlog_sink.py): the events table arrives as two source
+# files drained one-per-micro-batch; every batch commits into a
+# TxLogFormat table stamped with a (app, batch) txn marker. After the
+# drain the query REPLAYS batch 0 by hand — the crash-between-commit-
+# and-checkpoint case — and the marker makes it a no-op: if the
+# exactly-once contract broke, the replay double-appends and every
+# count in the oracle comparison goes wrong. The oracle sees the
+# doubled source (two files), so results are the 2× batch aggregate.
+# ---------------------------------------------------------------------------
+def st8_streaming_txlog_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..sinks.txlog import TxLogFormat
+    from ..streaming.txlog_sink import exactly_once_batch_writer
+    from ._det import dsum
+
+    work = tempfile.mkdtemp(prefix="stq8_")
+    src, table, ckpt = f"{work}/src", f"{work}/table", f"{work}/ckpt"
+    os.makedirs(src)
+    for i in range(2):
+        try:
+            os.link(f"{sf_dir}/events.parquet", f"{src}/{i:02d}-events.parquet")
+        except OSError:
+            shutil.copyfile(f"{sf_dir}/events.parquet", f"{src}/{i:02d}-events.parquet")
+
+    fmt = TxLogFormat()
+    writer = exactly_once_batch_writer(fmt, table, "st8")
+    stream = _raw_events_stream(spark, sf_dir, src, max_files_per_trigger=1)
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # the crash-replay case: batch 0 arrives again → marker no-op
+    writer(fmt.read(spark, table).limit(50), 0)
+
+    return (
+        fmt.read(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ST8_SQL = """
+SELECT event_type,
+       2 * COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(ROUND(2 * SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["st8_streaming_txlog_exactly_once"] = st8_streaming_txlog_exactly_once
+ORACLES["st8_streaming_txlog_exactly_once"] = ST8_SQL
