@@ -556,6 +556,50 @@ class TxLogFormat:
         return bool(_versions(path))
 
     # -- extras beyond the seam --------------------------------------------
+    def optimize(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        zorder_by: Sequence[str] | None = None,
+        target_files: int | None = None,
+    ) -> dict:
+        """OPTIMIZE [ZORDER BY]: rewrite the live file set as
+        ``target_files`` compacted files — optionally laid out along
+        the Morton curve of ``zorder_by`` (small non-negative integer
+        columns; bucket wider domains first — operators/zorder.py) so
+        the logged per-file min/max stats stay tight in EVERY ordered
+        dimension and ``read(where=...)`` skips files on any of them.
+        One snapshot-swap commit: readers see the old or the new
+        layout, never a mix; time travel to the pre-optimize version
+        still works until vacuum. Data content is unchanged — only the
+        file layout (and therefore the stats index) moves."""
+        actions = _replay_actions(path)
+        if not actions:
+            return {"files_before": 0, "files_after": 0, "version": None}
+        vs = _versions(path)
+        expected = (vs[-1] + 1) if vs else 0
+        df = spark.read.parquet(*[os.path.join(path, a["path"]) for a in actions])
+        n_out = target_files or max(1, len(actions) // 4)
+        if zorder_by:
+            from ..operators.zorder import zorder_layout
+
+            df = zorder_layout(df, list(zorder_by), n_files=n_out)
+        else:
+            df = df.coalesce(n_out)
+        add = self._stage(df, path)
+        version = self._commit(
+            path,
+            add=add,
+            remove=[a["path"] for a in actions],
+            expected_version=expected,
+        )
+        return {
+            "files_before": len(actions),
+            "files_after": len(add),
+            "version": version,
+        }
+
     def versions(self, path: str) -> list[int]:
         return _versions(path)
 

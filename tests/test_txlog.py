@@ -428,3 +428,49 @@ def test_txn_markers_fold_into_checkpoints(spark, tmp_path):
     wb(spark.createDataFrame([(0, "dup")], SCHEMA), 0)
     wb(spark.createDataFrame([(6, "dup")], SCHEMA), 6)
     assert fmt.read(spark, path).count() == 7
+
+
+def test_optimize_compacts_and_preserves_content(spark, tmp_path):
+    fmt = TxLogFormat()
+    path = str(tmp_path / "t")
+    for i in range(4):  # 4 appends × 2 files = 8 small files
+        fmt.append(_range_table(spark, n=100, files=2), path)
+    before = {r.k for r in fmt.read(spark, path).select("k").distinct().collect()}
+    res = fmt.optimize(spark, path, target_files=2)
+    assert res["files_before"] == 8 and res["files_after"] <= 2
+    after = fmt.read(spark, path)
+    assert after.count() == 400  # 4 × 100 rows, content unchanged
+    assert {r.k for r in after.select("k").distinct().collect()} == before
+    # pre-optimize snapshot still time-travels
+    assert fmt.read(spark, path, version=0).count() == 100
+
+
+def test_optimize_zorder_restores_multi_dim_skipping(spark, tmp_path):
+    """After OPTIMIZE ZORDER BY (a, b), range predicates on EITHER
+    column prune files via the logged stats — the point of interleaved
+    layout over a single-column sort."""
+    from pyspark.sql import functions as F
+
+    fmt = TxLogFormat()
+    path = str(tmp_path / "t")
+    # write in an order that correlates with NEITHER dimension: every
+    # file spans the full (a, b) domain → zero pruning either way
+    df = spark.range(0, 4096).select(
+        F.pmod(F.col("id") * 197, F.lit(256)).cast("int").alias("a"),
+        F.pmod(F.col("id") * 89, F.lit(256)).cast("int").alias("b"),
+        F.col("id").alias("payload"),
+    )
+    fmt.append(df.repartition(8), path)
+    full = len(fmt.read(spark, path).inputFiles())
+    pre_a = len(fmt.read(spark, path, where=[("a", "<", 32)]).inputFiles())
+    assert pre_a == full  # random layout: nothing prunes
+
+    res = fmt.optimize(spark, path, zorder_by=["a", "b"], target_files=8)
+    assert res["files_after"] == 8
+    post_a = len(fmt.read(spark, path, where=[("a", "<", 32)]).inputFiles())
+    post_b = len(fmt.read(spark, path, where=[("b", "<", 32)]).inputFiles())
+    assert post_a < full and post_b < full  # BOTH dimensions prune now
+    # content survives the layout pass bit-for-bit
+    assert fmt.read(spark, path).count() == 4096
+    got = fmt.read(spark, path, where=[("a", "<", 32)]).filter("a < 32").count()
+    assert got == df.filter("a < 32").count()
