@@ -571,3 +571,92 @@ ORDER BY source
 
 QUERIES["q62_curation_funnel"] = q62_curation_funnel
 ORACLES["q62_curation_funnel"] = _q62_sql()
+
+
+# ---------------------------------------------------------------------------
+# Q67 — curriculum deciles (training-data mandate: curriculum learning
+# orders the corpus easy→hard; the pipeline side is a deterministic
+# difficulty ranking + banding). Difficulty proxy = whitespace token
+# count (swap in any scored column); banding = NTILE(10) over the
+# TOTAL order (difficulty, doc_id).
+#
+# Scale shape: a naive `NTILE() OVER (ORDER BY ...)` collapses the
+# whole corpus into ONE window partition. Instead, the global rank is
+# assembled distributedly (the q22 parallel-distribution trick): a
+# windowed prefix sum over the SMALL per-difficulty histogram gives
+# each difficulty level's rank base, a difficulty-partitioned
+# row_number (distributed) ranks within levels, and the standard NTILE
+# remainder formula (first n%10 buckets get the extra row — the same
+# spec both engines implement) turns ranks into buckets as pure
+# integer codegen. The oracle uses the real NTILE; agreement IS the
+# test that the distributed formula matches the spec.
+# ---------------------------------------------------------------------------
+def q67_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "n_chars", TXT.token_count(F.col("text")).alias("difficulty")
+    )
+    lvl = scored.groupBy("difficulty").agg(F.count(F.lit(1)).alias("cnt"))
+    # windows over the HISTOGRAM (|distinct difficulties| rows), never
+    # over the corpus — bounded regardless of corpus size
+    w_cum = Window.orderBy("difficulty").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("difficulty").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lvl = lvl.select(
+        "difficulty",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("base"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    w_in = Window.partitionBy("difficulty").orderBy("doc_id")  # distributed
+    ranked = scored.join(F.broadcast(lvl), "difficulty").select(
+        "difficulty",
+        "n_chars",
+        "n",
+        (F.col("base") + F.row_number().over(w_in) - 1).alias("r0"),  # 0-based
+    )
+    # NTILE(b): q = n div b, rem = n % b; first rem buckets hold q+1 rows
+    banded = ranked.selectExpr(
+        "difficulty",
+        "n_chars",
+        """CASE WHEN n DIV 10 = 0 THEN CAST(r0 + 1 AS BIGINT)
+                WHEN r0 < (n % 10) * (n DIV 10 + 1)
+                THEN CAST(r0 DIV (n DIV 10 + 1) + 1 AS BIGINT)
+                ELSE CAST(n % 10 + (r0 - (n % 10) * (n DIV 10 + 1)) DIV (n DIV 10) + 1 AS BIGINT)
+           END AS decile""",
+    )
+    return (
+        banded.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("difficulty").cast("long").alias("min_difficulty"),
+            F.max("difficulty").cast("long").alias("max_difficulty"),
+            F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        )
+        .orderBy("decile")
+    )
+
+
+Q67_SQL = r"""
+WITH scored AS (
+  SELECT doc_id, n_chars,
+         len(string_split_regex(lower(text), '\s+')) AS difficulty
+  FROM documents
+),
+banded AS (
+  SELECT *, NTILE(10) OVER (ORDER BY difficulty, doc_id) AS decile FROM scored
+)
+SELECT decile,
+       COUNT(*) AS n_docs,
+       CAST(MIN(difficulty) AS BIGINT) AS min_difficulty,
+       CAST(MAX(difficulty) AS BIGINT) AS max_difficulty,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM banded
+GROUP BY decile
+ORDER BY decile
+"""
+
+QUERIES["q67_curriculum_deciles"] = q67_curriculum_deciles
+ORACLES["q67_curriculum_deciles"] = Q67_SQL

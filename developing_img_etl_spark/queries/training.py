@@ -1542,3 +1542,61 @@ ORDER BY c_mktsegment
 
 QUERIES["q64_k_anonymity"] = q64_k_anonymity
 ORACLES["q64_k_anonymity"] = Q64_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q66 — change data feed from time travel (the CDC read pattern on the
+# transactional format): diff two committed snapshots of the SAME
+# txlog table (q55's cached v0→v1 segment migration) into per-row
+# change classes via one full-outer join on the key, then roll up
+# counts + balance mass per class. The oracle recomputes the class of
+# every row from the raw table, so a stale file in either snapshot, a
+# lost update, or a phantom insert/delete all hash-mismatch. At scale
+# this is ONE sort-merge join keyed on the PK — the standard
+# downstream-sync read Delta exposes as table_changes().
+# ---------------------------------------------------------------------------
+def q66_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.txlog import TxLogFormat
+
+    fmt = TxLogFormat()
+    path = _txdemo_table(spark, sf_dir)
+    v0 = fmt.read(spark, path, version=0).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg0"),
+        F.col("c_acctbal").alias("bal0"),
+    )
+    v1 = fmt.read(spark, path).select(
+        "c_custkey", F.col("c_mktsegment").alias("seg1"), "c_acctbal"
+    )
+    j = v0.join(v1, "c_custkey", "full_outer")
+    change = (
+        F.when(F.col("seg0").isNull(), "insert")
+        .when(F.col("seg1").isNull(), "delete")
+        .when(F.col("seg0") != F.col("seg1"), "update")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(change.alias("change_type"), F.coalesce("c_acctbal", "bal0").alias("bal"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("bal").alias("total_bal"))
+        .orderBy("change_type")
+    )
+
+
+Q66_SQL = f"""
+WITH c AS (
+  SELECT CASE WHEN c_acctbal > 5000 AND c_mktsegment <> 'PREMIUM'
+              THEN 'update' ELSE 'unchanged' END AS change_type,
+         c_acctbal
+  FROM customer
+)
+SELECT change_type,
+       COUNT(*) AS n_rows,
+       {sql_dsum("CAST(c_acctbal AS DECIMAL(12,4))")} AS total_bal
+FROM c
+GROUP BY change_type
+ORDER BY change_type
+"""
+
+QUERIES["q66_change_data_feed"] = q66_change_data_feed
+ORACLES["q66_change_data_feed"] = Q66_SQL
