@@ -317,24 +317,59 @@ class TxLogFormat:
         self.checkpoint_every = checkpoint_every
 
     # -- commit protocol ---------------------------------------------------
-    def _stage(self, df: DataFrame, path: str) -> list[dict]:
+    def _stage(
+        self,
+        df: DataFrame,
+        path: str,
+        partition_cols: Sequence[str] | None = None,
+    ) -> list[dict]:
         """Write df's parquet files into the table dir under a fresh
         uuid prefix (invisible until a commit record references them);
-        returns the add-actions (name + footer-harvested stats)."""
+        returns the add-actions (name + footer-harvested stats). With
+        ``partition_cols`` the layout is hive-style (`col=value/` dirs);
+        each file's partition values are folded into its STATS as
+        point ranges (min == max), so ``read(where=)`` and
+        ``merge_into`` prune partitioned files through the exact same
+        code path as data-derived stats — partition pruning IS stats
+        pruning on a degenerate interval."""
         os.makedirs(path, exist_ok=True)
         scratch = tempfile.mkdtemp(prefix="txstage_")
         try:
-            df.write.mode("overwrite").parquet(scratch)
+            writer = df.write.mode("overwrite")
+            if partition_cols:
+                writer = writer.partitionBy(*partition_cols)
+            writer.parquet(scratch)
             prefix = f"data-{uuid.uuid4().hex}"
             actions = []
-            for f in sorted(os.listdir(scratch)):
-                if not f.endswith(".parquet"):
-                    continue
-                name = f"{prefix}-{f}"
-                dst = os.path.join(path, name)
-                shutil.move(os.path.join(scratch, f), dst)
-                rows, stats = _file_stats(dst)
-                actions.append({"path": name, "rows": rows, "stats": stats})
+            for dirpath, _dirs, files in sorted(os.walk(scratch)):
+                rel_dir = os.path.relpath(dirpath, scratch)
+                for f in sorted(files):
+                    if not f.endswith(".parquet"):
+                        continue
+                    if rel_dir == ".":
+                        name = f"{prefix}-{f}"
+                        pvals: dict[str, str] = {}
+                    else:
+                        # col=value/... hive segments, URL-decoded
+                        from urllib.parse import unquote
+
+                        segs = [s.split("=", 1) for s in rel_dir.split(os.sep)]
+                        pvals = {k: unquote(v) for k, v in segs}
+                        name = os.path.join(rel_dir, f"{prefix}-{f}")
+                        os.makedirs(
+                            os.path.join(path, rel_dir), exist_ok=True
+                        )
+                    dst = os.path.join(path, name)
+                    shutil.move(os.path.join(dirpath, f), dst)
+                    rows, stats = _file_stats(dst)
+                    for k, v in pvals.items():
+                        nv = _norm(v)
+                        if nv is not None:
+                            stats[k] = [nv, nv, 0]
+                    action = {"path": name, "rows": rows, "stats": stats}
+                    if pvals:
+                        action["partition"] = pvals
+                    actions.append(action)
             return actions
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
@@ -459,7 +494,7 @@ class TxLogFormat:
         schema_json = self._evolved_schema(logged, df)
         self._commit(
             path,
-            add=self._stage(df, path),
+            add=self._stage(df, path, partition_cols),
             remove=[],
             schema_json=schema_json,
             txn=txn,
@@ -536,12 +571,19 @@ class TxLogFormat:
             if not kept:  # provably empty: no data file opened at all
                 if schema is not None:
                     return spark.createDataFrame([], schema)
-                one = spark.read.parquet(os.path.join(path, files[0]))
+                one = spark.read.option("basePath", path).parquet(
+                    os.path.join(path, files[0])
+                )
                 return one.filter(F.lit(False))
             files = kept
         if files:
             paths = [os.path.join(path, f) for f in files]
-            reader = spark.read.schema(schema) if schema else spark.read
+            # basePath lets Spark recover hive partition columns
+            # (col=value/ dirs) for an explicit file list; harmless on
+            # flat layouts
+            reader = spark.read.option("basePath", path)
+            if schema:
+                reader = reader.schema(schema)
             df = reader.parquet(*paths)
             return df.filter(_where_expr(where)) if where else df
         if files is not None and schema is None:
@@ -740,8 +782,17 @@ class TxLogFormat:
             if v >= keep_from:
                 reachable |= set(_replay(path, v))
         deleted = []
-        for f in sorted(os.listdir(path)):
-            if f.startswith("data-") and f.endswith(".parquet") and f not in reachable:
-                os.unlink(os.path.join(path, f))
-                deleted.append(f)
-        return deleted
+        for dirpath, _dirs, fnames in os.walk(path):
+            if os.path.basename(dirpath) == _LOG_DIR:
+                continue
+            for f in sorted(fnames):
+                rel = os.path.relpath(os.path.join(dirpath, f), path)
+                base = os.path.basename(f)
+                if (
+                    base.startswith("data-")
+                    and base.endswith(".parquet")
+                    and rel not in reachable
+                ):
+                    os.unlink(os.path.join(dirpath, f))
+                    deleted.append(rel)
+        return sorted(deleted)

@@ -474,3 +474,33 @@ def test_optimize_zorder_restores_multi_dim_skipping(spark, tmp_path):
     assert fmt.read(spark, path).count() == 4096
     got = fmt.read(spark, path, where=[("a", "<", 32)]).filter("a < 32").count()
     assert got == df.filter("a < 32").count()
+
+
+def test_partitioned_append_prunes_via_stats(spark, tmp_path):
+    """partition_cols = hive layout; partition values land in the add-
+    action stats as point ranges, so read(where=) prunes partitions
+    through the SAME path as data-derived stats."""
+    from pyspark.sql import functions as F
+
+    fmt = TxLogFormat()
+    path = str(tmp_path / "t")
+    df = spark.range(0, 300).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("s"), (F.col("id") % 3)).alias("seg"),
+    )
+    fmt.append(df, path, partition_cols=["seg"])
+    actions = fmt.files(path)
+    assert all("seg=" in a["path"] for a in actions)
+    assert all(a["partition"]["seg"].startswith("s") for a in actions)
+
+    full = fmt.read(spark, path)
+    assert sorted(full.columns) == ["k", "seg"]  # partition col recovered
+    assert full.count() == 300
+    one = fmt.read(spark, path, where=[("seg", "==", "s1")])
+    assert len(one.inputFiles()) < len(full.inputFiles())
+    assert one.count() == 100
+    assert {r.seg for r in one.select("seg").distinct().collect()} == {"s1"}
+    # vacuum handles the nested layout
+    fmt.overwrite(df.filter("k < 10"), path)
+    deleted = fmt.vacuum(path, retain_versions=0)
+    assert all("seg=" in d for d in deleted) and len(deleted) == len(actions)
