@@ -246,3 +246,127 @@ ORDER BY p.label
 
 QUERIES["q56_embedding_stats"] = q56_embedding_stats
 ORACLES["q56_embedding_stats"] = Q56_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q68 — contrastive triplet mining (training-data mandate: contrastive
+# /embedding-model training consumes (anchor, positive, negative)
+# triplets). Positive = exact nearest neighbor (the Q13 arithmetic both
+# engines already agree on); negative = a DETERMINISTIC hash-pick from
+# the corpus (uniform "random" negative that is reproducible across
+# runs/retries — the same discipline as operators/sampling.py), with a
+# collision-skip chain if the pick lands on the anchor or the positive.
+# The corpus size feeds the modulus via a 1-row aggregate broadcast
+# (the q45-q49 scalar pattern, structurally verified by the plan
+# audit). Emits both similarities so a margin (pos_sim - neg_sim)
+# regression anywhere hash-mismatches.
+# ---------------------------------------------------------------------------
+_TRIPLET_K = 2_654_435_761
+_TRIPLET_SEED = 13
+
+
+def q68_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("ae")
+    )
+    # positive: exact top-1 by cosine (q13 arithmetic)
+    scored = emb.crossJoin(F.broadcast(anchors)).filter(
+        F.col("vec_id") != F.col("anchor_id")
+    )
+    sim = F.round(
+        dot(F.col("ae"), F.col("embedding"))
+        / (norm(F.col("ae")) * norm(F.col("embedding"))),
+        6,
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("sim"), "vec_id")
+    pos = (
+        scored.select("anchor_id", "vec_id", sim.alias("sim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("anchor_id", F.col("vec_id").alias("pos_id"), F.col("sim").alias("pos_sim"))
+    )
+    n_df = emb.agg(F.count(F.lit(1)).alias("__n"))
+    cand = F.pmod(F.col("anchor_id") * _TRIPLET_K + _TRIPLET_SEED, F.col("__n"))
+    picked = (
+        pos.crossJoin(F.broadcast(n_df))
+        .withColumn("c0", cand)
+        .withColumn("c1", F.pmod(F.col("c0") + 1, F.col("__n")))
+        .withColumn("c2", F.pmod(F.col("c0") + 2, F.col("__n")))
+    )
+    picked = picked.withColumn(
+        "neg_id",
+        F.when(
+            (F.col("c0") != F.col("anchor_id")) & (F.col("c0") != F.col("pos_id")),
+            F.col("c0"),
+        )
+        .when(
+            (F.col("c1") != F.col("anchor_id")) & (F.col("c1") != F.col("pos_id")),
+            F.col("c1"),
+        )
+        .otherwise(F.col("c2")),
+    ).select("anchor_id", "pos_id", "pos_sim", "neg_id")
+    neg_emb = emb.select(F.col("vec_id").alias("neg_id"), F.col("embedding").alias("ne"))
+    out = (
+        picked.join(neg_emb, "neg_id")
+        .join(F.broadcast(anchors), "anchor_id")
+        .select(
+            "anchor_id",
+            "pos_id",
+            "pos_sim",
+            "neg_id",
+            F.round(
+                dot(F.col("ae"), F.col("ne")) / (norm(F.col("ae")) * norm(F.col("ne"))),
+                6,
+            ).alias("neg_sim"),
+        )
+    )
+    return out.withColumn(
+        "margin", F.round(F.col("pos_sim") - F.col("neg_sim"), 6)
+    ).orderBy("anchor_id")
+
+
+Q68_SQL = f"""
+WITH n AS (SELECT COUNT(*) AS nn FROM embeddings),
+a AS (
+  SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS ae
+  FROM embeddings WHERE vec_id < {N_PROBES}
+),
+s AS (
+  SELECT a.anchor_id, e.vec_id,
+         round(list_cosine_similarity(a.ae, CAST(e.embedding AS DOUBLE[])), 6) AS sim
+  FROM embeddings e CROSS JOIN a
+  WHERE e.vec_id != a.anchor_id
+),
+pos AS (
+  SELECT anchor_id, vec_id AS pos_id, sim AS pos_sim
+  FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, vec_id) AS rk FROM s)
+  WHERE rk = 1
+),
+picked AS (
+  SELECT anchor_id, pos_id, pos_sim,
+         (anchor_id * {_TRIPLET_K} + {_TRIPLET_SEED}) % nn AS c0,
+         ((anchor_id * {_TRIPLET_K} + {_TRIPLET_SEED}) % nn + 1) % nn AS c1,
+         ((anchor_id * {_TRIPLET_K} + {_TRIPLET_SEED}) % nn + 2) % nn AS c2
+  FROM pos CROSS JOIN n
+),
+trip AS (
+  SELECT anchor_id, pos_id, pos_sim,
+         CASE WHEN c0 <> anchor_id AND c0 <> pos_id THEN c0
+              WHEN c1 <> anchor_id AND c1 <> pos_id THEN c1
+              ELSE c2 END AS neg_id
+  FROM picked
+)
+SELECT t.anchor_id, t.pos_id, t.pos_sim, t.neg_id,
+       round(list_cosine_similarity(a.ae, CAST(e.embedding AS DOUBLE[])), 6) AS neg_sim,
+       round(t.pos_sim - round(list_cosine_similarity(a.ae, CAST(e.embedding AS DOUBLE[])), 6), 6) AS margin
+FROM trip t
+JOIN embeddings e ON e.vec_id = t.neg_id
+JOIN a ON a.anchor_id = t.anchor_id
+ORDER BY t.anchor_id
+"""
+
+QUERIES["q68_contrastive_triplets"] = q68_contrastive_triplets
+ORACLES["q68_contrastive_triplets"] = Q68_SQL

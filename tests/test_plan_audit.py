@@ -35,6 +35,9 @@ BNLJ_ALLOWED = {
     "q46_fk_integrity",
     "q47_skew_profile",
     "q49_jsonl_roundtrip",
+    # q68: q13's tiny-probe-set × corpus cross (exact positives) plus a
+    # 1-row corpus-count scalar cross — both broadcast-side bounded
+    "q68_contrastive_triplets",
 }
 
 # no exemptions today: every declared query ships ids through hash
