@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    behavior,
     dedup,
     multimodal,
     relational,
@@ -43,6 +44,7 @@ _MODULES = (
     udf_surface,
     sampling,
     training,
+    behavior,
 )
 
 
