@@ -269,17 +269,21 @@ def q68_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load(spark, sf_dir, "embeddings")
-    anchors = emb.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("anchor_id"), F.col("embedding").alias("ae")
+    # norms materialized per side BELOW the cross join (q13 discipline:
+    # HOF folds aren't codegen'd — each pair must pay ONE fold, the dot,
+    # not three)
+    base = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    anchors = base.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("ae"),
+        F.col("nrm").alias("anrm"),
     )
     # positive: exact top-1 by cosine (q13 arithmetic)
-    scored = emb.crossJoin(F.broadcast(anchors)).filter(
+    scored = base.crossJoin(F.broadcast(anchors)).filter(
         F.col("vec_id") != F.col("anchor_id")
     )
     sim = F.round(
-        dot(F.col("ae"), F.col("embedding"))
-        / (norm(F.col("ae")) * norm(F.col("embedding"))),
-        6,
+        dot(F.col("ae"), F.col("embedding")) / (F.col("anrm") * F.col("nrm")), 6
     )
     w = Window.partitionBy("anchor_id").orderBy(F.desc("sim"), "vec_id")
     pos = (
@@ -308,7 +312,11 @@ def q68_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.col("c2")),
     ).select("anchor_id", "pos_id", "pos_sim", "neg_id")
-    neg_emb = emb.select(F.col("vec_id").alias("neg_id"), F.col("embedding").alias("ne"))
+    neg_emb = base.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("embedding").alias("ne"),
+        F.col("nrm").alias("nnrm"),
+    )
     out = (
         picked.join(neg_emb, "neg_id")
         .join(F.broadcast(anchors), "anchor_id")
@@ -318,8 +326,7 @@ def q68_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos_sim",
             "neg_id",
             F.round(
-                dot(F.col("ae"), F.col("ne")) / (norm(F.col("ae")) * norm(F.col("ne"))),
-                6,
+                dot(F.col("ae"), F.col("ne")) / (F.col("anrm") * F.col("nnrm")), 6
             ).alias("neg_sim"),
         )
     )

@@ -334,6 +334,27 @@ class TxLogFormat:
         pruning on a degenerate interval."""
         os.makedirs(path, exist_ok=True)
         scratch = tempfile.mkdtemp(prefix="txstage_")
+        # hive path segments are strings; coerce partition values back
+        # through the DataFrame's own field types so the stats ranges
+        # compare against typed predicates (an int partition stored as
+        # '2024' would never prune against where ('year','==',2024))
+        ptypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+        def _coerce(col: str, v: str):
+            if v == "__HIVE_DEFAULT_PARTITION__":
+                return None
+            t = ptypes.get(col, "string")
+            try:
+                if t in ("tinyint", "smallint", "int", "bigint"):
+                    return int(v)
+                if t in ("float", "double") or t.startswith("decimal"):
+                    return float(v)
+                if t == "boolean":
+                    return v.lower() == "true"
+            except ValueError:
+                return None
+            return v  # string/date/timestamp: ISO strings order correctly
+
         try:
             writer = df.write.mode("overwrite")
             if partition_cols:
@@ -363,7 +384,7 @@ class TxLogFormat:
                     shutil.move(os.path.join(dirpath, f), dst)
                     rows, stats = _file_stats(dst)
                     for k, v in pvals.items():
-                        nv = _norm(v)
+                        nv = _norm(_coerce(k, v))
                         if nv is not None:
                             stats[k] = [nv, nv, 0]
                     action = {"path": name, "rows": rows, "stats": stats}
@@ -621,7 +642,11 @@ class TxLogFormat:
             return {"files_before": 0, "files_after": 0, "version": None}
         vs = _versions(path)
         expected = (vs[-1] + 1) if vs else 0
-        df = spark.read.parquet(*[os.path.join(path, a["path"]) for a in actions])
+        # the schema-and-basePath-aware read path: recovers hive
+        # partition columns into DATA columns and null-fills schema-
+        # evolved files — a plain parquet read here would silently drop
+        # both on rewrite
+        df = self.read(spark, path)
         n_out = target_files or max(1, len(actions) // 4)
         if zorder_by:
             from ..operators.zorder import zorder_layout
@@ -744,7 +769,16 @@ class TxLogFormat:
         from ..operators.merge import merge_upsert
 
         if hit:
-            target = spark.read.parquet(
+            # basePath + logged schema: partition columns recover from
+            # directory names, schema-evolved files null-fill — a plain
+            # parquet read would fail the select (or drop columns) on
+            # partitioned/evolved tables
+            reader = spark.read.option("basePath", path)
+            if logged is not None:
+                from pyspark.sql.types import StructType
+
+                reader = reader.schema(StructType.fromJson(json.loads(logged)))
+            target = reader.parquet(
                 *[os.path.join(path, a["path"]) for a in hit]
             ).select(*tgt_cols)
             merged = merge_upsert(target, updates, keys, delete_col=delete_col)

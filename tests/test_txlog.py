@@ -504,3 +504,46 @@ def test_partitioned_append_prunes_via_stats(spark, tmp_path):
     fmt.overwrite(df.filter("k < 10"), path)
     deleted = fmt.vacuum(path, retain_versions=0)
     assert all("seg=" in d for d in deleted) and len(deleted) == len(actions)
+
+
+def test_partitioned_optimize_and_merge_keep_partition_values(spark, tmp_path):
+    """optimize() and merge_into() on a hive-partitioned table must
+    preserve partition-column VALUES (recovered via basePath into data
+    columns on rewrite) — a plain parquet read would null them out."""
+    from pyspark.sql import functions as F
+
+    fmt = TxLogFormat()
+    path = str(tmp_path / "t")
+    df = spark.range(0, 300).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("s"), (F.col("id") % 3)).alias("seg"),
+    )
+    fmt.append(df, path, partition_cols=["seg"])
+
+    res = fmt.optimize(spark, path, target_files=2)
+    assert res["files_after"] <= 2
+    after = fmt.read(spark, path)
+    assert after.filter(F.col("seg").isNull()).count() == 0
+    assert {r.seg for r in after.select("seg").distinct().collect()} == {"s0", "s1", "s2"}
+
+    upd = spark.createDataFrame([(0, "sX")], "k INT, seg STRING")
+    fmt.merge_into(spark, path, upd, "k")
+    got = {r.k: r.seg for r in fmt.read(spark, path).collect()}
+    assert got[0] == "sX" and got[1] == "s1" and len(got) == 300
+
+
+def test_int_partition_values_prune_with_typed_predicates(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    fmt = TxLogFormat()
+    path = str(tmp_path / "t")
+    df = spark.range(0, 300).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") % 3).cast("int").alias("year"),
+    )
+    fmt.append(df, path, partition_cols=["year"])
+    # typed predicate against an int partition column must PRUNE, not
+    # silently fall back to a full scan via the TypeError guard
+    one = fmt.read(spark, path, where=[("year", "==", 1)])
+    assert len(one.inputFiles()) < len(fmt.read(spark, path).inputFiles())
+    assert one.count() == 100
