@@ -897,3 +897,73 @@ ORDER BY event_type
 
 QUERIES["st8_streaming_txlog_exactly_once"] = st8_streaming_txlog_exactly_once
 ORACLES["st8_streaming_txlog_exactly_once"] = ST8_SQL
+
+
+# ---------------------------------------------------------------------------
+# ST9 — streaming MATERIALIZED-VIEW maintenance, exactly once
+# (streaming/txlog_sink.py::incremental_view_writer): each micro-batch
+# delta-aggregates (operators/ivm.py) and merges into a TxLogFormat-
+# stored per-event-type view via one snapshot-isolated, txn-stamped
+# overwrite — refresh cost ∝ batch, never the base; readers always see
+# a complete snapshot. The query replays batch 0 after the drain (the
+# crash case): if the marker contract broke, the replay re-applies the
+# delta and every count in the doubled-source oracle goes wrong.
+# ---------------------------------------------------------------------------
+def st9_streaming_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..sinks.txlog import TxLogFormat
+    from ..streaming.txlog_sink import incremental_view_writer
+    from ._det import dec
+
+    work = tempfile.mkdtemp(prefix="stq9_")
+    src, view, ckpt = f"{work}/src", f"{work}/view", f"{work}/ckpt"
+    os.makedirs(src)
+    for i in range(2):
+        try:
+            os.link(f"{sf_dir}/events.parquet", f"{src}/{i:02d}-events.parquet")
+        except OSError:
+            shutil.copyfile(f"{sf_dir}/events.parquet", f"{src}/{i:02d}-events.parquet")
+
+    fmt = TxLogFormat()
+    writer = incremental_view_writer(fmt, view, "st9", ["event_type"], ["value"])
+    stream = _raw_events_stream(spark, sf_dir, src, max_files_per_trigger=1)
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # crash-replay of batch 0: the txn marker must make it a no-op —
+    # otherwise the view double-counts and the oracle hash-mismatches
+    replay = load(spark, sf_dir, "events").limit(100)
+    writer(replay, 0)
+
+    return (
+        fmt.read(spark, view)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            F.round(F.col("value"), 2).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ST9_SQL = """
+SELECT event_type,
+       2 * COUNT(*) AS n_events,
+       CAST(ROUND(2 * SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["st9_streaming_view_maintenance"] = st9_streaming_view_maintenance
+ORACLES["st9_streaming_view_maintenance"] = ST9_SQL

@@ -544,22 +544,34 @@ class TxLogFormat:
             return None
         return _replay_txn(path).get(str(app_id))
 
-    def overwrite(self, df: DataFrame, path: str) -> None:
+    def overwrite(
+        self,
+        df: DataFrame,
+        path: str,
+        *,
+        txn: tuple[str, int] | None = None,
+        expected_version: int | None = None,
+    ) -> None:
         """Snapshot-isolated replace: stage new files, then ONE commit
         removing every previously-live file. No reader can observe the
         gap, and read(path) → transform → overwrite(path) needs no
         localCheckpoint — the input files are immutable. The table
-        schema is replaced outright (a snapshot swap owns its schema)."""
+        schema is replaced outright (a snapshot swap owns its schema).
+        ``txn`` stamps the commit for idempotent writers (the streaming
+        read-refresh-overwrite loop: a replayed batch is detected via
+        ``last_txn_batch`` and the CAS built into this method)."""
         live_before = _replay(path) if os.path.isdir(_log_dir(path)) else []
-        vs = _versions(path)
-        expected = (vs[-1] + 1) if vs else 0
+        if expected_version is None:
+            vs = _versions(path)
+            expected_version = (vs[-1] + 1) if vs else 0
         add = self._stage(df, path)
         self._commit(
             path,
             add=add,
             remove=live_before,
-            expected_version=expected,
+            expected_version=expected_version,
             schema_json=df.schema.json(),
+            txn=txn,
         )
 
     def read(

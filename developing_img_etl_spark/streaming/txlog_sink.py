@@ -77,3 +77,55 @@ def exactly_once_batch_writer(
         )
 
     return write_batch
+
+
+def incremental_view_writer(
+    fmt: TxLogFormat,
+    path: str,
+    app_id: str,
+    group_cols,
+    sum_cols,
+    *,
+    max_retries: int = 10,
+):
+    """Streaming MATERIALIZED-VIEW maintenance, exactly once: each
+    micro-batch is delta-aggregated (operators/ivm.py — cost ∝ batch,
+    never the base) and merged into the stored view with ONE
+    snapshot-isolated overwrite stamped by a txn marker. Readers of the
+    view always see a complete consistent snapshot; a replayed batch is
+    a marker no-op; a concurrent replay loses the version CAS and
+    discovers the marker on retry. The version is captured BEFORE the
+    marker check and pinned through the overwrite, so no commit can
+    slip into the gap unobserved (the txlog_sink race lesson)."""
+    from ..operators.ivm import delta_aggregate, incremental_refresh
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        for _ in range(max_retries):
+            vs = fmt.versions(path)
+            expected = (vs[-1] + 1) if vs else 0
+            last = fmt.last_txn_batch(path, app_id)
+            if last is not None and batch_id <= last:
+                return
+            dagg = delta_aggregate(batch, group_cols, sum_cols)
+            if vs:
+                view = fmt.read(sess, path)
+                refreshed = incremental_refresh(view, dagg, group_cols, sum_cols)
+            else:
+                refreshed = dagg
+            try:
+                fmt.overwrite(
+                    refreshed,
+                    path,
+                    txn=(app_id, batch_id),
+                    expected_version=expected,
+                )
+                return
+            except TxConflict:
+                continue
+        raise TxConflict(
+            f"{path}: view refresh for batch {batch_id} lost the race "
+            f"{max_retries} times"
+        )
+
+    return write_batch

@@ -547,3 +547,26 @@ def test_int_partition_values_prune_with_typed_predicates(spark, tmp_path):
     one = fmt.read(spark, path, where=[("year", "==", 1)])
     assert len(one.inputFiles()) < len(fmt.read(spark, path).inputFiles())
     assert one.count() == 100
+
+
+def test_incremental_view_writer_exactly_once(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from developing_img_etl_spark.streaming.txlog_sink import (
+        incremental_view_writer,
+    )
+
+    fmt = TxLogFormat()
+    path = str(tmp_path / "view")
+    wb = incremental_view_writer(fmt, path, "ivm", ["g"], ["x"])
+    b0 = spark.createDataFrame([("a", 10.0), ("b", 5.0)], "g STRING, x DOUBLE")
+    b1 = spark.createDataFrame([("a", 1.0)], "g STRING, x DOUBLE")
+    wb(b0, 0)
+    wb(b0, 0)  # immediate replay: marker no-op
+    wb(b1, 1)
+    wb(b0, 0)  # late replay after a newer batch: still a no-op
+    got = {r.g: (r.n, float(r.x)) for r in fmt.read(spark, path).collect()}
+    assert got == {"a": (2, 11.0), "b": (1, 5.0)}
+    # the view's history is per-batch snapshots (time travel works)
+    v0 = {r.g: r.n for r in fmt.read(spark, path, version=0).collect()}
+    assert v0 == {"a": 1, "b": 1}
