@@ -2,16 +2,18 @@
 audio/video as opaque binary columns with typed metadata; decode /
 feature-extract / frame-sample as pandas UDFs).
 
-Codec strategy mirrors image.py: no audio/video library ships in this
-container, so the DECODE step is stubbed behind a deterministic fake
-format — `FAKEAUD:{rate}:{n_samples}:` and
-`FAKEVID:{w}:{h}:{fps}:{n_frames}:` headers — while everything Spark
-owns is real and tested: BinaryType columns, Arrow batch shape,
-null-on-unreadable guard semantics, the mapInPandas row-explosion for
-frame sampling, and the typed metadata structs. A real decoder
-(soundfile / PyAV) slots in at _decode_* exactly like PIL/cv2 does in
-image.py; until one is importable, real container bytes return null
-(the M3 guard), never a wrong answer.
+Codec strategy mirrors image.py: no audio/video *library* ships in
+this container, so the deterministic fake formats —
+`FAKEAUD:{rate}:{n_samples}:` and `FAKEVID:{w}:{h}:{fps}:{n_frames}:`
+headers — carry the plumbing contract (BinaryType columns, Arrow batch
+shape, null-on-unreadable guard semantics, the mapInPandas
+row-explosion for frame sampling, typed metadata structs). The AUDIO
+path additionally has a REAL container format: RIFF/WAV 16-bit PCM
+(wav.py, stdlib-only), routed ahead of the fake seam below exactly as
+BMP/PNG are routed ahead of FAKEIMG in image.py — real WAV bytes
+decode for real; other real formats (mp3/flac/mp4) hit the decoder
+seam (soundfile / PyAV would slot in at _decode_*) and until one is
+importable return null (the M3 guard), never a wrong answer.
 
 Frame sampling emits frames as FAKEIMG bytes, so the image UDF surface
 (image_dims, compress_image) composes directly with sampled frames —
@@ -52,8 +54,12 @@ def _decode_audio_meta(data: bytes | None) -> tuple[int, int] | None:
     if data is None:
         return None
     data = bytes(data)
+    if data[:4] == b"RIFF":  # real container format: RIFF/WAV PCM (wav.py)
+        from .wav import wav_meta
+
+        return wav_meta(data)
     if not data.startswith(_AUD_MAGIC):
-        return None  # real decoder seam: soundfile.info would go here
+        return None  # seam for further real decoders: soundfile.info would go here
     try:
         parts = data.split(b":", 3)
         return int(parts[1]), int(parts[2])

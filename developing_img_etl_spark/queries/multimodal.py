@@ -602,3 +602,155 @@ ORDER BY r.p_partkey
 
 QUERIES["m14_png_compress"] = m14_png_compress
 ORACLES["m14_png_compress"] = M14_SQL
+
+
+# --------------------------------------------------------------------------
+# M16 — the REAL audio path (multimodal/wav.py): generate actual
+# RIFF/WAV 16-bit PCM per document row, run decode → nearest-neighbor
+# resample to a quarter rate → lossless re-encode → decode again, and
+# emit integer-exact features of the final signal. Every sample is a
+# pure function of (seed, i) and the resample gather is pure integer
+# division ((j*n)//dst_n), so the oracle replays generate → resample →
+# feature arithmetic entirely in SQL — any corrupted/moved/dropped byte
+# through encode→decode→resample→encode→decode mismatches. Corpus is
+# every 5th document so the oracle's per-sample UNNEST stays bounded
+# (~250 k rows at sf0.1). Corrupt rows carry a RIFF magic with a
+# truncated body — the guard exercised INSIDE the real chunk walker,
+# not at a magic-byte shortcut.
+# --------------------------------------------------------------------------
+import numpy as np
+
+
+@pandas_udf(T.BinaryType())
+def _gen_wav(rate: pd.Series, n: pd.Series, seed: pd.Series) -> pd.Series:
+    from ..multimodal.wav import make_wav
+
+    return pd.Series(
+        [make_wav(int(r), int(a), int(s)) for r, a, s in zip(rate, n, seed)],
+        dtype=object,
+    )
+
+
+@pandas_udf(T.BinaryType())
+def _wav_resample_quarter(content: pd.Series) -> pd.Series:
+    from ..multimodal.wav import resample_nearest, wav_decode, wav_encode
+
+    def go(b):
+        if b is None:
+            return None
+        decoded = wav_decode(bytes(b))
+        if decoded is None:
+            return None
+        rate, channels, samples = decoded
+        if channels != 1:
+            return None
+        return wav_encode(rate, resample_nearest(samples, max(len(samples) // 4, 1)))
+
+    return content.map(go)
+
+
+@pandas_udf(
+    T.StructType(
+        [
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_out", T.LongType()),
+            T.StructField("sum_abs", T.LongType()),
+            T.StructField("peak", T.IntegerType()),
+            T.StructField("checksum", T.LongType()),
+        ]
+    )
+)
+def _wav_features(content: pd.Series) -> pd.DataFrame:
+    from ..multimodal.wav import wav_decode
+
+    rows = []
+    for b in content:
+        decoded = wav_decode(bytes(b)) if b is not None else None
+        if decoded is None or len(decoded[2]) == 0:
+            rows.append((None, None, None, None, None))
+            continue
+        rate, _channels, samples = decoded
+        v = samples.astype(np.int64)
+        pos = np.arange(1, len(v) + 1, dtype=np.int64)
+        rows.append(
+            (
+                rate,
+                len(v),
+                int(np.abs(v).sum()),
+                int(np.abs(v).max()),
+                int(((v + 1024) * pos).sum()),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["sample_rate", "n_out", "sum_abs", "peak", "checksum"]
+    )
+
+
+def m16_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _widen(load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0))
+    corrupt = F.col("doc_id") % 89 == 0
+    rate = (8000 * (1 + F.col("doc_id") % 3)).cast("int")
+    n = (500 + (F.col("doc_id") % 40) * 25).cast("int")
+    seed = F.pmod(F.col("doc_id"), F.lit(251)).cast("int")
+    wavs = docs.select(
+        "doc_id",
+        F.when(corrupt, F.lit(b"RIFFjunk")).otherwise(_gen_wav(rate, n, seed)).alias("content"),
+    )
+    out = wavs.select("doc_id", _wav_resample_quarter(F.col("content")).alias("content_out"))
+    feats = out.select(
+        "doc_id",
+        F.length("content_out").cast("long").alias("out_bytes"),
+        _wav_features(F.col("content_out")).alias("f"),
+    )
+    return feats.select(
+        "doc_id",
+        F.when(F.col("f.sample_rate").isNull(), F.lit("unreadable"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+        F.col("f.sample_rate").alias("sample_rate"),
+        F.col("f.n_out").alias("n_out"),
+        "out_bytes",
+        F.col("f.sum_abs").alias("sum_abs"),
+        F.col("f.peak").alias("peak"),
+        F.col("f.checksum").alias("checksum"),
+    ).orderBy("doc_id")
+
+
+M16_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         doc_id % 251 AS seed,
+         CAST(8000 * (1 + doc_id % 3) AS INT) AS rate,
+         500 + (doc_id % 40) * 25 AS n
+  FROM documents
+  WHERE doc_id % 5 = 0
+),
+ok AS (
+  SELECT *, n // 4 AS dst_n FROM base WHERE doc_id % 89 <> 0
+),
+px AS (
+  SELECT doc_id,
+         CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+         CAST(MAX(ABS(v)) AS INT) AS peak,
+         CAST(SUM((v + 1024) * (j + 1)) AS BIGINT) AS checksum
+  FROM (
+    SELECT doc_id, j,
+           -- sample value at the integer-gather source index (j*n)//dst_n
+           ((seed * 31 + ((j * n) // dst_n) * 17) % 2048) - 1024 AS v
+    FROM ok, UNNEST(range(0, ok.dst_n)) AS t(j)
+  )
+  GROUP BY doc_id
+)
+SELECT b.doc_id AS doc_id,
+       CASE WHEN b.doc_id % 89 = 0 THEN 'unreadable' ELSE 'ok' END AS status,
+       CASE WHEN b.doc_id % 89 = 0 THEN NULL ELSE b.rate END AS sample_rate,
+       CAST(CASE WHEN b.doc_id % 89 = 0 THEN NULL ELSE b.n // 4 END AS BIGINT) AS n_out,
+       CAST(CASE WHEN b.doc_id % 89 = 0 THEN NULL
+                 ELSE 44 + 2 * (b.n // 4) END AS BIGINT) AS out_bytes,
+       px.sum_abs, px.peak, px.checksum
+FROM base b LEFT JOIN px ON b.doc_id = px.doc_id
+ORDER BY b.doc_id
+"""
+
+QUERIES["m16_wav_resample"] = m16_wav_resample
+ORACLES["m16_wav_resample"] = M16_SQL

@@ -17,7 +17,7 @@ sides).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -1600,3 +1600,91 @@ ORDER BY change_type
 
 QUERIES["q66_change_data_feed"] = q66_change_data_feed
 ORACLES["q66_change_data_feed"] = Q66_SQL
+
+
+# --------------------------------------------------------------------------
+# Q71 — SCD Type-2 dimension history build: reconstruct validity-ranged
+# attribute history from an event log (the warehouse companion to q37's
+# SCD-1 merge — Kimball type 2, the shape Delta's MERGE-based SCD-2
+# recipes produce). Each BUILDING-segment customer's o_orderpriority
+# timeline collapses into versioned rows with (valid_from, valid_to,
+# is_current); a version opens whenever the attribute differs from the
+# previous observation (change detection via LAG), valid_to chains from
+# the next version's valid_from (LEAD).
+#
+# Scale shape: one shuffle on o_custkey serves every window (LAG,
+# running version counter, LEAD all share the partitioning); the
+# customer dim filter is a broadcast semi-join; no global sort besides
+# the presentation ORDER BY. At 100 TB, per-customer history is
+# bounded, so window partitions stay small — skew-safe.
+# --------------------------------------------------------------------------
+def q71_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = orders.join(
+        F.broadcast(cust.select("c_custkey")), orders.o_custkey == F.col("c_custkey")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changed = (
+        o.select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+        .withColumn("prev", F.lag("o_orderpriority").over(w))
+        .withColumn(
+            "version_no",
+            F.sum(
+                F.when(
+                    F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority")), 1
+                ).otherwise(0)
+            )
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+    )
+    versions = changed.groupBy(
+        F.col("o_custkey").alias("c_custkey"), "version_no", "o_orderpriority"
+    ).agg(F.min("o_orderdate").alias("valid_from"))
+    wv = Window.partitionBy("c_custkey").orderBy("version_no")
+    return (
+        versions.withColumn("valid_to", F.lead("valid_from").over(wv))
+        .select(
+            "c_custkey",
+            "version_no",
+            F.col("o_orderpriority").alias("priority"),
+            "valid_from",
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("c_custkey", "version_no")
+    )
+
+
+Q71_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+         LAG(o_orderpriority) OVER w AS prev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+v AS (
+  SELECT *,
+         CAST(SUM(CASE WHEN prev IS NULL OR prev <> o_orderpriority THEN 1 ELSE 0 END)
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version_no
+  FROM o
+),
+g AS (
+  SELECT o_custkey AS c_custkey, version_no, o_orderpriority AS priority,
+         MIN(o_orderdate) AS valid_from
+  FROM v
+  GROUP BY o_custkey, version_no, o_orderpriority
+)
+SELECT c_custkey, version_no, priority, valid_from,
+       LEAD(valid_from) OVER wv AS valid_to,
+       LEAD(valid_from) OVER wv IS NULL AS is_current
+FROM g
+WINDOW wv AS (PARTITION BY c_custkey ORDER BY version_no)
+ORDER BY c_custkey, version_no
+"""
+
+QUERIES["q71_scd2_history"] = q71_scd2_history
+ORACLES["q71_scd2_history"] = Q71_SQL
