@@ -1,0 +1,265 @@
+"""Stdlib GIF codec (GIF89a, LZW) — the third real image format after
+BMP (uncompressed raster, bmp.py) and PNG (DEFLATE, png.py), adding the
+remaining classic compression family: dictionary coding. Everything is
+hand-rolled from the public GIF89a specification — variable-width
+LSB-first LZW codes, clear/EOI codes, 4096-entry dictionary reset,
+255-byte data sub-blocks — so a palette-indexed *compressed* format
+runs decode → resize → re-encode in-container with zero dependencies.
+
+Scope (deliberate, guard-not-wrong-answer): single-image,
+non-interlaced GIFs with a global or local color table; animations,
+interlace, and transparency return None (the M3 unreadable guard) —
+PIL handles them where importable, exactly like exotic PNG shapes.
+
+Decoded pixels are (h, w, 3) uint8 RGB (palette storage order). GIF is
+lossless for images of ≤256 distinct colors, so decode(encode(x))
+round-trips bit-exactly on palette-sized inputs — encode raises on
+more than 256 distinct colors rather than silently quantizing.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_HEADER = b"GIF89a"
+_MAX_CODE_BITS = 12
+
+
+def gif_dims(data: bytes) -> tuple[int, int] | None:
+    """(width, height) from the logical screen descriptor; None if not
+    a GIF (header-only, the M2 metadata path)."""
+    if len(data) < 13 or data[:3] != b"GIF" or data[3:6] not in (b"87a", b"89a"):
+        return None
+    w, h = struct.unpack_from("<HH", data, 6)
+    if w <= 0 or h <= 0:
+        return None
+    return (w, h)
+
+
+# --------------------------------------------------------------------------
+# LZW (GIF variant): variable code width starting at min_code_size+1,
+# LSB-first bit packing, CLEAR = 2^min, EOI = CLEAR+1, dict capped at
+# 4096 entries (12-bit codes).
+# --------------------------------------------------------------------------
+def _lzw_decode(min_code_size: int, data: bytes) -> bytearray | None:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # the cScSc case
+            else:
+                return None  # corrupt stream
+            out += entry
+            if prev is not None and len(table) < (1 << _MAX_CODE_BITS):
+                table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < _MAX_CODE_BITS:
+                code_size += 1
+            prev = entry
+    return out  # stream ended without EOI: tolerate (common in the wild)
+
+
+def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    run = b""
+    for b in indices:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        # GIF width rule: grow when the NEXT assigned code no longer fits
+        if next_code < (1 << _MAX_CODE_BITS):
+            table[cand] = next_code
+            if next_code == (1 << code_size) and code_size < _MAX_CODE_BITS:
+                code_size += 1
+            next_code += 1
+        else:  # dictionary full: reset (matches every mainstream encoder)
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        run = bytes([b])
+    if run:
+        emit(table[run])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _read_sub_blocks(data: bytes, pos: int) -> tuple[bytearray, int] | None:
+    """Concatenate 255-byte-max data sub-blocks starting at pos; returns
+    (data, offset past the 0 terminator) or None if truncated."""
+    out = bytearray()
+    n = len(data)
+    while True:
+        if pos >= n:
+            return None
+        size = data[pos]
+        pos += 1
+        if size == 0:
+            return out, pos
+        if pos + size > n:
+            return None
+        out += data[pos : pos + size]
+        pos += size
+
+
+def gif_decode(data: bytes) -> np.ndarray | None:
+    """Single-image non-interlaced GIF → (h, w, 3) uint8 RGB; None for
+    anything else (the M3 guard)."""
+    if gif_dims(data) is None or len(data) < 13:
+        return None
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(data):
+            return None
+        gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label + sub-blocks, skipped
+            if pos + 2 > len(data):
+                return None
+            sub = _read_sub_blocks(data, pos + 2)
+            if sub is None:
+                return None
+            pos = sub[1]
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                return None
+            left, top, w, h = struct.unpack_from("<HHHH", data, pos + 1)
+            ipacked = data[pos + 9]
+            pos += 10
+            if ipacked & 0x40:  # interlaced: out of scope, guard
+                return None
+            table = gct
+            if ipacked & 0x80:  # local color table wins
+                n = 2 << (ipacked & 0x07)
+                if pos + 3 * n > len(data):
+                    return None
+                table = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if table is None or pos >= len(data) or w <= 0 or h <= 0:
+                return None
+            min_code_size = data[pos]
+            if not 2 <= min_code_size <= 11:
+                return None
+            sub = _read_sub_blocks(data, pos + 1)
+            if sub is None:
+                return None
+            indices = _lzw_decode(min_code_size, bytes(sub[0]))
+            if indices is None or len(indices) < w * h:
+                return None
+            idx = np.frombuffer(bytes(indices[: w * h]), np.uint8).reshape(h, w)
+            if idx.max(initial=0) >= len(table):
+                return None
+            return np.ascontiguousarray(table[idx])
+        elif block == 0x3B:  # trailer before any image
+            return None
+        else:
+            return None
+    return None
+
+
+def gif_encode(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB with ≤256 distinct colors → GIF89a with a
+    deterministic (lexicographically sorted) global color table."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError(f"gif_encode expects (h, w, 3) uint8, got {arr.shape} {arr.dtype}")
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    palette = np.unique(flat, axis=0)  # sorted lexicographically — deterministic
+    if len(palette) > 256:
+        raise ValueError(f"gif_encode: {len(palette)} distinct colors > 256 (quantize first)")
+    # index of each pixel in the sorted palette
+    keys = flat[:, 0].astype(np.int32) * 65536 + flat[:, 1].astype(np.int32) * 256 + flat[:, 2]
+    pal_keys = (
+        palette[:, 0].astype(np.int32) * 65536 + palette[:, 1].astype(np.int32) * 256 + palette[:, 2]
+    )
+    indices = np.searchsorted(pal_keys, keys).astype(np.uint8).tobytes()
+    # GCT size: smallest 2^(k+1) >= max(len(palette), 2); min_code_size >= 2
+    k = 0
+    while (2 << k) < max(len(palette), 2):
+        k += 1
+    table_n = 2 << k
+    gct = np.zeros((table_n, 3), dtype=np.uint8)
+    gct[: len(palette)] = palette
+    min_code_size = max(k + 1, 2)
+    lzw = _lzw_encode(min_code_size, indices)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return b"".join(
+        [
+            _HEADER,
+            struct.pack("<HHBBB", w, h, 0xF0 | k, 0, 0),  # GCT flag + 8-bit res + size
+            gct.tobytes(),
+            b"\x2c",
+            struct.pack("<HHHHB", 0, 0, w, h, 0),
+            bytes([min_code_size]),
+            bytes(blocks),
+            b"\x3b",
+        ]
+    )
+
+
+def make_gif(width: int, height: int, seed: int = 0, n_colors: int = 64) -> bytes:
+    """Deterministic palette-indexed test image: pixel (x, y) uses
+    palette slot c = (x*7 + y*13 + seed) % n_colors with RGB =
+    ((c*3 + 11) % 256, (c*5 + 1) % 256, (c*7 + 3) % 256) — every byte a
+    pure function of (w, h, seed), replayable in SQL."""
+    if not 2 <= n_colors <= 256:
+        raise ValueError(f"n_colors must be in [2, 256], got {n_colors}")
+    y = np.arange(height, dtype=np.int64)[:, None]
+    x = np.arange(width, dtype=np.int64)[None, :]
+    c = (x * 7 + y * 13 + seed) % n_colors
+    rgb = np.stack([(c * 3 + 11) % 256, (c * 5 + 1) % 256, (c * 7 + 3) % 256], axis=2)
+    return gif_encode(rgb.astype(np.uint8))

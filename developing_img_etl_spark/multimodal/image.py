@@ -12,8 +12,13 @@ Codec strategy, four tiers:
      pipeline, also container-independent and deterministic (PNG out
      is lossless; quality is a no-op). Exotic PNGs (palette, 16-bit,
      interlaced) fall through to PIL where importable;
-  3. PIL/cv2 when importable: JPEG/etc. full decode+re-encode;
-  4. FAKEIMG (`FAKEIMG:{w}:{h}:` header + payload): the synthetic
+  3. GIF (single-image, non-interlaced): the stdlib LZW codec in
+     gif.py — dictionary coding, the third compression family; GIF out
+     is lossless at ≤256 colors (nn_resize only gathers existing
+     pixels, so the palette never grows). Animations/interlace fall
+     through to PIL where importable;
+  4. PIL/cv2 when importable: JPEG/etc. full decode+re-encode;
+  5. FAKEIMG (`FAKEIMG:{w}:{h}:` header + payload): the synthetic
      seam for formats whose codec is absent — plus stdlib JPEG-SOF
      header parsing so real files still get real metadata.
 The Spark-side plumbing — BinaryType columns, Arrow batch shape,
@@ -33,7 +38,7 @@ import io
 
 import pandas as pd
 
-from . import bmp, png
+from . import bmp, gif, png
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -115,6 +120,8 @@ def _decode_dims(data: bytes | None) -> tuple[int, int] | None:
         return bmp.bmp_dims(data)
     if data.startswith(b"\x89PNG"):
         return png.png_dims(data)  # IHDR parse — exact for every PNG shape
+    if data.startswith(b"GIF8"):
+        return gif.gif_dims(data)  # logical-screen-descriptor parse
     if _CODEC == "pil":
         from PIL import Image
 
@@ -162,6 +169,16 @@ def _recompress(data: bytes | None, max_dim: int, quality: int) -> bytes | None:
             if (w, h) != (arr.shape[1], arr.shape[0]):
                 arr = bmp.nn_resize(arr, w, h)
             return png.png_encode(arr)
+    if data.startswith(b"GIF8"):
+        # real dictionary-coded path: LZW decode → downscale → LZW
+        # re-encode. GIF out (lossless at ≤256 colors — nn_resize only
+        # gathers existing pixels, so the palette never grows); quality
+        # does not apply. Interlaced/animated GIFs fall through to PIL.
+        arr = gif.gif_decode(bytes(data))
+        if arr is not None:
+            if (w, h) != (arr.shape[1], arr.shape[0]):
+                arr = bmp.nn_resize(arr, w, h)
+            return gif.gif_encode(arr)
     if _CODEC == "pil":
         from PIL import Image
 

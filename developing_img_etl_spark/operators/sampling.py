@@ -130,6 +130,55 @@ def weighted_sample(
     return df.filter(b < thresh)
 
 
+def weighted_topk_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | Column,
+    k: int,
+    *,
+    seed: int = 42,
+    max_weight: int = 64,
+    rank_out: str | None = None,
+    draw: "callable | None" = None,
+) -> DataFrame:
+    """EXACTLY-k GLOBAL weighted sample without replacement — the
+    integer-exact realization of Efraimidis-Spirakis A-ES for integer
+    weights: give each row w independent hash draws and rank it by the
+    MINIMUM draw. For two rows the pairwise selection probability is
+    P(min of w1 uniforms < min of w2 uniforms) = w1/(w1+w2) — exactly
+    A-ES's u^(1/w) key order in distribution — but entirely in integer
+    arithmetic, so no pow/log FP noise and the same rows win on every
+    engine, run, retry, and partitioning.
+
+    Completes the sampling matrix: uniform fraction (hash_sample),
+    weighted fraction (weighted_sample), exactly-k per group
+    (group_topk_sample), exactly-k weighted global (here).
+
+    Weights are clamped to [1, max_weight] integers (a row always has
+    at least one draw; max_weight bounds the per-row work). `draw`, if
+    given, is a (key_column, draw_index) -> Column override used by the
+    declared query to substitute an oracle-portable hash; production
+    leaves it None for xxhash64.
+
+    Scale shape: ZERO shuffles — the w draws live in a per-row array
+    (transform + array_min, w is a small constant, never exploded), and
+    the global top-k is orderBy().limit(), which Spark executes as
+    TakeOrdered: per-partition partial top-k, driver merges k rows.
+    At 100 TB this moves k rows per partition, nothing else."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if max_weight <= 0:
+        raise ValueError(f"max_weight must be positive, got {max_weight}")
+    w_raw = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = F.least(F.greatest(w_raw.cast("long"), F.lit(1)), F.lit(max_weight))
+    if draw is None:
+        draw = lambda key, i: F.xxhash64(key, i, F.lit(seed))  # noqa: E731
+    rank_key = F.array_min(F.transform(F.sequence(F.lit(1), w), lambda i: draw(F.col(key_col), i)))
+    out = df.withColumn(rank_out or "__wrk", rank_key)
+    out = out.orderBy(F.col(rank_out or "__wrk").asc(), F.col(key_col).asc()).limit(k)
+    return out if rank_out else out.drop("__wrk")
+
+
 def group_topk_sample(
     df: DataFrame,
     group_col: str,

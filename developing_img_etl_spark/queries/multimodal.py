@@ -754,3 +754,126 @@ ORDER BY b.doc_id
 
 QUERIES["m16_wav_resample"] = m16_wav_resample
 ORACLES["m16_wav_resample"] = M16_SQL
+
+
+# --------------------------------------------------------------------------
+# M17 — the GIF/LZW path (multimodal/gif.py): generate real
+# palette-indexed GIF89a pixel data per part row, run decode →
+# nearest-neighbor downscale → LZW re-encode through the same
+# compress_pipeline surface, verify a position-weighted checksum of the
+# DECODED OUTPUT pixels (LZW output size, like DEFLATE's, is not
+# arithmetic). Third compression family through the pixel pipeline:
+# none (BMP, m12), DEFLATE (PNG, m14), dictionary coding (here).
+# Pixel slot c = (x*7 + y*13 + seed) % 64 with RGB = ((c*3+11)%256,
+# (c*5+1)%256, (c*7+3)%256) — replayed by the oracle through the same
+# nn-gather index arithmetic as m14. Corrupt rows carry a valid GIF
+# header whose body ends before any image descriptor — the guard
+# exercised INSIDE the block walker.
+# --------------------------------------------------------------------------
+@pandas_udf(T.BinaryType())
+def _gen_gif(w: pd.Series, h: pd.Series, seed: pd.Series) -> pd.Series:
+    from ..multimodal.gif import make_gif
+
+    return pd.Series(
+        [
+            None if pd.isna(a) else make_gif(int(a), int(b), int(s))
+            for a, b, s in zip(w, h, seed)
+        ],
+        dtype=object,
+    )
+
+
+@pandas_udf(T.LongType())
+def _gif_pixel_checksum(content: pd.Series) -> pd.Series:
+    from ..multimodal.gif import gif_decode
+    from ..multimodal.png import pixel_checksum
+
+    def chk(b):
+        if b is None:
+            return None
+        arr = gif_decode(bytes(b))
+        return None if arr is None else pixel_checksum(arr)
+
+    return content.map(chk)
+
+
+def _gif_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _widen(load(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0))
+    corrupt = F.col("p_partkey") % 97 == 0
+    w = F.when(F.col("p_size") > 48, 1200 + F.col("p_size")).otherwise(
+        16 + F.pmod(F.col("p_size"), F.lit(40))
+    )
+    h = F.when(F.col("p_size") > 48, F.lit(8)).otherwise(12 + F.pmod(F.col("p_size"), F.lit(20)))
+    return part.select(
+        "p_partkey",
+        F.when(corrupt, F.lit(b"GIF89acorrupt"))
+        .otherwise(_gen_gif(w, h, F.pmod(F.col("p_partkey"), F.lit(251))))
+        .alias("content"),
+    )
+
+
+def m17_gif_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = _gif_corpus(spark, sf_dir)
+    out = compress_pipeline(imgs)
+    stats = with_image_stats(out, "content_out")
+    return stats.select(
+        "p_partkey",
+        "status",
+        "width",
+        "height",
+        _gif_pixel_checksum(F.col("content_out")).alias("pixel_checksum"),
+    ).orderBy("p_partkey")
+
+
+M17_SQL = """
+WITH dims AS (
+  SELECT p_partkey,
+         p_partkey % 251 AS seed,
+         CASE WHEN p_partkey % 97 = 0 THEN NULL
+              WHEN p_size > 48 THEN 1200 + p_size
+              ELSE 16 + (p_size % 40) END AS w,
+         CASE WHEN p_partkey % 97 = 0 THEN NULL
+              WHEN p_size > 48 THEN 8
+              ELSE 12 + (p_size % 20) END AS h
+  FROM part
+  WHERE p_partkey % 10 = 0
+),
+resized AS (
+  SELECT p_partkey, seed, w, h,
+         CASE WHEN greatest(w, h) > 1024
+              THEN greatest(CAST(floor(w * (1024.0 / greatest(w, h))) AS INT), 1)
+              ELSE w END AS w2,
+         CASE WHEN greatest(w, h) > 1024
+              THEN greatest(CAST(floor(h * (1024.0 / greatest(w, h))) AS INT), 1)
+              ELSE h END AS h2
+  FROM dims
+),
+px AS (
+  SELECT p_partkey,
+         SUM(((c * 3 + 11) % 256) * ((y2 * w2 + x2) * 3 + 1)
+           + ((c * 5 + 1) % 256) * ((y2 * w2 + x2) * 3 + 2)
+           + ((c * 7 + 3) % 256) * ((y2 * w2 + x2) * 3 + 3)) AS pixel_checksum
+  FROM (
+    SELECT p_partkey, w2, x2, y2,
+           -- palette slot at the nn-gathered source pixel
+           (least(CAST(floor(x2 * (w * 1.0 / w2)) AS BIGINT), w - 1) * 7
+            + least(CAST(floor(y2 * (h * 1.0 / h2)) AS BIGINT), h - 1) * 13
+            + seed) % 64 AS c
+    FROM resized,
+         UNNEST(range(0, resized.h2)) AS ty(y2),
+         UNNEST(range(0, resized.w2)) AS tx(x2)
+    WHERE w IS NOT NULL
+  )
+  GROUP BY p_partkey
+)
+SELECT r.p_partkey,
+       CASE WHEN r.w IS NULL THEN 'unreadable' ELSE 'ok' END AS status,
+       r.w2 AS width,
+       r.h2 AS height,
+       px.pixel_checksum
+FROM resized r LEFT JOIN px ON r.p_partkey = px.p_partkey
+ORDER BY r.p_partkey
+"""
+
+QUERIES["m17_gif_compress"] = m17_gif_compress
+ORACLES["m17_gif_compress"] = M17_SQL

@@ -196,3 +196,63 @@ ORDER BY split, label
 
 QUERIES["q65_split_label_balance"] = q65_split_label_balance
 ORACLES["q65_split_label_balance"] = Q65_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q72 — exactly-k GLOBAL weighted sampling without replacement
+# (operators/sampling.py::weighted_topk_sample): the integer-exact
+# Efraimidis-Spirakis realization — w hash draws per row, rank by the
+# minimum, take the k smallest; pairwise win probability is exactly
+# w1/(w1+w2), A-ES's u^(1/w) order in distribution with NO pow/log FP.
+# Completes the sampling matrix next to q26 (uniform fraction), q50
+# (weighted fraction) and q57 (exactly-k per group). Weight here is
+# length-proportional (1 + n_chars//400, capped at 8 draws); the query
+# emits the selected rows themselves, so a single different pick
+# anywhere hash-mismatches. Portable draw hash through the operator's
+# `draw` seam as in q26/q57; the xxhash64 path is pinned by pytest.
+# ---------------------------------------------------------------------------
+_K2 = 2246822519  # second odd multiplicative constant (draw-index mix)
+_WTOPK = 200
+
+
+def q72_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_topk_sample
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "w",
+        F.least(F.lit(1) + F.expr("n_chars DIV 400"), F.lit(8)).cast("int"),
+    )
+    picked = weighted_topk_sample(
+        docs,
+        "doc_id",
+        "w",
+        _WTOPK,
+        max_weight=8,
+        rank_out="rank_key",
+        draw=lambda key, i: F.pmod(key * F.lit(_K) + i * F.lit(_K2) + F.lit(_SEED), F.lit(_BUCKETS)),
+    )
+    return picked.select(
+        "doc_id", "source", "n_chars", "w", F.col("rank_key").cast("long").alias("rank_key")
+    ).orderBy("rank_key", "doc_id")
+
+
+Q72_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         LEAST(1 + n_chars // 400, 8) AS w
+  FROM documents
+),
+d AS (
+  SELECT doc_id, source, n_chars, w,
+         MIN((doc_id * {_K} + i * {_K2} + {_SEED}) % {_BUCKETS}) AS rank_key
+  FROM w, UNNEST(range(1, w.w + 1)) AS t(i)
+  GROUP BY doc_id, source, n_chars, w
+)
+SELECT doc_id, source, n_chars, CAST(w AS INT) AS w, CAST(rank_key AS BIGINT) AS rank_key
+FROM d
+ORDER BY rank_key, doc_id
+LIMIT {_WTOPK}
+"""
+
+QUERIES["q72_weighted_topk_sample"] = q72_weighted_topk_sample
+ORACLES["q72_weighted_topk_sample"] = Q72_SQL

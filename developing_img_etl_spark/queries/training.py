@@ -1688,3 +1688,109 @@ ORDER BY c_custkey, version_no
 
 QUERIES["q71_scd2_history"] = q71_scd2_history
 ORACLES["q71_scd2_history"] = Q71_SQL
+
+
+# --------------------------------------------------------------------------
+# Q73 — point-in-time (temporal) join: the CONSUMER of q71's SCD-2
+# history, and the feature-store correctness pattern for training-data
+# assembly — every fact must see the dimension attribute that was valid
+# AT THE FACT'S OWN TIME, never a later one (joining current attributes
+# onto historical facts is label leakage). Each BUILDING-segment
+# lineitem is joined, as of its ship date, to the customer's priority
+# version in force that day (same-day versions reduced to the latest,
+# the "as of end of day" convention), then revenue rolls up by
+# at-ship-time priority.
+#
+# Spark side composes two declared operators: q71's history build and
+# the J7 union-then-window as-of join (operators/asof.py — ONE key
+# shuffle, no per-row subquery). The oracle replays the history in SQL
+# and uses DuckDB's NATIVE ASOF JOIN for the temporal match, so the
+# hash-match certifies our as-of construction against an independent
+# engine-native implementation.
+# --------------------------------------------------------------------------
+def q73_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+    from ._det import dec, dsum
+
+    hist = q71_scd2_history(spark, sf_dir)
+    wd = Window.partitionBy("c_custkey", "valid_from").orderBy(F.desc("version_no"))
+    dim = (
+        hist.withColumn("__r", F.row_number().over(wd))
+        .filter(F.col("__r") == 1)
+        .select("c_custkey", "valid_from", "priority")
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    li = load(spark, sf_dir, "lineitem")
+    facts = (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(cust.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "l_shipdate",
+            (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("rev"),
+        )
+    )
+    pit = asof_join(
+        facts, dim, on="c_custkey", left_time="l_shipdate", right_time="valid_from",
+        value_cols=["priority"],
+    )
+    return (
+        pit.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            dsum(F.col("rev")).alias("revenue"),
+        )
+        .orderBy("priority")
+    )
+
+
+Q73_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+         LAG(o_orderpriority) OVER w AS prev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+v AS (
+  SELECT *,
+         SUM(CASE WHEN prev IS NULL OR prev <> o_orderpriority THEN 1 ELSE 0 END)
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING) AS version_no
+  FROM o
+),
+g AS (
+  SELECT o_custkey AS c_custkey, version_no, o_orderpriority AS priority,
+         MIN(o_orderdate) AS valid_from
+  FROM v GROUP BY o_custkey, version_no, o_orderpriority
+),
+dim AS (
+  SELECT c_custkey, valid_from, priority
+  FROM (
+    SELECT g.*, row_number() OVER (PARTITION BY c_custkey, valid_from
+                                   ORDER BY version_no DESC) AS r
+    FROM g
+  )
+  WHERE r = 1
+),
+facts AS (
+  SELECT o_custkey AS fc_custkey, l_shipdate,
+         CAST(l_extendedprice AS DECIMAL(12,4))
+           * (1 - CAST(l_discount AS DECIMAL(12,4))) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+)
+SELECT d.priority,
+       COUNT(*) AS n_items,
+       CAST(ROUND(SUM(f.rev), 2) AS DOUBLE) AS revenue
+FROM facts f
+ASOF LEFT JOIN dim d ON f.fc_custkey = d.c_custkey AND f.l_shipdate >= d.valid_from
+GROUP BY d.priority
+ORDER BY d.priority
+"""
+
+QUERIES["q73_point_in_time_join"] = q73_point_in_time_join
+ORACLES["q73_point_in_time_join"] = Q73_SQL

@@ -366,3 +366,132 @@ def test_video_frame_sampling_composes_with_image_udfs(spark):
     # video 1: frames 0,2,4; corrupt/null videos contribute zero rows
     assert sorted((r.video_id, r.frame_idx) for r in got) == [(1, 0), (1, 2), (1, 4)]
     assert all((r.d.width, r.d.height) == (64, 48) for r in got)
+
+
+# --------------------------------------------------------------------------
+# GIF codec (multimodal/gif.py) — LZW + palette, the third compression
+# family through the pixel pipeline.
+# --------------------------------------------------------------------------
+def test_gif_lzw_roundtrip():
+    import numpy as np
+
+    from developing_img_etl_spark.multimodal.gif import _lzw_decode, _lzw_encode
+
+    rng = np.random.RandomState(0)
+    for data in [
+        b"",
+        b"\x00",
+        bytes(range(64)) * 200,  # dictionary growth across code widths
+        bytes(rng.randint(0, 64, 100_000, dtype=np.uint8)),  # forces 4096 reset
+        bytes(rng.randint(0, 4, 5_000, dtype=np.uint8)),
+    ]:
+        assert bytes(_lzw_decode(6, _lzw_encode(6, data))) == data
+    assert bytes(_lzw_decode(2, _lzw_encode(2, bytes([0, 1, 2, 3] * 500)))) == bytes(
+        [0, 1, 2, 3] * 500
+    )
+
+
+def test_gif_roundtrip_bit_exact_palette_sizes():
+    import numpy as np
+
+    from developing_img_etl_spark.multimodal.gif import gif_decode, gif_dims, gif_encode
+
+    rng = np.random.RandomState(1)
+    for w, h, nc in [(1, 1, 2), (7, 5, 16), (64, 48, 64), (200, 3, 256), (33, 33, 255)]:
+        pal = rng.randint(0, 256, (nc, 3), dtype=np.uint8)
+        arr = pal[rng.randint(0, nc, (h, w))]
+        data = gif_encode(arr)
+        assert gif_dims(data) == (w, h)
+        assert np.array_equal(gif_decode(data), arr)
+
+
+def test_gif_encode_rejects_true_color():
+    import numpy as np
+    import pytest
+
+    from developing_img_etl_spark.multimodal.gif import gif_encode
+
+    # a 32x32 gradient with >256 distinct colors must refuse, not quantize
+    y, x = np.mgrid[0:32, 0:32]
+    arr = np.stack([x * 8 % 256, y * 8 % 256, (x + y) % 256], axis=2).astype(np.uint8)
+    with pytest.raises(ValueError):
+        gif_encode(arr)
+
+
+def test_gif_guards():
+    from developing_img_etl_spark.multimodal.gif import gif_decode, gif_dims, make_gif
+
+    good = make_gif(20, 10, seed=3)
+    assert gif_decode(b"GIF89acorrupt") is None  # m17's corrupt seed
+    assert gif_decode(good[:30]) is None  # truncated mid-color-table
+    assert gif_decode(good[:-5]) is None  # truncated data sub-blocks
+    assert gif_decode(b"NOPE") is None and gif_dims(b"NOPE") is None
+    # interlace flag set -> unreadable by contract (PIL territory).
+    # Image descriptor sits right after the global color table:
+    # 13-byte header/LSD + 3 * 2^(gct_bits+1).
+    ba = bytearray(good)
+    pos = 13 + 3 * (2 << (ba[10] & 0x07))
+    assert ba[pos] == 0x2C
+    ba[pos + 9] |= 0x40
+    assert gif_decode(bytes(ba)) is None
+
+
+def test_gif_make_formula_matches_oracle_arithmetic():
+    import numpy as np
+
+    from developing_img_etl_spark.multimodal.gif import gif_decode, make_gif
+
+    w, h, seed = 32, 24, 5
+    arr = gif_decode(make_gif(w, h, seed=seed))
+    c = (np.arange(w)[None, :] * 7 + np.arange(h)[:, None] * 13 + seed) % 64
+    exp = np.stack([(c * 3 + 11) % 256, (c * 5 + 1) % 256, (c * 7 + 3) % 256], axis=2)
+    assert np.array_equal(arr, exp)
+
+
+def test_gif_recompress_end_to_end(spark):
+    """Real LZW pixels through the compress UDF: an over-cap GIF lands
+    at the reference's truncation dims and decodes to the nn-gathered
+    pixels of the source."""
+    import numpy as np
+
+    from developing_img_etl_spark.multimodal import bmp as bmp_mod
+    from developing_img_etl_spark.multimodal.gif import gif_decode, make_gif
+    from developing_img_etl_spark.multimodal.image import compress_pipeline
+
+    src = make_gif(1500, 8, seed=9)
+    df = spark.createDataFrame([(1, bytearray(src))], "id long, content binary")
+    out = compress_pipeline(df).select("status", "content_out").collect()[0]
+    assert out.status == "ok"
+    arr = gif_decode(bytes(out.content_out))
+    assert arr.shape == (max(int(8 * (1024 / 1500.0)), 1), 1024, 3)
+    expected = bmp_mod.nn_resize(gif_decode(src), 1024, max(int(8 * (1024 / 1500.0)), 1))
+    assert np.array_equal(arr, expected)
+
+
+def test_gif_pil_cross_check():
+    """When PIL is importable it must agree with the stdlib codec on
+    dims and pixels in both directions (PIL reads/writes GIF natively)."""
+    try:
+        from PIL import Image
+    except Exception:
+        import pytest as _pytest
+
+        _pytest.skip("PIL not installed in this container")
+    import io
+
+    import numpy as np
+
+    from developing_img_etl_spark.multimodal.gif import gif_decode, gif_encode, make_gif
+
+    data = make_gif(40, 30, seed=2)
+    with Image.open(io.BytesIO(data)) as im:
+        assert im.size == (40, 30)
+        pil_arr = np.asarray(im.convert("RGB"))
+    assert np.array_equal(pil_arr, gif_decode(data))
+    # PIL-written GIF read by our decoder
+    buf = io.BytesIO()
+    with Image.open(io.BytesIO(data)) as im:
+        im.save(buf, "GIF")
+    ours = gif_decode(buf.getvalue())
+    if ours is not None:  # PIL may interlace/animate; only compare when in scope
+        assert np.array_equal(ours, pil_arr)

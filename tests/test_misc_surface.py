@@ -557,3 +557,62 @@ def test_group_topk_sample_contract(spark, sf_dir):
         for r in group_topk_sample(docs, "source", "doc_id", k, seed=4).select("doc_id").collect()
     )
     assert ids != ids3
+
+
+def test_weighted_topk_sample_contract(spark, sf_dir):
+    """Exactly k rows globally, deterministic across partitionings and
+    seeds on the xxhash64 production path, and the portable-draw seam
+    reproduces a pure-Python reference of the min-of-w-draws ranking."""
+    from pyspark.sql import functions as F
+
+    from developing_img_etl_spark.catalog import load
+    from developing_img_etl_spark.operators.sampling import weighted_topk_sample
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "w", F.least(F.lit(1) + F.expr("n_chars DIV 400"), F.lit(8))
+    )
+    k = 37
+    picked = weighted_topk_sample(docs, "doc_id", "w", k, seed=3)
+    ids = sorted(r.doc_id for r in picked.select("doc_id").collect())
+    assert len(ids) == k and len(set(ids)) == k
+    ids2 = sorted(
+        r.doc_id
+        for r in weighted_topk_sample(docs.repartition(13), "doc_id", "w", k, seed=3)
+        .select("doc_id")
+        .collect()
+    )
+    assert ids == ids2  # partitioning-invariant
+    ids3 = sorted(
+        r.doc_id for r in weighted_topk_sample(docs, "doc_id", "w", k, seed=4).select("doc_id").collect()
+    )
+    assert ids != ids3  # a different seed draws a different sample
+
+    # portable-draw seam == pure-Python reference (min over w draws,
+    # tiebreak by key), the exact arithmetic the q72 oracle replays
+    K, K2, SEED, B = 2654435761, 2246822519, 7, 1_000_000
+    draw = lambda key, i: F.pmod(key * F.lit(K) + i * F.lit(K2) + F.lit(SEED), F.lit(B))  # noqa: E731
+    got = [
+        (r.rank_key, r.doc_id)
+        for r in weighted_topk_sample(docs, "doc_id", "w", k, draw=draw, rank_out="rank_key")
+        .select("rank_key", "doc_id")
+        .collect()
+    ]
+    rows = docs.select("doc_id", "w").collect()
+    ref = sorted(
+        (min((r.doc_id * K + i * K2 + SEED) % B for i in range(1, r.w + 1)), r.doc_id)
+        for r in rows
+    )[:k]
+    assert sorted(got) == ref
+
+    # weight monotonicity of the rank construction: more draws can only
+    # lower (or keep) the minimum, so a superset of draws never ranks worse
+    w1 = {r.doc_id: min((r.doc_id * K + i * K2 + SEED) % B for i in range(1, 2)) for r in rows}
+    w8 = {r.doc_id: min((r.doc_id * K + i * K2 + SEED) % B for i in range(1, 9)) for r in rows}
+    assert all(w8[d] <= w1[d] for d in w1)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        weighted_topk_sample(docs, "doc_id", "w", 0)
+    with _pytest.raises(ValueError):
+        weighted_topk_sample(docs, "doc_id", "w", 5, max_weight=0)
