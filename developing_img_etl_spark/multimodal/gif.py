@@ -29,11 +29,20 @@ _MAX_CODE_BITS = 12
 
 def gif_dims(data: bytes) -> tuple[int, int] | None:
     """(width, height) from the logical screen descriptor; None if not
-    a GIF (header-only, the M2 metadata path)."""
+    a structurally-plausible GIF (the M2 metadata path). Beyond the
+    magic, the global color table (if flagged) must fit and the first
+    block introducer after it must be a legal one (extension, image
+    descriptor, or trailer) — otherwise junk like b"GIF89acorrupt"
+    would read its own tail as screen dimensions."""
     if len(data) < 13 or data[:3] != b"GIF" or data[3:6] not in (b"87a", b"89a"):
         return None
     w, h = struct.unpack_from("<HH", data, 6)
     if w <= 0 or h <= 0:
+        return None
+    pos = 13
+    if data[10] & 0x80:
+        pos += 3 * (2 << (data[10] & 0x07))
+    if pos >= len(data) or data[pos] not in (0x21, 0x2C, 0x3B):
         return None
     return (w, h)
 
@@ -160,14 +169,20 @@ def gif_decode(data: bytes) -> np.ndarray | None:
             return None
         gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
         pos += 3 * n
+    screen_w, screen_h = struct.unpack_from("<HH", data, 6)
     while pos < len(data):
         block = data[pos]
-        if block == 0x21:  # extension: label + sub-blocks, skipped
+        if block == 0x21:  # extension: label + sub-blocks
             if pos + 2 > len(data):
+                return None
+            label = data[pos + 1]
+            if label == 0xFF:  # application ext (NETSCAPE loop): animation
                 return None
             sub = _read_sub_blocks(data, pos + 2)
             if sub is None:
                 return None
+            if label == 0xF9 and len(sub[0]) >= 1 and sub[0][0] & 0x01:
+                return None  # transparent color flagged: out of scope, guard
             pos = sub[1]
         elif block == 0x2C:  # image descriptor
             if pos + 10 > len(data):
@@ -176,6 +191,10 @@ def gif_decode(data: bytes) -> np.ndarray | None:
             ipacked = data[pos + 9]
             pos += 10
             if ipacked & 0x40:  # interlaced: out of scope, guard
+                return None
+            if (left, top) != (0, 0) or (w, h) != (screen_w, screen_h):
+                # sub-rectangle frame (optimizer output): decoding it as
+                # the full screen would be a WRONG answer — guard instead
                 return None
             table = gct
             if ipacked & 0x80:  # local color table wins
@@ -198,6 +217,20 @@ def gif_decode(data: bytes) -> np.ndarray | None:
             idx = np.frombuffer(bytes(indices[: w * h]), np.uint8).reshape(h, w)
             if idx.max(initial=0) >= len(table):
                 return None
+            # single-image contract: anything but extensions + trailer
+            # after this frame means an animation — guard, don't return
+            # a silently-truncated first frame
+            pos = sub[1]
+            while pos < len(data):
+                tail = data[pos]
+                if tail == 0x3B:
+                    break
+                if tail != 0x21 or pos + 2 > len(data):
+                    return None
+                rest = _read_sub_blocks(data, pos + 2)
+                if rest is None:
+                    return None
+                pos = rest[1]
             return np.ascontiguousarray(table[idx])
         elif block == 0x3B:  # trailer before any image
             return None

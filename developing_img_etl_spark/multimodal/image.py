@@ -182,11 +182,14 @@ def _recompress(data: bytes | None, max_dim: int, quality: int) -> bytes | None:
     if _CODEC == "pil":
         from PIL import Image
 
-        with Image.open(io.BytesIO(data)) as im:
-            im = im.resize((w, h))
-            out = io.BytesIO()
-            im.convert("RGB").save(out, "JPEG", quality=quality)
-            return out.getvalue()
+        try:
+            with Image.open(io.BytesIO(data)) as im:
+                im = im.resize((w, h))
+                out = io.BytesIO()
+                im.convert("RGB").save(out, "JPEG", quality=quality)
+                return out.getvalue()
+        except Exception:  # noqa: BLE001 — per-record guard, never fail the job
+            return None
     return None
 
 

@@ -170,7 +170,10 @@ def weighted_topk_sample(
     if max_weight <= 0:
         raise ValueError(f"max_weight must be positive, got {max_weight}")
     w_raw = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    w = F.least(F.greatest(w_raw.cast("long"), F.lit(1)), F.lit(max_weight))
+    # coalesce BEFORE the clamp: a NULL weight would otherwise yield a
+    # NULL rank key, and NULLS-FIRST ordering would hand every
+    # null-weight row a guaranteed spot in the sample
+    w = F.least(F.greatest(F.coalesce(w_raw.cast("long"), F.lit(1)), F.lit(1)), F.lit(max_weight))
     if draw is None:
         draw = lambda key, i: F.xxhash64(key, i, F.lit(seed))  # noqa: E731
     rank_key = F.array_min(F.transform(F.sequence(F.lit(1), w), lambda i: draw(F.col(key_col), i)))

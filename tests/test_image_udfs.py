@@ -495,3 +495,66 @@ def test_gif_pil_cross_check():
     ours = gif_decode(buf.getvalue())
     if ours is not None:  # PIL may interlace/animate; only compare when in scope
         assert np.array_equal(ours, pil_arr)
+
+
+def test_gif_review_hardening():
+    """Round-4 review findings: junk-with-magic yields no dims, and
+    sub-rectangle / animated / transparent GIFs guard to None instead
+    of decoding to wrong or truncated pixels."""
+    import struct
+
+    import numpy as np
+
+    from developing_img_etl_spark.multimodal.gif import gif_decode, gif_dims, make_gif
+
+    # junk after a valid magic must not read its tail as dimensions
+    assert gif_dims(b"GIF89acorrupt") is None
+
+    good = make_gif(8, 8, seed=1)
+    pal_end = 13 + 3 * (2 << (good[10] & 0x07))
+    desc = bytearray(good)
+
+    # sub-rectangle frame: shrink the descriptor to 4x4 at (2,2)
+    struct.pack_into("<HHHH", desc, pal_end + 1, 2, 2, 4, 4)
+    assert gif_decode(bytes(desc)) is None
+
+    # animated: a second image descriptor after the first frame
+    frame = good[pal_end:-1]  # descriptor..data, no trailer
+    assert gif_decode(good[:-1] + frame + b"\x3b") is None
+
+    # NETSCAPE application extension (animation loop) before the frame
+    app = b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    assert gif_decode(good[:pal_end] + app + good[pal_end:]) is None
+
+    # graphic control extension with the transparency flag set
+    gce_t = b"\x21\xf9\x04\x01\x00\x00\x00\x00"
+    assert gif_decode(good[:pal_end] + gce_t + good[pal_end:]) is None
+    # ... and with it clear, the image still decodes
+    gce_o = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    arr = gif_decode(good[:pal_end] + gce_o + good[pal_end:])
+    assert arr is not None and np.array_equal(arr, gif_decode(good))
+
+
+def test_weighted_topk_null_weight_does_not_win(spark):
+    """Review finding: NULL weights must coalesce to 1 draw, not produce
+    NULL rank keys that sort first and hijack the sample."""
+    from pyspark.sql import functions as F
+
+    from developing_img_etl_spark.operators.sampling import weighted_topk_sample
+
+    rows = [(i, None if i < 50 else 8) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w int")
+    picked = weighted_topk_sample(df, "id", "w", 50, seed=5)
+    ids = [r.id for r in picked.select("id").collect()]
+    assert len(ids) == 50
+    # with 8 draws vs 1, weight-8 rows dominate; null rows must behave
+    # like weight-1, not occupy the whole sample
+    assert sum(1 for i in ids if i < 50) < 25
+    # and equal treatment: null weight ranks exactly like weight 1
+    one = weighted_topk_sample(
+        df.select("id", F.lit(1).alias("w")), "id", "w", 50, seed=5
+    )
+    nul = weighted_topk_sample(
+        df.select("id", F.lit(None).cast("int").alias("w")), "id", "w", 50, seed=5
+    )
+    assert sorted(r.id for r in one.collect()) == sorted(r.id for r in nul.collect())
