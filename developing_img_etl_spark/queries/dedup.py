@@ -434,3 +434,113 @@ ORDER BY source
 
 QUERIES["q63_repeated_ngram_overlap"] = q63_repeated_ngram_overlap
 ORACLES["q63_repeated_ngram_overlap"] = Q63_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q74 — canonical selection: the END STEP of cluster-based dedup. q30
+# assigns every document to a near-dup component; a real corpus build
+# then keeps ONE canonical representative per cluster and drops the
+# rest (the RefinedWeb/SemDeDup "keep one per group" convention — here
+# keep-longest, ties to the smallest doc_id, both integer-exact). The
+# per-source report (docs / kept / dropped / surviving chars / kept-id
+# sum) makes any different canonical choice anywhere hash-mismatch.
+#
+# Scale shape: everything up to assignment is q30's machinery (shared
+# persisted shingle index, bucketed candidate pairs, log-round pointer
+# jumping); canonical selection adds ONE row_number window over the
+# component key and a per-source hash agg. The oracle replays the
+# closure with a recursive CTE (like q30 — the one query family where
+# Spark beats DuckDB outright at sf0.1).
+# ---------------------------------------------------------------------------
+def q74_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.cluster import dedup_clusters
+
+    docs = load(spark, sf_dir, "documents")
+    sh = shingle_index(spark, sf_dir)
+    a = sh.select("source", "s", F.col("doc_id").alias("id_a"))
+    b = sh.select("source", "s", F.col("doc_id").alias("id_b"))
+    edges = (
+        a.join(b, ["source", "s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+        .select("id_a", "id_b")
+    )
+    assign = dedup_clusters(docs, edges)
+    joined = assign.join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+    w = Window.partitionBy("component_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = joined.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("rk") == 1).cast("long")).alias("n_kept"),
+            F.sum((F.col("rk") != 1).cast("long")).alias("n_dropped"),
+            F.sum(F.when(F.col("rk") == 1, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+            F.sum(F.when(F.col("rk") == 1, F.col("doc_id")).otherwise(0))
+            .cast("long")
+            .alias("kept_id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+Q74_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+  FROM toks
+  WHERE len(t) >= 3
+),
+inv AS (SELECT doc_id, source, UNNEST(s) AS shingle FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM inv a JOIN inv b
+    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach AS (
+  SELECT u AS n, u AS m FROM (SELECT DISTINCT u FROM und)
+  UNION
+  SELECT r.n, e.v AS m FROM reach r JOIN und e ON r.m = e.u
+),
+comp AS (SELECT n AS doc_id, MIN(m) AS component_id FROM reach GROUP BY n),
+assign AS (
+  SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS component_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+ranked AS (
+  SELECT a.doc_id, a.component_id, d.source, d.n_chars,
+         row_number() OVER (PARTITION BY a.component_id
+                            ORDER BY d.n_chars DESC, a.doc_id) AS rk
+  FROM assign a JOIN documents d USING (doc_id)
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rk <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN rk = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+       CAST(SUM(CASE WHEN rk = 1 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["q74_canonical_dedup"] = q74_canonical_dedup
+ORACLES["q74_canonical_dedup"] = Q74_SQL

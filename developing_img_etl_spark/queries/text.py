@@ -660,3 +660,76 @@ ORDER BY decile
 
 QUERIES["q67_curriculum_deciles"] = q67_curriculum_deciles
 ORACLES["q67_curriculum_deciles"] = Q67_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q75 — corpus drift monitor: compare the token distribution of two
+# sources and surface the most divergent tokens (train/serve skew and
+# ingest-regression detection — a silent upstream change shows up here
+# before it shows up in model metrics). Counts and per-source
+# frequencies are integers (ppm via integer division), divergence is
+# |ppm_a - ppm_b| — engine-exact, no FP rank flips; top-50 by
+# (divergence DESC, token ASC) is a total order.
+#
+# Scale shape: one explode + ONE hash agg keyed by token (map-side
+# partial), per-source totals attached as a 1-row broadcast scalar
+# (the audited 1-row-aggregate BNLJ pattern, structurally verified by
+# the plan audit), top-50 via orderBy().limit() = TakeOrdered.
+# ---------------------------------------------------------------------------
+_DRIFT_A, _DRIFT_B = "src0", "src1"
+_DRIFT_K = 50
+
+
+def q75_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("source").isin(_DRIFT_A, _DRIFT_B)
+    )
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(
+        F.sum((F.col("source") == _DRIFT_A).cast("long")).alias("n_a"),
+        F.sum((F.col("source") == _DRIFT_B).cast("long")).alias("n_b"),
+    )
+    totals = counts.agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+    )
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        "n_a",
+        "n_b",
+        F.expr("n_a * 1000000 DIV tot_a").alias("ppm_a"),
+        F.expr("n_b * 1000000 DIV tot_b").alias("ppm_b"),
+        F.abs(F.expr("n_a * 1000000 DIV tot_a") - F.expr("n_b * 1000000 DIV tot_b")).alias(
+            "div_ppm"
+        ),
+    )
+    return scored.orderBy(F.desc("div_ppm"), F.asc("tok")).limit(_DRIFT_K)
+
+
+Q75_SQL = rf"""
+WITH toks AS (
+  SELECT source, UNNEST(string_split_regex(lower(text), '\s+')) AS tok
+  FROM documents
+  WHERE source IN ('{_DRIFT_A}', '{_DRIFT_B}')
+),
+counts AS (
+  SELECT tok,
+         CAST(SUM(CASE WHEN source = '{_DRIFT_A}' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN source = '{_DRIFT_B}' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM toks
+  WHERE tok <> ''
+  GROUP BY tok
+),
+tot AS (SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b FROM counts)
+SELECT tok, n_a, n_b,
+       CAST(n_a * 1000000 // tot_a AS BIGINT) AS ppm_a,
+       CAST(n_b * 1000000 // tot_b AS BIGINT) AS ppm_b,
+       CAST(ABS(n_a * 1000000 // tot_a - n_b * 1000000 // tot_b) AS BIGINT) AS div_ppm
+FROM counts, tot
+ORDER BY div_ppm DESC, tok
+LIMIT {_DRIFT_K}
+"""
+
+QUERIES["q75_corpus_drift"] = q75_corpus_drift
+ORACLES["q75_corpus_drift"] = Q75_SQL

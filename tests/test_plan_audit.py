@@ -38,6 +38,8 @@ BNLJ_ALLOWED = {
     # q68: q13's tiny-probe-set × corpus cross (exact positives) plus a
     # 1-row corpus-count scalar cross — both broadcast-side bounded
     "q68_contrastive_triplets",
+    # q75: per-source token totals as a 1-row aggregate scalar cross
+    "q75_corpus_drift",
 }
 
 # no exemptions today: every declared query ships ids through hash
