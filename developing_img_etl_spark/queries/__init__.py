@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import (
     behavior,
+    classify,
     dedup,
     multimodal,
     relational,
@@ -45,6 +46,7 @@ _MODULES = (
     sampling,
     training,
     behavior,
+    classify,
 )
 
 

@@ -301,3 +301,70 @@ ORDER BY node_type
 
 QUERIES["q39_pagerank"] = q39_pagerank
 ORACLES["q39_pagerank"] = Q39_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q76 — LATERAL join (per-group top-k via a correlated table subquery).
+# The third SQL front-door feature after the plain entry (q20) and the
+# recursive closure (q21): `FROM outer, LATERAL (correlated sub)` is
+# the SQL-standard per-row subtable shape users reach for before they
+# learn window functions. Spark decorrelates it (DomainJoin rewrite)
+# into the same broadcast-join + per-group TopK physical plan the
+# window formulation gets — verified: no BroadcastNestedLoopJoin, the
+# nation side broadcasts, rank work is local per group. The IDENTICAL
+# SQL text runs on DuckDB (its LATERAL unnesting), so the hash-match
+# certifies Spark's decorrelation end-to-end against an independent
+# engine. Scale: customers shuffle once on c_nationkey; top-3 per
+# group is a bounded per-partition heap, never a global sort.
+# ---------------------------------------------------------------------------
+Q76_TEXT = """
+SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_name, c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 3
+) t
+ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey
+"""
+
+
+def q76_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(Q76_TEXT)
+
+
+QUERIES["q76_lateral_topk"] = q76_lateral_topk
+ORACLES["q76_lateral_topk"] = Q76_TEXT
+
+
+# ---------------------------------------------------------------------------
+# Q78 — correlated scalar subquery (per-row aggregate lookup). The
+# classic pre-window SQL idiom: each part compared against an
+# aggregate over its own group computed in a correlated subquery.
+# Spark cannot execute this row-at-a-time — Catalyst DECORRELATES it
+# into one grouped aggregate + an equi-join (RewriteCorrelatedScalarSubquery),
+# so the physical plan is two scans + one hash agg + one join, scale-
+# safe at any cardinality. The identical text runs on DuckDB; the
+# hash-match checks the decorrelation preserves per-group semantics
+# (including the NULL-on-empty-group scalar contract). Comparison is
+# read-value equality on stored doubles — no FP arithmetic.
+# ---------------------------------------------------------------------------
+Q78_TEXT = """
+SELECT p.p_partkey, p.p_brand, p.p_retailprice
+FROM part p
+WHERE p.p_retailprice = (
+  SELECT MAX(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+)
+ORDER BY p.p_brand, p.p_partkey
+"""
+
+
+def q78_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(Q78_TEXT)
+
+
+QUERIES["q78_correlated_scalar_subquery"] = q78_correlated_scalar_subquery
+ORACLES["q78_correlated_scalar_subquery"] = Q78_TEXT

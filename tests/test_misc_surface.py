@@ -616,3 +616,49 @@ def test_weighted_topk_sample_contract(spark, sf_dir):
         weighted_topk_sample(docs, "doc_id", "w", 0)
     with _pytest.raises(ValueError):
         weighted_topk_sample(docs, "doc_id", "w", 5, max_weight=0)
+
+
+def test_q77_classifier_primitives(spark):
+    """Hashing-trick classifier: bucket == md5-derived value on both
+    sides of the seam, weights bounded, zero-token docs keep a row."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from developing_img_etl_spark.queries.classify import (
+        _N_BUCKETS,
+        _W_MOD,
+        _W_MULT,
+        _W_SHIFT,
+        bucket_weight,
+        token_bucket,
+    )
+
+    toks = ["hello", "world", "the", "a", "zebra", "42", "ünïcode"]
+    df = spark.createDataFrame([(t,) for t in toks], "token string").select(
+        "token",
+        token_bucket(F.col("token")).alias("b"),
+        bucket_weight(token_bucket(F.col("token"))).alias("w"),
+    )
+    for r in df.collect():
+        expect = int(hashlib.md5(r.token.encode()).hexdigest()[:4], 16) % _N_BUCKETS
+        assert r.b == expect, r.token
+        assert r.w == (expect * _W_MULT) % _W_MOD - _W_SHIFT
+        assert -_W_SHIFT <= r.w <= _W_MOD - 1 - _W_SHIFT
+
+
+def test_q77_zero_token_doc_survives(spark, tmp_path):
+    """A whitespace-only document classifies as mid with logit 0 rather
+    than dropping out of the scored corpus."""
+    from developing_img_etl_spark.queries.classify import q77_quality_classifier
+
+    sf = str(tmp_path)
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", "web", 11), (2, "   ", "en", "web", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = {r.doc_id: r for r in q77_quality_classifier(spark, sf).collect()}
+    assert set(out) == {1, 2}
+    assert out[2].n_toks == 0 and out[2].logit == 0 and out[2].pred_label == "mid"
+    assert out[1].n_toks == 2
