@@ -38,7 +38,7 @@ import io
 
 import pandas as pd
 
-from . import bmp, gif, png
+from . import bmp, gif, jpeg, png
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -179,6 +179,16 @@ def _recompress(data: bytes | None, max_dim: int, quality: int) -> bytes | None:
             if (w, h) != (arr.shape[1], arr.shape[0]):
                 arr = bmp.nn_resize(arr, w, h)
             return gif.gif_encode(arr)
+    if data.startswith(b"\xff\xd8"):
+        # the reference's ACTUAL format (test.py:44-59 cv2 jpg->jpg):
+        # real transform-coded path — Huffman+DCT decode -> downscale ->
+        # re-encode at `quality` through the baseline JFIF codec.
+        # Progressive/exotic shapes fall through to PIL when importable.
+        arr = jpeg.jpeg_decode(bytes(data))
+        if arr is not None:
+            if (w, h) != (arr.shape[1], arr.shape[0]):
+                arr = bmp.nn_resize(arr, w, h)
+            return jpeg.jpeg_encode(arr, quality)
     if _CODEC == "pil":
         from PIL import Image
 

@@ -602,7 +602,7 @@ def jpeg_encode(arr: np.ndarray, quality: int = 65) -> bytes:
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for tq, tbl in ((0, ql_z), (1, qc_z)):
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
             int(v) for v in tbl

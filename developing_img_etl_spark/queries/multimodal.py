@@ -877,3 +877,138 @@ ORDER BY r.p_partkey
 
 QUERIES["m17_gif_compress"] = m17_gif_compress
 ORACLES["m17_gif_compress"] = M17_SQL
+
+
+# --------------------------------------------------------------------------
+# M18 — JPEG compress: the reference's ACTUAL corpus format through a
+# REAL baseline JFIF codec (multimodal/jpeg.py — Huffman entropy
+# decode, quantized 8×8 DCT, YCbCr, quality 65 re-encode; the
+# transform-coded fourth compression family after raster/DEFLATE/LZW).
+# JPEG is lossy, so decoded pixels are NOT SQL arithmetic — instead
+# the query certifies what IS exact: the resize-dimension contract
+# (header-parsed from the emitted JFIF bytes) and a FIDELITY GATE —
+# mean |decoded − expected| per image against the arithmetic gradient
+# the corpus was generated from, thresholded far below the ~85 a
+# mismatched image would score but above codec noise (measured worst
+# 17.0 across the corpus shapes for generate@Q80 → decode → resize →
+# re-encode@Q65 → decode; the sawtooth gradient is ringing-adversarial). A wrong DCT, quant table, Huffman code,
+# color transform or resize gather all blow the gate. The decoded
+# pixel arithmetic itself is pinned by pytest (uniform-block analytic
+# round-trip, real 4:2:0 reference-photo decode, PIL-gated
+# cross-check).
+# --------------------------------------------------------------------------
+_JPEG_GEN_QUALITY = 80
+_JPEG_FIDELITY_BOUND = 32.0
+
+
+@pandas_udf(T.BinaryType())
+def _gen_jpeg(w: pd.Series, h: pd.Series, seed: pd.Series) -> pd.Series:
+    from ..multimodal.jpeg import jpeg_encode, make_photo
+
+    return pd.Series(
+        [
+            None
+            if pd.isna(a)
+            else jpeg_encode(make_photo(int(a), int(b), int(s)), _JPEG_GEN_QUALITY)
+            for a, b, s in zip(w, h, seed)
+        ],
+        dtype=object,
+    )
+
+
+@pandas_udf(T.BooleanType())
+def _jpeg_fidelity_ok(
+    content: pd.Series, w: pd.Series, h: pd.Series, seed: pd.Series
+) -> pd.Series:
+    import numpy as np
+
+    from ..multimodal.bmp import nn_resize
+    from ..multimodal.jpeg import jpeg_decode, make_photo
+
+    def ok(args):
+        b, ow, oh, s = args
+        if b is None or pd.isna(ow):
+            return None
+        dec = jpeg_decode(bytes(b))
+        if dec is None:
+            return False
+        expected = make_photo(int(ow), int(oh), int(s))
+        eh, ew = dec.shape[0], dec.shape[1]
+        if (ew, eh) != (int(ow), int(oh)):
+            expected = nn_resize(expected, ew, eh)
+        err = float(
+            np.abs(dec.astype(np.int64) - expected.astype(np.int64)).mean()
+        )
+        return err <= _JPEG_FIDELITY_BOUND
+
+    return pd.Series(
+        [ok(a) for a in zip(content, w, h, seed)], dtype=object
+    )
+
+
+def _jpeg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _widen(load(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0))
+    corrupt = F.col("p_partkey") % 97 == 0
+    w = F.when(F.col("p_size") > 48, 1200 + F.col("p_size")).otherwise(
+        16 + F.pmod(F.col("p_size"), F.lit(48))
+    )
+    h = F.when(F.col("p_size") > 48, F.lit(8)).otherwise(12 + F.pmod(F.col("p_size"), F.lit(16)))
+    return part.select(
+        "p_partkey",
+        F.when(corrupt, F.lit(None).cast("int")).otherwise(w).alias("orig_w"),
+        F.when(corrupt, F.lit(None).cast("int")).otherwise(h).alias("orig_h"),
+        F.pmod(F.col("p_partkey"), F.lit(251)).alias("seed"),
+        F.when(corrupt, F.lit(b"\xff\xd8-corrupt-jpeg-body"))
+        .otherwise(_gen_jpeg(w, h, F.pmod(F.col("p_partkey"), F.lit(251))))
+        .alias("content"),
+    )
+
+
+def m18_jpeg_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = _jpeg_corpus(spark, sf_dir)
+    out = compress_pipeline(imgs)
+    stats = with_image_stats(out, "content_out")
+    return stats.select(
+        "p_partkey",
+        "status",
+        "width",
+        "height",
+        _jpeg_fidelity_ok(
+            F.col("content_out"), F.col("orig_w"), F.col("orig_h"), F.col("seed")
+        ).alias("fidelity_ok"),
+    ).orderBy("p_partkey")
+
+
+M18_SQL = """
+WITH dims AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 97 = 0 THEN NULL
+              WHEN p_size > 48 THEN 1200 + p_size
+              ELSE 16 + (p_size % 48) END AS w,
+         CASE WHEN p_partkey % 97 = 0 THEN NULL
+              WHEN p_size > 48 THEN 8
+              ELSE 12 + (p_size % 16) END AS h
+  FROM part
+  WHERE p_partkey % 10 = 0
+),
+resized AS (
+  SELECT p_partkey, w, h,
+         CASE WHEN greatest(w, h) > 1024
+              THEN greatest(CAST(floor(w * (1024.0 / greatest(w, h))) AS INT), 1)
+              ELSE w END AS w2,
+         CASE WHEN greatest(w, h) > 1024
+              THEN greatest(CAST(floor(h * (1024.0 / greatest(w, h))) AS INT), 1)
+              ELSE h END AS h2
+  FROM dims
+)
+SELECT p_partkey,
+       CASE WHEN w IS NULL THEN 'unreadable' ELSE 'ok' END AS status,
+       w2 AS width,
+       h2 AS height,
+       CASE WHEN w IS NULL THEN NULL ELSE TRUE END AS fidelity_ok
+FROM resized
+ORDER BY p_partkey
+"""
+
+QUERIES["m18_jpeg_compress"] = m18_jpeg_compress
+ORACLES["m18_jpeg_compress"] = M18_SQL

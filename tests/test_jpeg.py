@@ -1,0 +1,148 @@
+"""Baseline JPEG codec (multimodal/jpeg.py) — the reference's actual
+corpus format (/root/reference/test.py:44-59, cv2 jpg→jpg at Q=65),
+exercised for real: spec-analytic round trips, hostile-byte guards,
+decode of the genuine 4:2:0 reference fixtures, and the full
+compress_pipeline replayed over the real photo corpus in-container.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import numpy as np
+import pytest
+
+from developing_img_etl_spark.multimodal.jpeg import (
+    jpeg_decode,
+    jpeg_dims,
+    jpeg_encode,
+    make_photo,
+    quant_tables,
+)
+
+JPGS = sorted(glob.glob("/root/reference/compressed/**/*.jpg", recursive=True))
+
+
+def test_uniform_block_analytic_roundtrip():
+    """Uniform color: every AC coefficient is exactly 0, the DC error
+    is bounded by q00/16 — decoded pixels must sit within ±2 of the
+    input for every channel (spec arithmetic, no codec to compare)."""
+    for v in (0, 1, 64, 128, 200, 254, 255):
+        arr = np.full((24, 40, 3), v, dtype=np.uint8)
+        dec = jpeg_decode(jpeg_encode(arr, 65))
+        assert dec is not None and dec.shape == arr.shape
+        assert int(np.abs(dec.astype(int) - int(v)).max()) <= 2, v
+
+
+def test_gradient_roundtrip_bound_and_determinism():
+    arr = make_photo(200, 120, seed=7)
+    enc1 = jpeg_encode(arr, 65)
+    enc2 = jpeg_encode(arr, 65)
+    assert enc1 == enc2  # deterministic bytes
+    assert jpeg_dims(enc1) == (200, 120)
+    dec = jpeg_decode(enc1)
+    assert dec is not None and dec.shape == (120, 200, 3)
+    err = np.abs(dec.astype(int) - arr.astype(int))
+    assert float(err.mean()) <= 12.0  # measured 8.07; sawtooth edges ring
+    # higher quality must not be worse
+    dec95 = jpeg_decode(jpeg_encode(arr, 95))
+    assert float(np.abs(dec95.astype(int) - arr.astype(int)).mean()) <= float(
+        err.mean()
+    )
+
+
+def test_odd_and_degenerate_dims():
+    for w, h in ((13, 9), (1, 1), (8, 8), (17, 1), (1, 31), (65, 3)):
+        a = make_photo(w, h, seed=3)
+        d = jpeg_decode(jpeg_encode(a, 65))
+        assert d is not None and d.shape == (h, w, 3), (w, h)
+
+
+def test_quality_scaling_monotone():
+    ql50, _ = quant_tables(50)
+    ql90, _ = quant_tables(90)
+    ql10, _ = quant_tables(10)
+    assert (ql90 <= ql50).all() and (ql50 <= ql10).all()
+    assert (quant_tables(100)[0] >= 1).all()
+
+
+def test_hostile_bytes_guard_to_none():
+    arr = make_photo(64, 48, seed=1)
+    enc = jpeg_encode(arr, 65)
+    assert jpeg_decode(b"") is None
+    assert jpeg_decode(b"\xff\xd8-corrupt-jpeg-body") is None
+    assert jpeg_decode(enc[: len(enc) // 2]) is None  # truncated scan
+    junk = bytearray(enc)
+    junk[30] ^= 0xFF  # smash a header byte
+    res = jpeg_decode(bytes(junk))  # must not raise; None or pixels
+    assert res is None or isinstance(res, np.ndarray)
+    assert jpeg_dims(b"\x89PNG") is None
+
+
+@pytest.mark.skipif(not JPGS, reason="reference fixtures unavailable")
+def test_real_420_reference_photo_decodes():
+    """The genuine corpus: baseline SOF0, 2x2/1x1/1x1 sampling. The
+    hand-rolled decoder must produce full-size plausible pixels."""
+    data = open(JPGS[0], "rb").read()
+    img = jpeg_decode(data)
+    assert img is not None and img.shape == (490, 648, 3)
+    # plausibility: non-constant, in-range, and self-consistent under
+    # a high-quality re-encode through our own encoder (codec closure)
+    assert img.std() > 10
+    again = jpeg_decode(jpeg_encode(img, 95))
+    assert again is not None
+    assert float(np.abs(again.astype(int) - img.astype(int)).mean()) <= 4.0
+
+
+@pytest.mark.skipif(not JPGS, reason="reference fixtures unavailable")
+def test_pil_cross_check_when_importable():
+    """When PIL exists, our decode of a real photo must agree with
+    PIL's (chroma upsampling differs — nearest vs fancy — so allow a
+    small mean gap), and PIL must decode our encoder's output."""
+    try:
+        from PIL import Image
+    except ImportError:
+        pytest.skip("PIL not installed in this container")
+    import io
+
+    data = open(JPGS[0], "rb").read()
+    ours = jpeg_decode(data)
+    theirs = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert ours.shape == theirs.shape
+    assert float(np.abs(ours.astype(int) - theirs.astype(int)).mean()) <= 3.0
+
+    enc = jpeg_encode(make_photo(120, 80, seed=5), 65)
+    pil_dec = np.asarray(Image.open(io.BytesIO(enc)).convert("RGB"))
+    assert pil_dec.shape == (80, 120, 3)
+    assert (
+        float(
+            np.abs(
+                pil_dec.astype(int) - jpeg_decode(enc).astype(int)
+            ).mean()
+        )
+        <= 2.0
+    )
+
+
+@pytest.mark.skipif(not JPGS, reason="reference fixtures unavailable")
+def test_reference_corpus_recompress_for_real(spark):
+    """Replay the reference's production job (test.py:44-59) over its
+    own photo corpus with the REAL codec end-to-end in-container:
+    every one of the 24 jpgs decodes, recompresses at Q=65, and the
+    output parses as a valid JFIF at the same dims (648×490 < 1024
+    cap → resize is a no-op)."""
+    from pyspark.sql import functions as F
+
+    from developing_img_etl_spark.multimodal.image import (
+        compress_pipeline,
+        with_image_stats,
+    )
+    from developing_img_etl_spark.sources.binary import read_binary_dir
+
+    files = read_binary_dir(spark, "/root/reference/compressed")
+    out = with_image_stats(compress_pipeline(files), "content_out")
+    rows = out.select("status", "width", "height", F.length("content_out").alias("n")).collect()
+    assert len(rows) == 24
+    assert all(r.status == "ok" for r in rows)
+    assert all((r.width, r.height) == (648, 490) for r in rows)
+    assert all(r.n > 1000 for r in rows)
