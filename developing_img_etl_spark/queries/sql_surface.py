@@ -368,3 +368,136 @@ def q78_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFram
 
 QUERIES["q78_correlated_scalar_subquery"] = q78_correlated_scalar_subquery
 ORACLES["q78_correlated_scalar_subquery"] = Q78_TEXT
+
+
+# ---------------------------------------------------------------------------
+# Q80 — FILTER-clause aggregates (SQL:2003 §10.9): per-group
+# conditional aggregation without CASE-wrapping, including the
+# hardest combination — DISTINCT + FILTER on one aggregate — which
+# Catalyst plans as a grouped expand + two-phase agg. The decimal
+# SUM rides the _det discipline (exact decimal accumulate, round-2,
+# cast double). Identical text on DuckDB; one scan + one hash agg.
+# ---------------------------------------------------------------------------
+Q80_TEXT = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       COUNT(*) FILTER (WHERE c_acctbal > 5000) AS n_rich,
+       COUNT(DISTINCT c_nationkey) FILTER (WHERE c_acctbal > 5000) AS n_rich_nations,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,4))) FILTER (WHERE c_acctbal > 0), 2) AS DOUBLE) AS pos_balance
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q80_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(Q80_TEXT)
+
+
+QUERIES["q80_filtered_aggregates"] = q80_filtered_aggregates
+ORACLES["q80_filtered_aggregates"] = Q80_TEXT
+
+
+# ---------------------------------------------------------------------------
+# Q82 — distributed TRIANGLE COUNTING with degree orientation (the
+# graph-analytics companion to q21's closure and q39's PageRank).
+# Graph: parts co-ordered in the same high-quantity order (bounded
+# pair fan-out — ≤ 7 lines per order). The Spark side uses the
+# Schank/Wagner MapReduce-classic orientation: every edge points from
+# its lower-(degree, id) endpoint to the higher, so each triangle is
+# enumerated exactly once from its lowest vertex and the wedge join
+# is bounded by Σ out-deg² = O(E^1.5) instead of Σ deg² — THE
+# 100 TB-safe triangle shape (hub nodes never fan wedges). The DuckDB
+# oracle counts the same triangles via the naive id-ordered triple
+# join; the hash-match proves orientation-invariance of the result
+# while the plans differ — a genuine cross-algorithm check. Output is
+# per-part triangle participation (each triangle credits its 3 parts).
+# ---------------------------------------------------------------------------
+_TRI_QTY = 45  # quantity floor keeps the co-order graph sparse
+
+
+def q82_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    li = (
+        lineitem.filter(F.col("l_quantity") > _TRI_QTY)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        # orientation key: degree-major, id-minor — one comparable long
+        .select("n", (F.col("d") * F.lit(1_000_000_000) + F.col("n")).alias("k"))
+    )
+    ek = (
+        e.join(deg.withColumnRenamed("n", "u").withColumnRenamed("k", "ku"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("k", "kv"), "v")
+        .select(
+            F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.greatest("ku", "kv").alias("dst_k"),
+        )
+    )
+    wedges = (
+        ek.alias("x")
+        .join(
+            ek.alias("y"),
+            (F.col("x.src") == F.col("y.src"))
+            & (F.col("x.dst_k") < F.col("y.dst_k")),
+        )
+        .select(
+            F.col("x.src").alias("a"),
+            F.col("x.dst").alias("b"),
+            F.col("y.dst").alias("c"),
+        )
+    )
+    closing = ek.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"], "leftsemi")
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("p_partkey"))
+        .groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("p_partkey")
+    )
+
+
+Q82_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > {_TRI_QTY}
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+member AS (
+  SELECT a AS p_partkey FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT p_partkey, COUNT(*) AS n_triangles
+FROM member
+GROUP BY p_partkey
+ORDER BY p_partkey
+"""
+
+QUERIES["q82_triangle_count"] = q82_triangle_count
+ORACLES["q82_triangle_count"] = Q82_SQL

@@ -733,3 +733,111 @@ LIMIT {_DRIFT_K}
 
 QUERIES["q75_corpus_drift"] = q75_corpus_drift
 ORACLES["q75_corpus_drift"] = Q75_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q79 — bigram-surprisal quality signal (the CCNet/C4 "rare n-gram"
+# filter without logarithms): for each document, how COMMON its
+# bigrams are in the whole corpus. Boilerplate/duplicated text scores
+# a high mean corpus-count and a near-zero hapax share; unique prose
+# scores the opposite. This is the statistical-LM quality filter
+# re-expressed in exact integer arithmetic (counts, integer division,
+# ppm) so both engines agree bit-for-bit — no FP log-prob, the q45
+# integer-ratio discipline.
+#
+# Shape at scale: one explode + one doc_id window (bigrams), one
+# bigram-keyed hash agg (corpus counts), one bigram-keyed join of doc
+# bigrams to counts (hot bigrams are the classic skew case — AQE
+# skew-join splits them), one doc_id hash agg. All codegen; token
+# strings shuffle once (the count agg); the join carries only
+# (doc_id, bigram-hash, count)-shaped rows.
+# ---------------------------------------------------------------------------
+def q79_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias("i", "tok"),
+    ).filter(F.col("tok") != "")
+    w_next = Window.partitionBy("doc_id").orderBy("i")
+    grams = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", "tok", F.lead("tok", 1).over(w_next)).alias("gram"),
+            F.lead("tok", 1).over(w_next).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .drop("nxt")
+    )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("corpus_count"))
+    scored = (
+        grams.join(counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("corpus_count").alias("sum_counts"),
+            F.sum(
+                F.when(F.col("corpus_count") == 1, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_hapax"),
+        )
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.when(
+                F.col("n_bigrams").isNotNull(),
+                F.expr("sum_counts DIV n_bigrams"),
+            ).alias("mean_bigram_count"),
+            F.when(
+                F.col("n_bigrams").isNotNull(),
+                F.expr("n_hapax * 1000000 DIV n_bigrams"),
+            ).alias("hapax_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q79_SQL = r"""
+WITH split AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY r.i) - 1 AS i,
+         t[r.i] AS tok
+  FROM split, UNNEST(range(1, len(t) + 1)) AS r(i)
+  WHERE t[r.i] <> ''
+),
+grams AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id,
+           tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS gram,
+           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+    FROM toks
+  ) WHERE nxt IS NOT NULL
+),
+counts AS (SELECT gram, COUNT(*) AS corpus_count FROM grams GROUP BY gram),
+scored AS (
+  SELECT g.doc_id,
+         COUNT(*) AS n_bigrams,
+         SUM(c.corpus_count) AS sum_counts,
+         SUM(CASE WHEN c.corpus_count = 1 THEN 1 ELSE 0 END) AS n_hapax
+  FROM grams g JOIN counts c USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id, d.source,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(s.sum_counts // s.n_bigrams AS BIGINT) AS mean_bigram_count,
+       CAST(s.n_hapax * 1000000 // s.n_bigrams AS BIGINT) AS hapax_ppm
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+QUERIES["q79_bigram_surprisal"] = q79_bigram_surprisal
+ORACLES["q79_bigram_surprisal"] = Q79_SQL
