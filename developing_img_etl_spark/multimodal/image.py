@@ -77,32 +77,13 @@ def make_fake_image(width: int, height: int, seed: bytes = b"x") -> bytes:
 
 
 def _jpeg_dims(data: bytes) -> tuple[int, int] | None:
-    """Stdlib JPEG dimension parse: walk the marker segments to the
-    first SOF frame header (ITU T.81 §B.2.2 — height then width,
-    big-endian, at offsets 3/5 of the segment payload). Headers only;
-    no pixel decode, so real JPEGs get real metadata (M2) even in
-    codec-less containers."""
-    if len(data) < 4 or data[0:2] != b"\xff\xd8":
-        return None
-    i = 2
-    n = len(data)
-    while i + 4 <= n:
-        if data[i] != 0xFF:
-            return None
-        marker = data[i + 1]
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no payload
-            i += 2
-            continue
-        seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
-        # SOF0-SOF15 minus DHT(C4)/JPG(C8)/DAC(CC)
-        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            if i + 9 > n:
-                return None
-            h = int.from_bytes(data[i + 5 : i + 7], "big")
-            w = int.from_bytes(data[i + 7 : i + 9], "big")
-            return (w, h)
-        i += 2 + seg_len
-    return None
+    """Stdlib JPEG dimension parse (ITU T.81 §B.2.2 SOF walk).
+    Delegates to the codec's single marker walker — one implementation,
+    stricter than the pre-m18 copy (stops at SOS instead of walking
+    into entropy bytes, rejects zero dims). Headers only; no pixel
+    decode, so real JPEGs get real metadata (M2) even in codec-less
+    containers."""
+    return jpeg.jpeg_dims(data)
 
 
 def _decode_dims(data: bytes | None) -> tuple[int, int] | None:

@@ -132,7 +132,13 @@ _AC_CHROMA = (
     ],
 )
 
-_MAX_PIXELS = 90_000_000  # same decompression-bomb cap as png.py
+# Decompression-bomb cap. Tighter than png.py's 90 MP because this
+# decoder's PERSISTENT per-pixel footprint is larger: int32 coefficient
+# grids (4 B) + float64 plane (8 B) per component ≈ 36 B/pixel for
+# 4:4:4 color vs PNG's ~4 B — 24 MP bounds the decode at ~0.9 GB while
+# still covering any sane photo corpus (the IDCT temporaries are
+# chunk-bounded separately, see _decode_scan).
+_MAX_PIXELS = 24_000_000
 
 # orthonormal DCT-II basis: _DCT_M[u, x] = a(u) cos((2x+1)uπ/16)
 _DCT_M = np.array(
@@ -376,10 +382,7 @@ def _decode_inner(data: bytes) -> np.ndarray | None:
                 cs = seg[1 + 2 * c]
                 td, ta = seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15
                 scomp.append((cs, td, ta))
-            split = _split_scan(data, i + 2 + seg_len)
-            if split is None:
-                return None
-            segs, _ = split
+            segs, _ = _split_scan(data, i + 2 + seg_len)
             return _decode_scan(frame, scomp, qt, huff, restart, segs)
         i += 2 + seg_len
     return None
@@ -389,6 +392,15 @@ def _decode_scan(frame, scomp, qt, huff, restart, segs) -> np.ndarray | None:
     w, h, comps = frame
     if len(scomp) != len(comps):
         return None
+    if len(comps) == 1:
+        # T.81 §A.2.2: an Ns=1 scan is NON-INTERLEAVED — the MCU is a
+        # single data unit and blocks come in the component's own
+        # raster order, regardless of declared sampling factors (which
+        # only govern interleaving/subsampling BETWEEN components).
+        # Normalizing the lone component to 1x1 makes the interleaved
+        # MCU walk below degenerate to exactly that raster order.
+        cid, _hi, _vi, tq = comps[0]
+        comps = [(cid, 1, 1, tq)]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -399,7 +411,10 @@ def _decode_scan(frame, scomp, qt, huff, restart, segs) -> np.ndarray | None:
     for (cid, hi, vi, tq), (scs, td, ta) in zip(comps, scomp):
         if scs != cid or tq not in qt or (0, td) not in huff or (1, ta) not in huff:
             return None
-        grids.append(np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64))
+        # int32 grids: baseline coefficients fit in 16 bits; int32
+        # halves the footprint of the naive int64 choice (bomb-cap math
+        # below assumes this)
+        grids.append(np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32))
         tables.append((huff[(0, td)], huff[(1, ta)], qt[tq]))
 
     n_mcu = mcux * mcuy
@@ -430,11 +445,23 @@ def _decode_scan(frame, scomp, qt, huff, restart, segs) -> np.ndarray | None:
         _, _, q = tables[ci]
         grid = grids[ci]
         by, bx, _ = grid.shape
-        coeffs = grid.reshape(by * bx, 64) * q[None, :]  # dequant (zigzag order)
-        nat = np.zeros_like(coeffs)
-        nat[:, ZIGZAG] = coeffs  # de-zigzag
-        blocks = nat.reshape(by * bx, 8, 8).astype(np.float64)
-        pix = np.einsum("xu,nuv,vy->nxy", _DCT_M.T, blocks, _DCT_M) + 128.0
+        n_blk = by * bx
+        # dequant + de-zigzag + IDCT in bounded CHUNKS: the float64
+        # einsum temporaries are ~24 B/pixel, so chunking keeps the
+        # transient peak at ~8 MB regardless of image size (the
+        # _MAX_PIXELS cap then only has to budget the persistent
+        # int32 grid + float64 plane, ~12 B/pixel/component).
+        pix = np.empty((n_blk, 8, 8), dtype=np.float64)
+        zz = grid.reshape(n_blk, 64)
+        for lo in range(0, n_blk, 4096):
+            hi_ = min(lo + 4096, n_blk)
+            coeffs = zz[lo:hi_].astype(np.int64) * q[None, :]
+            nat = np.zeros_like(coeffs)
+            nat[:, ZIGZAG] = coeffs  # de-zigzag
+            blocks = nat.reshape(-1, 8, 8).astype(np.float64)
+            pix[lo:hi_] = (
+                np.einsum("xu,nuv,vy->nxy", _DCT_M.T, blocks, _DCT_M) + 128.0
+            )
         plane = (
             pix.reshape(by, bx, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -535,7 +562,6 @@ def _encode_plane_coeffs(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     blocks = _blocks_of(plane.astype(np.float64) - 128.0)
     freq = np.einsum("ux,nxy,yv->nuv", _DCT_M, blocks, _DCT_M.T)
     nat = freq.reshape(-1, 64)
-    qnat = np.zeros_like(nat)
     qnat = nat[:, ZIGZAG]  # to zigzag order first, q is kept in zigzag
     return np.round(qnat / q[None, :]).astype(np.int64)
 

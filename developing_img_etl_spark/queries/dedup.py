@@ -544,3 +544,80 @@ ORDER BY source
 
 QUERIES["q74_canonical_dedup"] = q74_canonical_dedup
 ORACLES["q74_canonical_dedup"] = Q74_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q83 — PREFIX-FILTERED similarity join (AllPairs/PPJoin, Bayardo et
+# al. WWW'07 / Chaudhuri et al. ICDE'06): the candidate-generation
+# upgrade over q14c's full inverted index. Under a global total order
+# on shingles (ascending document frequency, ties by string — rarest
+# first), any pair with Jaccard >= τ must share a shingle inside BOTH
+# docs' PREFIXES of length n - ceil(τ·n) + 1: take the globally
+# smallest common shingle e; if e were outside A's prefix, all
+# |A∩B| >= ceil(τ·|A|) common shingles would sit in A's suffix of
+# size ceil(τ·|A|) - 1 — contradiction. So the prefix-prefix join
+# loses nothing, while joining on only the rarest ~(1-τ) of each
+# doc's shingles — at 100 TB this is the difference between the index
+# join exploding on stop-shingles and candidates scaling with the
+# rare tail. Verification is pair-anchored (the m4 discipline:
+# bounded by |candidates| × shingles/doc, never Σcnt(s)²).
+#
+# ceil(τ·n) at τ = 1/5 is exact integer arithmetic: (n + 4) DIV 5.
+# The ORACLE IS Q14C_SQL — the naive formulation. A hash-match is a
+# cross-ALGORITHM proof that prefix filtering is lossless.
+# ---------------------------------------------------------------------------
+def q83_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sh = shingle_index(spark, sf_dir)
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(dfreq, "s").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "s")
+        ),
+    )
+    # prefix length for Jaccard τ = 0.2: n_sh - ceil(n_sh/5) + 1.
+    # localCheckpoint: the frame feeds BOTH sides of the candidate
+    # self-join — without it the dfreq join + per-doc rank window
+    # (the two expensive full-index shuffles) execute twice.
+    prefix = (
+        ranked.filter(
+            F.col("rk") <= F.col("n_sh") - F.expr("(n_sh + 4) DIV 5") + 1
+        )
+        .select("source", "s", "doc_id", "n_sh")
+        .localCheckpoint(eager=True)
+    )
+    cand = (
+        prefix.select("source", "s", F.col("doc_id").alias("id_a"))
+        .join(
+            prefix.select("source", "s", F.col("doc_id").alias("id_b")),
+            ["source", "s"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("source", "id_a", "id_b")
+        .distinct()
+    )
+    # pair-anchored exact verification on candidates only
+    a_sh = sh.select(
+        "source", F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"), "s"
+    )
+    b_sh = sh.select(
+        "source", F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"), "s"
+    )
+    common = (
+        cand.join(a_sh, ["source", "id_a"])
+        .join(b_sh, ["source", "id_b", "s"])
+        .groupBy("source", "id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.select("source", "id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") > 0.2)
+        .orderBy("source", "id_a", "id_b")
+    )
+
+
+QUERIES["q83_prefix_filter_jaccard"] = q83_prefix_filter_jaccard
+ORACLES["q83_prefix_filter_jaccard"] = Q14C_SQL  # cross-algorithm: must equal q14c

@@ -441,16 +441,20 @@ def q82_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(e.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
-        # orientation key: degree-major, id-minor — one comparable long
-        .select("n", (F.col("d") * F.lit(1_000_000_000) + F.col("n")).alias("k"))
+    )
+    # orientation: lexicographic (degree, id) — an EXPLICIT two-column
+    # compare, never a packed scalar (a deg*K + id packing silently
+    # loses injectivity once ids reach K, dropping triangles at scale)
+    u_lt_v = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
     ek = (
-        e.join(deg.withColumnRenamed("n", "u").withColumnRenamed("k", "ku"), "u")
-        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("k", "kv"), "v")
+        e.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
         .select(
-            F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.greatest("ku", "kv").alias("dst_k"),
+            F.when(u_lt_v, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_lt_v, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_lt_v, F.col("dv")).otherwise(F.col("du")).alias("dst_d"),
         )
     )
     wedges = (
@@ -458,7 +462,13 @@ def q82_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             ek.alias("y"),
             (F.col("x.src") == F.col("y.src"))
-            & (F.col("x.dst_k") < F.col("y.dst_k")),
+            & (
+                (F.col("x.dst_d") < F.col("y.dst_d"))
+                | (
+                    (F.col("x.dst_d") == F.col("y.dst_d"))
+                    & (F.col("x.dst") < F.col("y.dst"))
+                )
+            ),
         )
         .select(
             F.col("x.src").alias("a"),

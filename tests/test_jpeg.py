@@ -146,3 +146,52 @@ def test_reference_corpus_recompress_for_real(spark):
     assert all(r.status == "ok" for r in rows)
     assert all((r.width, r.height) == (648, 490) for r in rows)
     assert all(r.n > 1000 for r in rows)
+
+
+def test_grayscale_2x2_sampling_is_non_interleaved():
+    """T.81 §A.2.2: an Ns=1 scan is NON-INTERLEAVED — blocks arrive in
+    the component's raster order even when the frame declares 2x2
+    sampling. Hand-build such a stream (the encoder only emits 4:4:4)
+    and require faithful pixels, not an MCU-scrambled image."""
+    import struct
+
+    from developing_img_etl_spark.multimodal.jpeg import (
+        _AC_LUMA,
+        _DC_LUMA,
+        _BitWriter,
+        _canonical_codes,
+        _emit_block,
+        _encode_plane_coeffs,
+    )
+
+    gray = ((np.arange(16)[:, None] * 7 + np.arange(32)[None, :] * 3) % 256).astype(
+        np.float64
+    )
+    ql, _ = quant_tables(65)
+    from developing_img_etl_spark.multimodal.jpeg import ZIGZAG
+
+    ql_z = ql[ZIGZAG]
+    coeffs = _encode_plane_coeffs(gray, ql_z)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes(int(v) for v in ql_z)
+    out += b"\xff\xc0" + struct.pack(">H", 11) + bytes([8]) + struct.pack(">HH", 16, 32)
+    out += bytes([1, 1, 0x22, 0])  # ONE component, 2x2 declared sampling
+    for tc, th, (bits, vals) in ((0, 0, _DC_LUMA), (1, 0, _AC_LUMA)):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    bw = _BitWriter()
+    dc = _canonical_codes(*_DC_LUMA)
+    ac = _canonical_codes(*_AC_LUMA)
+    pred = 0
+    for i in range(coeffs.shape[0]):  # component raster order
+        pred = _emit_block(coeffs[i], pred, dc, ac, bw)
+    bw.flush()
+    out += bw.out + b"\xff\xd9"
+
+    dec = jpeg_decode(bytes(out))
+    assert dec is not None and dec.shape == (16, 32, 3)
+    assert (dec[:, :, 0] == dec[:, :, 1]).all()  # gray replicated
+    err = np.abs(dec[:, :, 0].astype(int) - gray.astype(int))
+    assert float(err.mean()) <= 3.0  # scrambled MCU order scores ~4.6+
