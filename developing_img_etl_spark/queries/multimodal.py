@@ -947,7 +947,10 @@ def _jpeg_fidelity_ok(
 
 
 def _jpeg_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = _widen(load(spark, sf_dir, "part").filter(F.col("p_partkey") % 10 == 0))
+    # every 20th part (vs m14's 10th): the JPEG chain runs FIVE codec
+    # passes per image — half the corpus keeps the declared query inside
+    # the driver's per-query budget with identical coverage
+    part = _widen(load(spark, sf_dir, "part").filter(F.col("p_partkey") % 20 == 0))
     corrupt = F.col("p_partkey") % 97 == 0
     w = F.when(F.col("p_size") > 48, 1200 + F.col("p_size")).otherwise(
         16 + F.pmod(F.col("p_size"), F.lit(48))
@@ -989,7 +992,7 @@ WITH dims AS (
               WHEN p_size > 48 THEN 8
               ELSE 12 + (p_size % 16) END AS h
   FROM part
-  WHERE p_partkey % 10 = 0
+  WHERE p_partkey % 20 = 0
 ),
 resized AS (
   SELECT p_partkey, w, h,
@@ -1012,3 +1015,127 @@ ORDER BY p_partkey
 
 QUERIES["m18_jpeg_compress"] = m18_jpeg_compress
 ORACLES["m18_jpeg_compress"] = M18_SQL
+
+
+# --------------------------------------------------------------------------
+# M19 — perceptual-hash image dedup (multimodal/phash.py): the IMAGE
+# member of the near-dup family (MinHash/SimHash/Jaccard/cosine are
+# all text/embedding-side). Corpus: structurally distinct textured
+# images, one third of which also appear RE-ENCODED at a much lower
+# JPEG quality — different bytes (exact dedup q14a would keep both),
+# same picture. DCT pHash collapses them: luminance → 32×32 → 2-D
+# DCT → 8×8 corner sign structure → 63-bit fingerprint; measured
+# same-image re-encode distance ≤ 8 bits vs ≥ 18 for structurally
+# different images. Pair generation follows the SimHash discipline:
+# 8 bands × 8 bits, band-equality join (never all-pairs — band misses
+# measured 0/120 for true pairs), exact Hamming ≤ 10 verification via
+# codegen bit_count(xor). phash is computed MAP-SIDE before any
+# shuffle, so image bytes never move (the M-family plan rule).
+# Approximate by nature → rows-only; tests/test_image_udfs.py pins
+# recall/precision against the constructed ground truth.
+# --------------------------------------------------------------------------
+_PHASH_HAMMING = 10
+_PHASH_BANDS = 8
+
+
+@pandas_udf(T.BinaryType())
+def _gen_textured_jpeg(
+    w: pd.Series, h: pd.Series, seed: pd.Series, quality: pd.Series
+) -> pd.Series:
+    from ..multimodal.jpeg import jpeg_encode
+    from ..multimodal.phash import make_textured
+
+    return pd.Series(
+        [
+            jpeg_encode(make_textured(int(a), int(b), int(s)), int(q))
+            for a, b, s, q in zip(w, h, seed, quality)
+        ],
+        dtype=object,
+    )
+
+
+@pandas_udf(T.LongType())
+def _phash_udf(content: pd.Series) -> pd.Series:
+    from ..multimodal.jpeg import jpeg_decode
+    from ..multimodal.phash import phash64
+
+    def go(b):
+        if b is None:
+            return None
+        arr = jpeg_decode(bytes(b))
+        return None if arr is None else phash64(arr)
+
+    return content.map(go)
+
+
+def _phash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _widen(load(spark, sf_dir, "part").filter(F.col("p_partkey") % 20 == 0))
+    w = 24 + F.pmod(F.col("p_size"), F.lit(40)) * 2
+    h = 20 + F.pmod(F.col("p_size"), F.lit(24)) * 2
+    seed = F.pmod(F.col("p_partkey"), F.lit(251))
+    base = part.select(
+        F.col("p_partkey").alias("img_id"),
+        F.lit("o").alias("variant"),
+        _gen_textured_jpeg(w, h, seed, F.lit(80)).alias("content"),
+    )
+    copies = (
+        part.filter(F.col("p_partkey") % 3 == 0)
+        .select(
+            F.col("p_partkey").alias("img_id"),
+            F.lit("c").alias("variant"),
+            _gen_textured_jpeg(w, h, seed, F.lit(35)).alias("content"),
+        )
+    )
+    return base.unionByName(copies)
+
+
+def m19_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = _phash_corpus(spark, sf_dir)
+    hashed = imgs.select(
+        "img_id", "variant", _phash_udf(F.col("content")).alias("ph")
+    ).localCheckpoint(eager=True)  # phash map-side once; bytes never shuffle
+    banded = hashed.select(
+        "img_id",
+        "variant",
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"),
+                        F.shiftright("ph", i * 8).bitwiseAND(F.lit(255)).alias("bv"),
+                    )
+                    for i in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("img_id", "variant", "ph", F.col("band.bi").alias("bi"), F.col("band.bv").alias("bv"))
+    a = banded.select(
+        F.col("img_id").alias("id_a"), F.col("variant").alias("var_a"),
+        F.col("ph").alias("ph_a"), "bi", "bv",
+    )
+    b = banded.select(
+        F.col("img_id").alias("id_b"), F.col("variant").alias("var_b"),
+        F.col("ph").alias("ph_b"), "bi", "bv",
+    )
+    cand = (
+        a.join(b, ["bi", "bv"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            | ((F.col("id_a") == F.col("id_b")) & (F.col("var_a") < F.col("var_b")))
+        )
+        .select("id_a", "var_a", "ph_a", "id_b", "var_b", "ph_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+        )
+        .filter(F.col("hamming") <= _PHASH_HAMMING)
+        .select("id_a", "var_a", "id_b", "var_b", "hamming")
+        .orderBy("id_a", "var_a", "id_b", "var_b")
+    )
+
+
+QUERIES["m19_phash_dedup"] = m19_phash_dedup
+# approximate (DCT thresholding) → rows-only; recall/precision pytest

@@ -967,3 +967,72 @@ ORDER BY event_type
 
 QUERIES["st9_streaming_view_maintenance"] = st9_streaming_view_maintenance
 ORACLES["st9_streaming_view_maintenance"] = ST9_SQL
+
+
+# ---------------------------------------------------------------------------
+# ST10 — CUSTOM Python streaming DataSource with offset tracking
+# (sources/ticks_datasource.py, the Spark 4 streaming DataSource API —
+# the Kafka-shaped contract: initialOffset / read(start) /
+# readBetweenOffsets replay / commit). The source is bounded and every
+# row is a pure function of its offset, so the arithmetic oracle
+# catches any duplicated, lost or reordered offset range. After the
+# full drain the query RESTARTS from the same checkpoint: the second
+# run must append NOTHING (committed offsets respected) — a violated
+# offset contract doubles counts against the oracle. sf-independent
+# by design (the source generates; no table read), which is itself
+# the point: the operator under test is the source protocol.
+# ---------------------------------------------------------------------------
+_TICKS_END = 5_000
+_TICKS_STEP = 1_000
+
+
+def st10_custom_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.ticks_datasource import register_ticks_source
+
+    register_ticks_source(spark)
+    tmp = tempfile.mkdtemp(prefix="st10_")
+    out = f"{tmp}/out"
+
+    def sink(batch, batch_id):
+        batch.write.mode("append").parquet(out)
+
+    def drain():
+        stream = (
+            spark.readStream.format("ticks")
+            .option("end", str(_TICKS_END))
+            .option("step", str(_TICKS_STEP))
+            .load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(60)
+
+    with _stream_shuffle(spark):
+        drain()
+        drain()  # restart from the same checkpoint: must be a no-op
+    return (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v"))
+        .orderBy("user_id")
+    )
+
+
+ST10_SQL = f"""
+SELECT CAST(i % 50 AS INT) AS user_id,
+       COUNT(*) AS n_rows,
+       CAST(SUM((i * i) % 97 + i % 13) AS BIGINT) AS sum_v
+FROM range(0, {_TICKS_END}) t(i)
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES["st10_custom_source_stream"] = st10_custom_source_stream
+ORACLES["st10_custom_source_stream"] = ST10_SQL

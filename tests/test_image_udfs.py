@@ -558,3 +558,69 @@ def test_weighted_topk_null_weight_does_not_win(spark):
         df.select("id", F.lit(None).cast("int").alias("w")), "id", "w", 50, seed=5
     )
     assert sorted(r.id for r in one.collect()) == sorted(r.id for r in nul.collect())
+
+
+def test_phash_separation_and_robustness():
+    """pHash contract on a controlled corpus: re-encoded copies stay
+    within the Hamming threshold, structurally distinct images stay
+    outside it, identical pixels hash identically."""
+    import numpy as np
+
+    from developing_img_etl_spark.multimodal.jpeg import jpeg_decode, jpeg_encode
+    from developing_img_etl_spark.multimodal.phash import (
+        hamming64,
+        make_textured,
+        phash64,
+    )
+
+    # seeds 0..29 span 30 DISTINCT structure classes (fx = s%5, fy = (s//5)%7)
+    hashes = {}
+    for s in range(30):
+        img = make_textured(64, 48, s)
+        h80 = phash64(jpeg_decode(jpeg_encode(img, 80)))
+        h35 = phash64(jpeg_decode(jpeg_encode(img, 35)))
+        assert hamming64(h80, h35) <= 10, s  # heavy re-encode: same picture
+        hashes[s] = h80
+    cross = [
+        hamming64(hashes[a], hashes[b])
+        for a in range(30)
+        for b in range(a + 1, 30)
+    ]
+    assert min(cross) > 10  # distinct structures never collide
+    # identical pixels → identical hash regardless of container
+    img = make_textured(40, 32, 7)
+    assert phash64(img) == phash64(img.copy())
+    assert isinstance(phash64(np.zeros((5, 5), dtype=np.uint8)), int)
+
+
+def test_m19_phash_dedup_ground_truth(spark, sf_dir):
+    """Declared-query recall against the constructed ground truth:
+    every low-quality re-encode must pair with its original (allowing
+    a small miss rate for tiny images), and every cross-id pair must
+    be a genuine corpus duplicate — same generator params (the
+    seed/size collision the corpus really contains) or same structure
+    class."""
+    import duckdb
+
+    from developing_img_etl_spark.queries.multimodal import m19_phash_dedup
+
+    rows = m19_phash_dedup(spark, sf_dir).collect()
+    truth = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duckdb.sql(
+            f"""SELECT p_partkey, 24 + (p_size % 40) * 2,
+                       20 + (p_size % 24) * 2, p_partkey % 251
+                FROM '{sf_dir}/part.parquet' WHERE p_partkey % 20 = 0"""
+        ).fetchall()
+    }
+    n_copies = sum(1 for pk in truth if pk % 3 == 0)
+    found_copy = sum(
+        1 for r in rows if r.id_a == r.id_b and {r.var_a, r.var_b} == {"o", "c"}
+    )
+    assert found_copy >= max(int(0.9 * n_copies), 1)
+    for r in rows:
+        if r.id_a != r.id_b:
+            wa, ha, sa = truth[r.id_a]
+            wb, hb, sb = truth[r.id_b]
+            cls = lambda s: (s % 5, (s // 5) % 7)  # noqa: E731
+            assert (wa, ha, sa) == (wb, hb, sb) or cls(sa) == cls(sb), r

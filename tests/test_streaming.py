@@ -265,3 +265,33 @@ def test_transform_with_state_matches_st5_oracle(spark, sf_dir):
 
     df = st7_transform_with_state(spark, sf_dir)
     assert_matches(df, ST5_SQL, sf_dir, require_rows=True)
+
+
+def test_ticks_source_offset_contract():
+    """S16 reader protocol: batches tile [0, end) exactly, the replay
+    path reproduces original rows bit-for-bit, and rows are pure
+    functions of their offset."""
+    from developing_img_etl_spark.sources.ticks_datasource import (
+        _TicksStreamReader,
+        _row,
+    )
+
+    r = _TicksStreamReader({"end": "25", "step": "10"})
+    off = r.initialOffset()
+    seen = []
+    for _ in range(5):
+        rows, nxt = r.read(off)
+        rows = list(rows)
+        assert [x[0] for x in rows] == list(range(off["i"], nxt["i"]))
+        seen.extend(rows)
+        if nxt == off:
+            break
+        off = nxt
+    assert [x[0] for x in seen] == list(range(25))  # exact tiling, no dupes
+    # replay path must be byte-identical to the original read
+    assert list(r.readBetweenOffsets({"i": 7}, {"i": 19})) == [
+        _row(i) for i in range(7, 19)
+    ]
+    # bounded source: reading at the end yields an empty batch, same offset
+    rows, nxt = r.read({"i": 25})
+    assert list(rows) == [] and nxt == {"i": 25}
