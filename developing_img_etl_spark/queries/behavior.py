@@ -165,3 +165,97 @@ ORACLES = {
     "q69_cohort_retention": Q69_SQL,
     "q70_top_event_paths": Q70_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Q86 — capped sessionization: sessions break on a 30-minute
+# inactivity gap (q11e's rule) AND on a 4-hour duration cap measured
+# from the gap-session's start — the production sessionizer contract
+# (a bot firing an event every minute for a week must not produce one
+# week-long session). Two-phase, fully window-expressible: LAG marks
+# gap breaks → running SUM assigns gap-sessions (one user_id shuffle
+# serves every window); within each gap-session the cap partitions
+# events into fixed 4-hour buckets from the session start — integer
+# epoch arithmetic, identical on both engines.
+# ---------------------------------------------------------------------------
+_SESS_GAP_S = 1800
+_SESS_CAP_S = 14400
+
+
+def q86_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+            > _SESS_GAP_S,
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    gap_sessions = marked.withColumn(
+        "gsid", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    wg = Window.partitionBy("user_id", "gsid")
+    capped = gap_sessions.withColumn(
+        "sub",
+        (
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.min("ts").over(wg)))
+            / _SESS_CAP_S
+        ).cast("long"),
+    )
+    return (
+        capped.groupBy("user_id", "gsid", "sub")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "n_events",
+            (
+                F.unix_timestamp("session_end") - F.unix_timestamp("session_start")
+            ).alias("duration_s"),
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+Q86_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > {_SESS_GAP_S}
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+gs AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gsid
+  FROM marked
+),
+capped AS (
+  SELECT *,
+         CAST((CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(MIN(ts) OVER (PARTITION BY user_id, gsid))) AS BIGINT))
+              // {_SESS_CAP_S} AS BIGINT) AS sub
+  FROM gs
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       COUNT(*) AS n_events,
+       CAST(CAST(floor(epoch(MAX(ts))) AS BIGINT) - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS BIGINT) AS duration_s
+FROM capped
+GROUP BY user_id, gsid, sub
+ORDER BY user_id, session_start
+"""
+
+QUERIES["q86_capped_sessions"] = q86_capped_sessions
+ORACLES["q86_capped_sessions"] = Q86_SQL

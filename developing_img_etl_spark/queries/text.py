@@ -841,3 +841,113 @@ ORDER BY d.doc_id
 
 QUERIES["q79_bigram_surprisal"] = q79_bigram_surprisal
 ORACLES["q79_bigram_surprisal"] = Q79_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q84 — skip-gram co-occurrence / PMI-proxy pairs (the distributional-
+# semantics statistic behind word2vec negative sampling tables and
+# embedding-quality audits): for token pairs co-occurring within a
+# ±2 window, an association score monotone in PMI, in EXACT INTEGER
+# arithmetic — score = (pair_cnt·10⁶ DIV cnt_a)·10⁶ DIV cnt_b, a
+# fixed 10¹² scaling of pair/(cnt_a·cnt_b) (the corpus-total factor of
+# true PMI is a per-corpus constant, so ranking is PMI-ranking) with
+# no logs, no overflow (pair_cnt·10⁶ ≤ 10¹⁸ needs pair_cnt ≤ 10¹²),
+# and identical truncation on both engines. Min-support floors keep
+# hapax noise out. Shape: the q79 position window (one doc_id
+# shuffle), one pair-keyed and one token-keyed hash agg, two
+# frequency joins, TakeOrdered top-30.
+# ---------------------------------------------------------------------------
+_PMI_MIN_PAIR = 5
+_PMI_MIN_TOK = 10
+
+
+def q84_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias("i", "tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    withnext = toks.select(
+        "tok",
+        F.lead("tok", 1).over(w).alias("n1"),
+        F.lead("tok", 2).over(w).alias("n2"),
+    )
+    pairs = (
+        withnext.select("tok", F.col("n1").alias("nxt"))
+        .unionAll(withnext.select("tok", F.col("n2").alias("nxt")))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.least("tok", "nxt").alias("w1"), F.greatest("tok", "nxt").alias("w2")
+        )
+    )
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_cnt"))
+    uni = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= _PMI_MIN_TOK)
+    )
+    scored = (
+        pc.filter(F.col("pair_cnt") >= _PMI_MIN_PAIR)
+        .join(uni.select(F.col("tok").alias("w1"), F.col("cnt").alias("cnt_a")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("cnt").alias("cnt_b")), "w2")
+        .select(
+            "w1",
+            "w2",
+            "pair_cnt",
+            "cnt_a",
+            "cnt_b",
+            F.expr("pair_cnt * 1000000 DIV cnt_a * 1000000 DIV cnt_b").alias(
+                "assoc_scaled"
+            ),
+        )
+    )
+    return scored.orderBy(F.desc("assoc_scaled"), "w1", "w2").limit(30)
+
+
+Q84_SQL = rf"""
+WITH split AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY r.i) - 1 AS i,
+         t[r.i] AS tok
+  FROM split, UNNEST(range(1, len(t) + 1)) AS r(i)
+  WHERE t[r.i] <> ''
+),
+withnext AS (
+  SELECT tok,
+         lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS n1,
+         lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY i) AS n2
+  FROM toks
+),
+pairs AS (
+  SELECT least(tok, nxt) AS w1, greatest(tok, nxt) AS w2 FROM (
+    SELECT tok, n1 AS nxt FROM withnext
+    UNION ALL SELECT tok, n2 FROM withnext
+  ) WHERE nxt IS NOT NULL
+),
+pc AS (
+  SELECT w1, w2, COUNT(*) AS pair_cnt FROM pairs GROUP BY w1, w2
+),
+uni AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok HAVING COUNT(*) >= {_PMI_MIN_TOK}
+)
+SELECT p.w1, p.w2,
+       CAST(p.pair_cnt AS BIGINT) AS pair_cnt,
+       CAST(a.cnt AS BIGINT) AS cnt_a,
+       CAST(b.cnt AS BIGINT) AS cnt_b,
+       CAST(p.pair_cnt * 1000000 // a.cnt * 1000000 // b.cnt AS BIGINT) AS assoc_scaled
+FROM pc p
+JOIN uni a ON p.w1 = a.tok
+JOIN uni b ON p.w2 = b.tok
+WHERE p.pair_cnt >= {_PMI_MIN_PAIR}
+ORDER BY assoc_scaled DESC, p.w1, p.w2
+LIMIT 30
+"""
+
+QUERIES["q84_pmi_pairs"] = q84_pmi_pairs
+ORACLES["q84_pmi_pairs"] = Q84_SQL

@@ -1889,3 +1889,49 @@ ORDER BY day
 
 QUERIES["q81_linear_interpolation"] = q81_linear_interpolation
 ORACLES["q81_linear_interpolation"] = Q81_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q85 — schema-drift-tolerant ingestion merge: two ingest "generations"
+# of the same feed with DIFFERENT schemas (the later one added a
+# column) unioned BY NAME with null-fill — the real-world shape of a
+# long-lived landing zone (files written before a schema migration
+# never have the new column). Spark: unionByName(allowMissingColumns)
+# — positional UNION would silently misalign columns; DuckDB mirrors
+# with its native UNION ALL BY NAME. The aggregate proves null-fill
+# semantics: gen-1 rows group under the NULL priority bucket.
+# ---------------------------------------------------------------------------
+def q85_schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cutoff = "1995-01-01"
+    gen1 = orders.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_totalprice"
+    )
+    gen2 = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    merged = gen1.unionByName(gen2, allowMissingColumns=True)
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total"))
+        .orderBy(F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+Q85_SQL = """
+WITH merged AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderdate < DATE '1995-01-01'
+  UNION ALL BY NAME
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS total
+FROM merged
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority NULLS FIRST
+"""
+
+QUERIES["q85_schema_drift_union"] = q85_schema_drift_union
+ORACLES["q85_schema_drift_union"] = Q85_SQL
