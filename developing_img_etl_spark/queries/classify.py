@@ -141,3 +141,27 @@ ORDER BY d.doc_id
 
 QUERIES = {"q77_quality_classifier": q77_quality_classifier}
 ORACLES = {"q77_quality_classifier": Q77_SQL}
+
+
+def md5_prefix_int(col: Column, n_hex: int) -> Column:
+    """Portable integer from the first ``n_hex`` lowercase hex chars of
+    md5(col) — the cross-engine hash idiom (md5 + ascii arithmetic;
+    both engines agree on md5 hex and ascii). n_hex <= 15 keeps the
+    value inside a signed 64-bit long."""
+    h = F.md5(col.cast("binary"))
+    v: Column = F.lit(0).cast("long")  # accumulate in 64-bit: 8 hex digits exceed int32
+    for i in range(1, n_hex + 1):
+        v = v * 16 + _hexval(h, i)
+    return v.cast("long")
+
+
+def sql_md5_prefix_int(n_hex: int) -> str:
+    """DuckDB mirror of md5_prefix_int (same digit arithmetic) over a
+    column named ``h`` that the caller's SQL must bind to md5(<expr>).
+    Digits are widened to BIGINT before the place-value multiply
+    (DuckDB ascii() is INT32; 16^7 · 15 overflows it)."""
+    parts = []
+    for i in range(1, n_hex + 1):
+        digit = f"CAST({_sql_hexval(i)} AS BIGINT)"
+        parts.append(f"{digit} * {16 ** (n_hex - i)}" if i < n_hex else digit)
+    return "(" + " + ".join(parts) + ")"

@@ -511,3 +511,51 @@ ORDER BY p_partkey
 
 QUERIES["q82_triangle_count"] = q82_triangle_count
 ORACLES["q82_triangle_count"] = Q82_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q87 — TPC-H Q2-shaped min-cost supplier: the flagship COMPOSED query
+# — a derived supply-cost table (lineitem as the partsupp surrogate,
+# cost = MIN over stored prices: read-value arithmetic, no FP compute)
+# consumed TWICE, once in the outer join chain and once inside a
+# correlated scalar subquery that Catalyst must decorrelate WITH the
+# region restriction intact; plus broadcast dims and a total order +
+# LIMIT. Exercises q78's decorrelation, q3's join chain and O2's
+# top-k in one plan — the "does it all compose?" check. Identical
+# text runs on DuckDB.
+# ---------------------------------------------------------------------------
+Q87_TEXT = """
+WITH supply AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(l_extendedprice) AS cost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s.s_name, n.n_name, p.p_partkey, p.p_type, sp.cost
+FROM part p
+JOIN supply sp ON sp.partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = sp.suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE p.p_size BETWEEN 10 AND 15
+  AND r.r_name = 'ASIA'
+  AND sp.cost = (
+    SELECT MIN(sp2.cost)
+    FROM supply sp2
+    JOIN supplier s2 ON s2.s_suppkey = sp2.suppkey
+    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+    WHERE sp2.partkey = p.p_partkey AND r2.r_name = 'ASIA'
+  )
+ORDER BY sp.cost, p.p_partkey, s.s_name
+LIMIT 20
+"""
+
+
+def q87_mincost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(Q87_TEXT)
+
+
+QUERIES["q87_mincost_supplier"] = q87_mincost_supplier
+ORACLES["q87_mincost_supplier"] = Q87_TEXT

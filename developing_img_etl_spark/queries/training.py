@@ -1935,3 +1935,69 @@ ORDER BY o_orderpriority NULLS FIRST
 
 QUERIES["q85_schema_drift_union"] = q85_schema_drift_union
 ORACLES["q85_schema_drift_union"] = Q85_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q88 — order-invariant table fingerprint (anti-entropy checksum): a
+# replication/backfill verifier that proves two copies of a table
+# identical WITHOUT sorting or moving rows — per row a canonical
+# string → portable md5-prefix integer (the q77 idiom via
+# classify.md5_prefix_int), then a COMMUTATIVE aggregate (SUM + XOR
+# would both do; SUM of 48-bit values over 2^20 rows stays far inside
+# int64) grouped by a partition key. Any changed/missing/extra row
+# flips the group checksum; comparing two tables costs one scan each
+# and a tiny join of per-group digests — the classic anti-entropy
+# shape (Dynamo/Cassandra Merkle level-0) at 100 TB. The DuckDB
+# oracle recomputes the identical digit arithmetic.
+# ---------------------------------------------------------------------------
+def q88_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .classify import md5_prefix_int
+
+    customer = load(spark, sf_dir, "customer")
+    canon = F.concat_ws(
+        "|",
+        F.col("c_custkey").cast("string"),
+        F.col("c_name"),
+        F.col("c_nationkey").cast("string"),
+        # stored balances are exact 2-dp values (verified: decimal(12,2)
+        # round-trips every row), so the decimal cast is rounding-free
+        # and its string form is identical on both engines
+        F.col("c_acctbal").cast("decimal(12,2)").cast("string"),
+        F.col("c_mktsegment"),
+    )
+    return (
+        customer.select(
+            F.col("c_nationkey").alias("nationkey"),
+            md5_prefix_int(canon, 12).alias("rh"),
+        )
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("rh").alias("checksum"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+def _q88_sql() -> str:
+    from .classify import sql_md5_prefix_int
+
+    return f"""
+WITH canon AS (
+  SELECT c_nationkey AS nationkey,
+         md5(c_custkey || '|' || c_name || '|' || c_nationkey || '|'
+             || CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) || '|'
+             || c_mktsegment) AS h
+  FROM customer
+)
+SELECT nationkey,
+       COUNT(*) AS n_rows,
+       CAST(SUM({sql_md5_prefix_int(12)}) AS BIGINT) AS checksum
+FROM canon
+GROUP BY nationkey
+ORDER BY nationkey
+"""
+
+
+QUERIES["q88_table_fingerprint"] = q88_table_fingerprint
+ORACLES["q88_table_fingerprint"] = _q88_sql()
