@@ -52,16 +52,22 @@ def _hexval(h: Column, i: int) -> Column:
     return a - 48 - F.when(a >= 97, F.lit(39)).otherwise(F.lit(0))
 
 
+def md5_prefix_int(col: Column, n_hex: int) -> Column:
+    """Portable integer from the first ``n_hex`` lowercase hex chars of
+    md5(col) — THE cross-engine hash idiom (md5 + ascii arithmetic;
+    both engines agree on md5 hex and ascii). The single Spark-side
+    home of the digit arithmetic; sql_md5_prefix_int is its one DuckDB
+    mirror. n_hex <= 15 keeps the value inside a signed 64-bit long."""
+    h = F.md5(col.cast("binary"))
+    v: Column = F.lit(0).cast("long")  # accumulate in 64-bit: 8+ hex digits exceed int32
+    for i in range(1, n_hex + 1):
+        v = v * 16 + _hexval(h, i)
+    return v.cast("long")
+
+
 def token_bucket(token: Column) -> Column:
     """Portable hashing-trick bucket: first 16 bits of md5, mod 1024."""
-    h = F.md5(token.cast("binary"))
-    v = (
-        _hexval(h, 1) * 4096
-        + _hexval(h, 2) * 256
-        + _hexval(h, 3) * 16
-        + _hexval(h, 4)
-    )
-    return (v % _N_BUCKETS).cast("long")
+    return md5_prefix_int(token, 4) % _N_BUCKETS
 
 
 def bucket_weight(bucket: Column) -> Column:
@@ -104,14 +110,19 @@ def _sql_hexval(i: int) -> str:
     return f"({a} - 48 - CASE WHEN {a} >= 97 THEN 39 ELSE 0 END)"
 
 
-_SQL_BUCKET = (
-    "(("
-    + " + ".join(
-        f"{_sql_hexval(i)} * {16 ** (4 - i)}" if i < 4 else _sql_hexval(i)
-        for i in range(1, 5)
-    )
-    + f") % {_N_BUCKETS})"
-)
+def sql_md5_prefix_int(n_hex: int) -> str:
+    """DuckDB mirror of md5_prefix_int (same digit arithmetic) over a
+    column named ``h`` that the caller's SQL must bind to md5(<expr>).
+    Digits are widened to BIGINT before the place-value multiply
+    (DuckDB ascii() is INT32; 16^7 · 15 overflows it)."""
+    parts = []
+    for i in range(1, n_hex + 1):
+        digit = f"CAST({_sql_hexval(i)} AS BIGINT)"
+        parts.append(f"{digit} * {16 ** (n_hex - i)}" if i < n_hex else digit)
+    return "(" + " + ".join(parts) + ")"
+
+
+_SQL_BUCKET = f"({sql_md5_prefix_int(4)} % {_N_BUCKETS})"
 
 Q77_SQL = rf"""
 WITH tok AS (
@@ -141,27 +152,3 @@ ORDER BY d.doc_id
 
 QUERIES = {"q77_quality_classifier": q77_quality_classifier}
 ORACLES = {"q77_quality_classifier": Q77_SQL}
-
-
-def md5_prefix_int(col: Column, n_hex: int) -> Column:
-    """Portable integer from the first ``n_hex`` lowercase hex chars of
-    md5(col) — the cross-engine hash idiom (md5 + ascii arithmetic;
-    both engines agree on md5 hex and ascii). n_hex <= 15 keeps the
-    value inside a signed 64-bit long."""
-    h = F.md5(col.cast("binary"))
-    v: Column = F.lit(0).cast("long")  # accumulate in 64-bit: 8 hex digits exceed int32
-    for i in range(1, n_hex + 1):
-        v = v * 16 + _hexval(h, i)
-    return v.cast("long")
-
-
-def sql_md5_prefix_int(n_hex: int) -> str:
-    """DuckDB mirror of md5_prefix_int (same digit arithmetic) over a
-    column named ``h`` that the caller's SQL must bind to md5(<expr>).
-    Digits are widened to BIGINT before the place-value multiply
-    (DuckDB ascii() is INT32; 16^7 · 15 overflows it)."""
-    parts = []
-    for i in range(1, n_hex + 1):
-        digit = f"CAST({_sql_hexval(i)} AS BIGINT)"
-        parts.append(f"{digit} * {16 ** (n_hex - i)}" if i < n_hex else digit)
-    return "(" + " + ".join(parts) + ")"

@@ -1942,28 +1942,45 @@ ORACLES["q85_schema_drift_union"] = Q85_SQL
 # replication/backfill verifier that proves two copies of a table
 # identical WITHOUT sorting or moving rows — per row a canonical
 # string → portable md5-prefix integer (the q77 idiom via
-# classify.md5_prefix_int), then a COMMUTATIVE aggregate (SUM + XOR
-# would both do; SUM of 48-bit values over 2^20 rows stays far inside
-# int64) grouped by a partition key. Any changed/missing/extra row
-# flips the group checksum; comparing two tables costs one scan each
-# and a tiny join of per-group digests — the classic anti-entropy
-# shape (Dynamo/Cassandra Merkle level-0) at 100 TB. The DuckDB
-# oracle recomputes the identical digit arithmetic.
+# classify.md5_prefix_int), then a COMMUTATIVE MODULAR SUM
+# (mod 2^61−1, a Mersenne prime) per partition group. Scale-safety of
+# the digest (review finding): a raw int64 SUM of 48-bit hashes
+# overflows at ~65k rows/group; here Spark accumulates through exact
+# DECIMAL(38,0) (good to ~10^23 rows) and DuckDB through its native
+# HUGEINT sum, both reduced mod the prime at the end — identical,
+# overflow-free at any corpus size. NULL-safety (review finding):
+# every field passes through coalesce(cast, chr(1)) BEFORE
+# concatenation — Spark's concat_ws would silently DROP null fields
+# (making distinct rows collide) while DuckDB's || would null the
+# whole string (dropping the row from one side of the comparison);
+# the sentinel keeps both engines byte-identical and NULL-revealing.
+# Any changed/missing/extra row flips its group digest; comparing two
+# tables costs one scan each plus a tiny join of per-group digests —
+# the classic anti-entropy shape (Dynamo/Cassandra Merkle level-0).
 # ---------------------------------------------------------------------------
+_FP_MOD = (1 << 61) - 1  # Mersenne prime: modular digest space
+
+
+def _fp_field(col) -> F.Column:
+    """NULL-revealing canonical rendering of one field (sentinel chr(1)
+    can never collide with real data rendered as text)."""
+    return F.coalesce(col.cast("string"), F.lit("\x01"))
+
+
 def q88_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .classify import md5_prefix_int
 
     customer = load(spark, sf_dir, "customer")
     canon = F.concat_ws(
         "|",
-        F.col("c_custkey").cast("string"),
-        F.col("c_name"),
-        F.col("c_nationkey").cast("string"),
+        _fp_field(F.col("c_custkey")),
+        _fp_field(F.col("c_name")),
+        _fp_field(F.col("c_nationkey")),
         # stored balances are exact 2-dp values (verified: decimal(12,2)
         # round-trips every row), so the decimal cast is rounding-free
         # and its string form is identical on both engines
-        F.col("c_acctbal").cast("decimal(12,2)").cast("string"),
-        F.col("c_mktsegment"),
+        _fp_field(F.col("c_acctbal").cast("decimal(12,2)")),
+        _fp_field(F.col("c_mktsegment")),
     )
     return (
         customer.select(
@@ -1973,7 +1990,9 @@ def q88_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum("rh").alias("checksum"),
+            F.pmod(F.sum(F.col("rh").cast("decimal(38,0)")), F.lit(_FP_MOD))
+            .cast("long")
+            .alias("checksum"),
         )
         .orderBy("nationkey")
     )
@@ -1982,17 +2001,25 @@ def q88_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q88_sql() -> str:
     from .classify import sql_md5_prefix_int
 
+    fld = "COALESCE(CAST({0} AS VARCHAR), chr(1))"
+    fields = " || '|' || ".join(
+        fld.format(c)
+        for c in (
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            "CAST(c_acctbal AS DECIMAL(12,2))",
+            "c_mktsegment",
+        )
+    )
     return f"""
 WITH canon AS (
-  SELECT c_nationkey AS nationkey,
-         md5(c_custkey || '|' || c_name || '|' || c_nationkey || '|'
-             || CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) || '|'
-             || c_mktsegment) AS h
+  SELECT c_nationkey AS nationkey, md5({fields}) AS h
   FROM customer
 )
 SELECT nationkey,
        COUNT(*) AS n_rows,
-       CAST(SUM({sql_md5_prefix_int(12)}) AS BIGINT) AS checksum
+       CAST(SUM({sql_md5_prefix_int(12)}) % {_FP_MOD} AS BIGINT) AS checksum
 FROM canon
 GROUP BY nationkey
 ORDER BY nationkey

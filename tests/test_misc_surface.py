@@ -662,3 +662,40 @@ def test_q77_zero_token_doc_survives(spark, tmp_path):
     assert set(out) == {1, 2}
     assert out[2].n_toks == 0 and out[2].logit == 0 and out[2].pred_label == "mid"
     assert out[1].n_toks == 2
+
+
+def test_q88_fingerprint_null_fields_cross_engine(spark, tmp_path):
+    """Anti-entropy fingerprint must hash NULL-bearing rows identically
+    on both engines (review finding: concat_ws silently drops NULL
+    fields while SQL || nulls the whole string — the sentinel
+    rendering closes both) and must distinguish a NULL field from an
+    adjacent-field collision."""
+    import duckdb
+
+    from developing_img_etl_spark.queries.training import (
+        _q88_sql,
+        q88_table_fingerprint,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, None, 7, 10.50, "SEG"),
+            (2, "alice", 7, None, "SEG"),
+            (3, "bo|b", 7, 3.25, None),
+            (4, "plain", 8, 1.00, "SEG"),
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).write.parquet(f"{sf}/customer.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{sf}/customer.parquet/*.parquet'"
+    )
+    oracle = con.execute(_q88_sql()).fetchall()
+    got = [tuple(r) for r in q88_table_fingerprint(spark, sf).collect()]
+    assert got == [(int(a), int(b), int(c)) for a, b, c in oracle]
+
+    # NULL is not the same row as the sentinel-free rendering of a
+    # different split: fingerprints over the two groups must differ
+    rows = {r.nationkey: r.checksum for r in q88_table_fingerprint(spark, sf).collect()}
+    assert rows[7] != rows[8]
