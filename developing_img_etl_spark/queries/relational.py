@@ -912,3 +912,61 @@ ORDER BY o_custkey, o_orderdate, o_orderkey
 
 QUERIES["q29_rolling_time_window"] = q29_rolling_time_window
 ORACLES["q29_rolling_time_window"] = Q29_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q89 — distribution ranks: percent_rank and cume_dist, the two W-family
+# members q5's window suite left out, emitted as exact integers (ppm)
+# instead of their engine-native doubles: percent_rank ≡
+# (rank−1)·10⁶ DIV (n−1), cume_dist ≡ cnt_le·10⁶ DIV n — the same
+# integer-ratio discipline as q45's idf, so a 1-ulp FP division can
+# never flip a value across engines. rank/count come from plain
+# windows; ONE mktsegment shuffle serves all four frames.
+# ---------------------------------------------------------------------------
+def q89_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    customer = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wall = Window.partitionBy("c_mktsegment")
+    ranked = customer.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.rank().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(w.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cnt_le"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    return (
+        ranked.select(
+            "c_mktsegment",
+            "c_custkey",
+            # rank() is INT32: widen BEFORE the ppm multiply (ANSI mode
+            # overflows at rank > ~2147 otherwise — bit at sf0.1)
+            F.expr("(CAST(rk AS BIGINT) - 1) * 1000000 DIV (n - 1)").alias("pct_rank_ppm"),
+            F.expr("CAST(cnt_le AS BIGINT) * 1000000 DIV n").alias("cume_dist_ppm"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+    )
+
+
+Q89_SQL = """
+WITH ranked AS (
+  SELECT c_mktsegment, c_custkey,
+         rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS rk,
+         COUNT(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_le,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM customer
+)
+SELECT c_mktsegment, c_custkey,
+       CAST((rk - 1) * 1000000 // (n - 1) AS BIGINT) AS pct_rank_ppm,
+       CAST(cnt_le * 1000000 // n AS BIGINT) AS cume_dist_ppm
+FROM ranked
+ORDER BY c_mktsegment, c_custkey
+"""
+
+QUERIES["q89_distribution_ranks"] = q89_distribution_ranks
+ORACLES["q89_distribution_ranks"] = Q89_SQL

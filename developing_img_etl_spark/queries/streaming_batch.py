@@ -1036,3 +1036,74 @@ ORDER BY 1
 
 QUERIES["st10_custom_source_stream"] = st10_custom_source_stream
 ORACLES["st10_custom_source_stream"] = ST10_SQL
+
+
+# ---------------------------------------------------------------------------
+# ST11 — dropDuplicatesWithinWatermark (the Spark 3.5+ TTL'd streaming
+# dedup): st6 deduplicates with UNBOUNDED key state — correct, but at
+# 100 TB/day the state grows forever; the WithinWatermark variant
+# expires each key once the event-time watermark passes it, bounding
+# state to the lateness horizon (the production contract for
+# at-least-once sources whose duplicates arrive close together). Same
+# doubled-source drain as st6; duplicates land within the 1-day
+# horizon, so the result must equal the single-copy aggregate — any
+# premature state eviction (or missed duplicate) breaks the hash.
+# ---------------------------------------------------------------------------
+def st11_streaming_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ._det import dsum
+
+    work = tempfile.mkdtemp(prefix="stq11_")
+    src, out, ckpt = f"{work}/src", f"{work}/out", f"{work}/ckpt"
+    os.makedirs(src)
+    for i in range(2):
+        try:
+            os.link(f"{sf_dir}/events.parquet", f"{src}/{i:02d}-events.parquet")
+        except OSError:
+            shutil.copyfile(f"{sf_dir}/events.parquet", f"{src}/{i:02d}-events.parquet")
+
+    stream = (
+        _raw_events_stream(spark, sf_dir, src, max_files_per_trigger=1)
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+    def sink(batch, batch_id):
+        batch.write.mode("append").parquet(out)
+
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ST11_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["st11_streaming_dedup_ttl"] = st11_streaming_dedup_ttl
+ORACLES["st11_streaming_dedup_ttl"] = ST11_SQL
