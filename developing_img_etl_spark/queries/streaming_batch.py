@@ -1107,3 +1107,72 @@ ORDER BY event_type
 
 QUERIES["st11_streaming_dedup_ttl"] = st11_streaming_dedup_ttl
 ORACLES["st11_streaming_dedup_ttl"] = ST11_SQL
+
+
+# ---------------------------------------------------------------------------
+# ST12 — stream-STATIC enrichment join: the most common production
+# streaming join (facts stream in, the dimension is a table) — Spark
+# broadcasts/rescans the static side per micro-batch with NO state
+# store at all, unlike the stream-stream st4 whose both sides hold
+# watermarked state. Dimension: a user→segment table derived
+# deterministically from customer; the drained enriched stream must
+# aggregate exactly like the batch join the oracle runs. Left join
+# keeps unmatched users (NULL segment bucket) — proving the
+# enrichment doesn't silently drop facts.
+# ---------------------------------------------------------------------------
+def st12_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ._det import dsum
+
+    src = _staged_stream_dir(sf_dir)
+    work = tempfile.mkdtemp(prefix="stq12_")
+    out, ckpt = f"{work}/out", f"{work}/ckpt"
+
+    dim = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 40)  # leave some stream users unmatched
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    stream = _raw_events_stream(spark, sf_dir, src).join(
+        F.broadcast(dim), "user_id", "left"
+    )
+
+    def sink(batch, batch_id):
+        batch.write.mode("append").parquet(out)
+
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.coalesce("c_mktsegment", F.lit("<unmatched>")).alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("segment")
+    )
+
+
+ST12_SQL = """
+SELECT COALESCE(c.c_mktsegment, '<unmatched>') AS segment,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users,
+       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_value
+FROM events e
+LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey <= 40) c
+       ON e.user_id = c.c_custkey
+GROUP BY 1
+ORDER BY segment
+"""
+
+QUERIES["st12_stream_static_enrich"] = st12_stream_static_enrich
+ORACLES["st12_stream_static_enrich"] = ST12_SQL

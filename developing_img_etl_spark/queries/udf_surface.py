@@ -141,3 +141,56 @@ ORACLES = {
     "q24_udaf_grouped_agg": Q24_SQL,
     "q25_grouped_map": Q25_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Q90 — SQL-REGISTERED pandas UDF (the last UDF surface: spark.udf.
+# register + invocation from a SQL string): teams consuming the q20
+# SQL front door extend it with vectorized Python functions without
+# leaving SQL. The function body is integer arithmetic on the Arrow
+# batch (a quality-tier bucketing of order totals in cents), so the
+# DuckDB oracle replays it in plain SQL — the hash-match certifies
+# registration, SQL-side invocation, Arrow round-trip, and the
+# arithmetic itself. At 100 TB this is one scan + one hash agg; the
+# UDF is scalar-vectorized (one Arrow batch per task at a time).
+# ---------------------------------------------------------------------------
+def q90_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    @pandas_udf(T.IntegerType())
+    def price_tier(total: pd.Series) -> pd.Series:
+        cents = (total * 100 + 0.5).astype("int64")  # exact: inputs are 2-dp
+        return (
+            (cents >= 20_000_000).astype("int32")
+            + (cents >= 10_000_000).astype("int32")
+            + (cents >= 5_000_000).astype("int32")
+        )
+
+    spark.udf.register("price_tier", price_tier)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT price_tier(o_totalprice) AS tier,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY price_tier(o_totalprice)
+        ORDER BY tier
+        """
+    )
+
+
+Q90_SQL = """
+SELECT CASE WHEN o_totalprice * 100 + 0.5 >= 20000000 THEN 3
+            WHEN o_totalprice * 100 + 0.5 >= 10000000 THEN 2
+            WHEN o_totalprice * 100 + 0.5 >= 5000000 THEN 1
+            ELSE 0 END AS tier,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS total
+FROM orders
+GROUP BY 1
+ORDER BY tier
+"""
+
+QUERIES["q90_sql_registered_udf"] = q90_sql_registered_udf
+ORACLES["q90_sql_registered_udf"] = Q90_SQL
