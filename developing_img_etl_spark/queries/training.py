@@ -2028,3 +2028,83 @@ ORDER BY nationkey
 
 QUERIES["q88_table_fingerprint"] = q88_table_fingerprint
 ORACLES["q88_table_fingerprint"] = _q88_sql()
+
+
+# ---------------------------------------------------------------------------
+# Q91 — CSV ingestion round-trip (gives the CSV source its
+# oracle-checked query, the q49 pattern on the OTHER wire format):
+# the documents table staged as quoted CSV (Spark-written, so
+# embedded delimiters/newlines in text get canonical quoting), two
+# malformed lines injected (an unterminated quote and a wrong-arity
+# row), read back through sources/csv.py's PERMISSIVE corrupt-capture
+# with multiLine quoting, good rows aggregated against the parquet
+# truth. A hash match proves the quote/escape round trip is lossless
+# (CSV's hard part — newlines inside quoted text) AND that exactly
+# the injected garbage (a type-failure row and an arity-overflow row)
+# was quarantined.
+# ---------------------------------------------------------------------------
+_CSV_STAGE_CACHE: dict[str, str] = {}
+_CSV_N_CORRUPT = 2
+
+
+def _staged_csv_dir(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _CSV_STAGE_CACHE:
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="csv_docs_")
+        docs = load(spark, sf_dir, "documents")
+        (
+            docs.coalesce(1)
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("quoteAll", True)
+            .csv(d)
+        )
+        with open(os.path.join(d, "zz-corrupt.csv"), "w") as fh:
+            # header first (header=True consumes line 1 of EVERY file);
+            # then a type-failure row (doc_id not a number) and an
+            # arity-overflow row. NOT an unterminated quote: under
+            # multiLine quoting that swallows the rest of the file into
+            # one cell instead of quarantining a single line.
+            fh.write("doc_id,text,lang,source,n_chars\n")
+            fh.write("notanumber,sometext,en,web,12\n")
+            fh.write("9999992,too,many,columns,here,extra,fields,beyond,schema\n")
+        _CSV_STAGE_CACHE[sf_dir] = d
+    return _CSV_STAGE_CACHE[sf_dir]
+
+
+def q91_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import TABLES
+    from ..sources.csv import read_csv, split_corrupt
+
+    path = _staged_csv_dir(spark, sf_dir)
+    good, bad = split_corrupt(read_csv(spark, path, TABLES["documents"]))
+    n_bad = bad.agg(F.count(F.lit(1)).alias("n_corrupt"))
+    return (
+        good.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("total_text_len"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .crossJoin(F.broadcast(n_bad))
+        .orderBy("source")
+    )
+
+
+Q91_SQL = f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_len,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST({_CSV_N_CORRUPT} AS BIGINT) AS n_corrupt
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["q91_csv_roundtrip"] = q91_csv_roundtrip
+ORACLES["q91_csv_roundtrip"] = Q91_SQL
