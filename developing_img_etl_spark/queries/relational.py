@@ -927,7 +927,12 @@ def q89_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     customer = load(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    # order by balance ALONE: ties are real, so rank() keeps peer
+    # semantics and the RANGE-frame count genuinely measures cume_dist
+    # peers (a custkey tiebreaker would reduce both to row_number
+    # arithmetic); rank and peer-count are tie-invariant, so the
+    # result stays cross-engine deterministic without a unique order
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
     wall = Window.partitionBy("c_mktsegment")
     ranked = customer.select(
         "c_mktsegment",
@@ -955,8 +960,8 @@ def q89_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q89_SQL = """
 WITH ranked AS (
   SELECT c_mktsegment, c_custkey,
-         rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS rk,
-         COUNT(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+         rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS rk,
+         COUNT(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal
                         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_le,
          COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
   FROM customer

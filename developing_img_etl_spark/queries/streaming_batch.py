@@ -243,6 +243,23 @@ def _stream_shuffle(spark: SparkSession):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _link_events_into(sf_dir: str, src: str, n_copies: int = 1) -> None:
+    """Stage ``n_copies`` hardlinks (else copies) of the events table
+    into stream-source dir ``src`` — the shared staging block for every
+    drain that needs a (possibly doubled) file stream source."""
+    import os
+    import shutil
+
+    os.makedirs(src, exist_ok=True)
+    for i in range(n_copies):
+        try:
+            os.link(f"{sf_dir}/events.parquet", f"{src}/{i:02d}-events.parquet")
+        except OSError:
+            shutil.copyfile(
+                f"{sf_dir}/events.parquet", f"{src}/{i:02d}-events.parquet"
+            )
+
+
 def _staged_stream_dir(sf_dir: str) -> str:
     """Directory wrapping the events table for the file stream source,
     built once per (process, sf_dir): hardlink when possible (zero
@@ -494,11 +511,7 @@ def st3_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     late_file = _st3_late_file(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="stq3_")
     src, out, ckpt = f"{work}/src", f"{work}/out", f"{work}/ckpt"
-    os.makedirs(src)
-    try:
-        os.link(f"{sf_dir}/events.parquet", f"{src}/00-events.parquet")
-    except OSError:
-        shutil.copyfile(f"{sf_dir}/events.parquet", f"{src}/00-events.parquet")
+    _link_events_into(sf_dir, src)
 
     def drain():
         stream = _raw_events_stream(spark, sf_dir, src)
@@ -718,12 +731,7 @@ def st6_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="stq6_")
     src, out, ckpt = f"{work}/src", f"{work}/out", f"{work}/ckpt"
-    os.makedirs(src)
-    for i in range(2):
-        try:
-            os.link(f"{sf_dir}/events.parquet", f"{src}/{i:02d}-events.parquet")
-        except OSError:
-            shutil.copyfile(f"{sf_dir}/events.parquet", f"{src}/{i:02d}-events.parquet")
+    _link_events_into(sf_dir, src, n_copies=2)
 
     stream = _raw_events_stream(
         spark, sf_dir, src, max_files_per_trigger=1
@@ -850,12 +858,7 @@ def st8_streaming_txlog_exactly_once(spark: SparkSession, sf_dir: str) -> DataFr
 
     work = tempfile.mkdtemp(prefix="stq8_")
     src, table, ckpt = f"{work}/src", f"{work}/table", f"{work}/ckpt"
-    os.makedirs(src)
-    for i in range(2):
-        try:
-            os.link(f"{sf_dir}/events.parquet", f"{src}/{i:02d}-events.parquet")
-        except OSError:
-            shutil.copyfile(f"{sf_dir}/events.parquet", f"{src}/{i:02d}-events.parquet")
+    _link_events_into(sf_dir, src, n_copies=2)
 
     fmt = TxLogFormat()
     writer = exactly_once_batch_writer(fmt, table, "st8")
@@ -920,12 +923,7 @@ def st9_streaming_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
 
     work = tempfile.mkdtemp(prefix="stq9_")
     src, view, ckpt = f"{work}/src", f"{work}/view", f"{work}/ckpt"
-    os.makedirs(src)
-    for i in range(2):
-        try:
-            os.link(f"{sf_dir}/events.parquet", f"{src}/{i:02d}-events.parquet")
-        except OSError:
-            shutil.copyfile(f"{sf_dir}/events.parquet", f"{src}/{i:02d}-events.parquet")
+    _link_events_into(sf_dir, src, n_copies=2)
 
     fmt = TxLogFormat()
     writer = incremental_view_writer(fmt, view, "st9", ["event_type"], ["value"])
@@ -1058,12 +1056,7 @@ def st11_streaming_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="stq11_")
     src, out, ckpt = f"{work}/src", f"{work}/out", f"{work}/ckpt"
-    os.makedirs(src)
-    for i in range(2):
-        try:
-            os.link(f"{sf_dir}/events.parquet", f"{src}/{i:02d}-events.parquet")
-        except OSError:
-            shutil.copyfile(f"{sf_dir}/events.parquet", f"{src}/{i:02d}-events.parquet")
+    _link_events_into(sf_dir, src, n_copies=2)
 
     stream = (
         _raw_events_stream(spark, sf_dir, src, max_files_per_trigger=1)

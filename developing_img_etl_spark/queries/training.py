@@ -913,6 +913,39 @@ ORACLES["q47_skew_profile"] = Q47_SQL
 # all-NULL row and flip n_docs/null counts). The corrupt-side count is
 # asserted in-query via a crossJoin'd scalar so the oracle sees it too.
 # ---------------------------------------------------------------------------
+def _ingest_roundtrip_agg(good: DataFrame, bad: DataFrame) -> DataFrame:
+    """Shared q49/q91 round-trip verification shape: per-source
+    aggregate of the GOOD rows + the quarantined count as the audited
+    1-row broadcast scalar."""
+    n_bad = bad.agg(F.count(F.lit(1)).alias("n_corrupt"))
+    return (
+        good.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.length("text")).alias("total_text_len"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .crossJoin(F.broadcast(n_bad))
+        .orderBy("source")
+    )
+
+
+def _ingest_roundtrip_sql(n_corrupt: int) -> str:
+    """The one DuckDB mirror of _ingest_roundtrip_agg."""
+    return f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_text_len,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST({n_corrupt} AS BIGINT) AS n_corrupt
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
 _JSONL_STAGE_CACHE: dict[str, str] = {}
 _JSONL_N_CORRUPT = 3
 
@@ -937,31 +970,10 @@ def q49_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _staged_jsonl_dir(spark, sf_dir)
     good, bad = split_corrupt(read_jsonl(spark, path, TABLES["documents"]))
-    n_bad = bad.agg(F.count(F.lit(1)).alias("n_corrupt"))
-    return (
-        good.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-            F.sum(F.length("text")).alias("total_text_len"),
-            F.countDistinct("lang").alias("n_langs"),
-        )
-        .crossJoin(F.broadcast(n_bad))
-        .orderBy("source")
-    )
+    return _ingest_roundtrip_agg(good, bad)
 
 
-Q49_SQL = f"""
-SELECT source,
-       COUNT(*) AS n_docs,
-       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-       CAST(SUM(length(text)) AS BIGINT) AS total_text_len,
-       COUNT(DISTINCT lang) AS n_langs,
-       CAST({_JSONL_N_CORRUPT} AS BIGINT) AS n_corrupt
-FROM documents
-GROUP BY source
-ORDER BY source
-"""
+Q49_SQL = _ingest_roundtrip_sql(_JSONL_N_CORRUPT)
 
 QUERIES["q49_jsonl_roundtrip"] = q49_jsonl_roundtrip
 ORACLES["q49_jsonl_roundtrip"] = Q49_SQL
@@ -2035,7 +2047,7 @@ ORACLES["q88_table_fingerprint"] = _q88_sql()
 # oracle-checked query, the q49 pattern on the OTHER wire format):
 # the documents table staged as quoted CSV (Spark-written, so
 # embedded delimiters/newlines in text get canonical quoting), two
-# malformed lines injected (an unterminated quote and a wrong-arity
+# malformed lines injected (a type-failure row and an arity-overflow
 # row), read back through sources/csv.py's PERMISSIVE corrupt-capture
 # with multiLine quoting, good rows aggregated against the parquet
 # truth. A hash match proves the quote/escape round trip is lossless
@@ -2080,31 +2092,10 @@ def q91_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _staged_csv_dir(spark, sf_dir)
     good, bad = split_corrupt(read_csv(spark, path, TABLES["documents"]))
-    n_bad = bad.agg(F.count(F.lit(1)).alias("n_corrupt"))
-    return (
-        good.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-            F.sum(F.length("text")).alias("total_text_len"),
-            F.countDistinct("lang").alias("n_langs"),
-        )
-        .crossJoin(F.broadcast(n_bad))
-        .orderBy("source")
-    )
+    return _ingest_roundtrip_agg(good, bad)
 
 
-Q91_SQL = f"""
-SELECT source,
-       COUNT(*) AS n_docs,
-       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-       CAST(SUM(length(text)) AS BIGINT) AS total_text_len,
-       COUNT(DISTINCT lang) AS n_langs,
-       CAST({_CSV_N_CORRUPT} AS BIGINT) AS n_corrupt
-FROM documents
-GROUP BY source
-ORDER BY source
-"""
+Q91_SQL = _ingest_roundtrip_sql(_CSV_N_CORRUPT)
 
 QUERIES["q91_csv_roundtrip"] = q91_csv_roundtrip
 ORACLES["q91_csv_roundtrip"] = Q91_SQL

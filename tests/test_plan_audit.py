@@ -35,6 +35,7 @@ BNLJ_ALLOWED = {
     "q46_fk_integrity",
     "q47_skew_profile",
     "q49_jsonl_roundtrip",
+    "q91_csv_roundtrip",  # same 1-row corrupt-count scalar as q49
     # q68: q13's tiny-probe-set × corpus cross (exact positives) plus a
     # 1-row corpus-count scalar cross — both broadcast-side bounded
     "q68_contrastive_triplets",
@@ -108,6 +109,7 @@ SCALAR_BNLJ = {
     "q46_fk_integrity",
     "q47_skew_profile",
     "q49_jsonl_roundtrip",
+    "q91_csv_roundtrip",
 }
 
 
