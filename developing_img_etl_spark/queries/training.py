@@ -2099,3 +2099,100 @@ Q91_SQL = _ingest_roundtrip_sql(_CSV_N_CORRUPT)
 
 QUERIES["q91_csv_roundtrip"] = q91_csv_roundtrip
 ORACLES["q91_csv_roundtrip"] = Q91_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q92 — temperature-scaled source mixing (the mT5/Pile domain-balance
+# rule): sampling shares ∝ (n_i)^(1/T) with T = 2, so over-represented
+# sources are damped toward the small ones without flattening
+# entirely. sqrt is IEEE-correctly-rounded on both engines (probed),
+# so floor(sqrt(n)·10³) is engine-exact; everything downstream is
+# integer ppm arithmetic. The computed per-source keep-rate then
+# DRIVES an actual deterministic hash sample (the q26/q50 machinery:
+# keep iff (doc_id·K + seed) mod 10⁶ < rate_ppm) and the output
+# reports plan vs realized counts per source — the full
+# plan→execute→audit loop of a mixing stage in one query. Σweight
+# rides the audited 1-row broadcast scalar (BNLJ allowlist).
+# ---------------------------------------------------------------------------
+_MIX_BUDGET_PPM = 400_000  # sample ~40% of the corpus overall
+
+
+def q92_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_src = per_src.withColumn(
+        "w", F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000).cast("long")
+    )
+    tot = per_src.agg(
+        F.sum("w").alias("sum_w"), F.sum("n_docs").alias("n_total")
+    )
+    planned = (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.expr("w * 1000000 DIV sum_w").alias("target_ppm"),
+            # quota: this source's slice of the overall sampling budget
+            F.expr(
+                f"(n_total * {_MIX_BUDGET_PPM} DIV 1000000) * (w * 1000000 DIV sum_w) DIV 1000000"
+            ).alias("quota"),
+        )
+        .withColumn("rate_ppm", F.expr("least(quota * 1000000 DIV n_docs, 1000000)"))
+    )
+    kept = (
+        docs.join(F.broadcast(planned.select("source", "rate_ppm")), "source")
+        .filter(
+            F.pmod(F.col("doc_id") * F.lit(_K) + F.lit(_SEED), F.lit(_BUCKETS))
+            < F.col("rate_ppm")
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        planned.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "target_ppm",
+            "quota",
+            "rate_ppm",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+Q92_SQL = f"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000) AS BIGINT) AS w
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(w) AS sum_w, SUM(n_docs) AS n_total FROM per_src),
+planned AS (
+  SELECT source, n_docs,
+         w * 1000000 // sum_w AS target_ppm,
+         (n_total * {_MIX_BUDGET_PPM} // 1000000) * (w * 1000000 // sum_w) // 1000000 AS quota
+  FROM per_src CROSS JOIN tot
+),
+rated AS (
+  SELECT *, least(quota * 1000000 // n_docs, 1000000) AS rate_ppm FROM planned
+),
+kept AS (
+  SELECT d.source, COUNT(*) AS n_kept
+  FROM documents d JOIN rated r USING (source)
+  WHERE (d.doc_id * {_K} + {_SEED}) % {_BUCKETS} < r.rate_ppm
+  GROUP BY d.source
+)
+SELECT r.source,
+       CAST(r.n_docs AS BIGINT) AS n_docs,
+       CAST(r.target_ppm AS BIGINT) AS target_ppm,
+       CAST(r.quota AS BIGINT) AS quota,
+       CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM rated r LEFT JOIN kept k USING (source)
+ORDER BY r.source
+"""
+
+QUERIES["q92_temperature_mixing"] = q92_temperature_mixing
+ORACLES["q92_temperature_mixing"] = Q92_SQL

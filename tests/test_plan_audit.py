@@ -41,6 +41,8 @@ BNLJ_ALLOWED = {
     "q68_contrastive_triplets",
     # q75: per-source token totals as a 1-row aggregate scalar cross
     "q75_corpus_drift",
+    # q92: Σweight/corpus-total as the 1-row mixing-plan scalar cross
+    "q92_temperature_mixing",
 }
 
 # no exemptions today: every declared query ships ids through hash
@@ -110,6 +112,7 @@ SCALAR_BNLJ = {
     "q47_skew_profile",
     "q49_jsonl_roundtrip",
     "q91_csv_roundtrip",
+    "q92_temperature_mixing",
 }
 
 
