@@ -377,3 +377,144 @@ ORDER BY t.anchor_id
 
 QUERIES["q68_contrastive_triplets"] = q68_contrastive_triplets
 ORACLES["q68_contrastive_triplets"] = Q68_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q93 — RRF hybrid retrieval (the RAG-stack fusion step): lexical and
+# vector rankings combined by Reciprocal Rank Fusion
+# (Cormack/Clarke/Büttcher SIGIR'09) — score = Σ 1/(k + rank), k = 60
+# — realized in exact integers as 10⁹ DIV (60 + rank) so the fusion
+# can never drift cross-engine. Lexical ranks: shared word-3-gram
+# count between probe and candidate off the SHARED shingle inverted
+# index (never all-pairs; candidates only where ≥1 shingle co-occurs).
+# Vector ranks: q13's brute-force cosine arithmetic (round-6, ordered
+# fold — the proven-deterministic tier) over the embedding universe.
+# Candidates without a lexical match contribute only their vector
+# term, the standard RRF missing-list convention. One broadcast of
+# the 10-probe side in each leg; the only wide shuffles are the
+# (probe, cand) aggregations — id-and-count rows, never text or
+# vectors.
+# ---------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_TOP = 5
+
+
+def q93_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._shingle import shingle_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    cand = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    probes = cand.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_emb"),
+        F.col("nrm").alias("probe_nrm"),
+    )
+    sim = dot(F.col("probe_emb"), F.col("embedding")) / (F.col("probe_nrm") * F.col("nrm"))
+    w_vec = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "vec_id")
+    vec_rk = (
+        cand.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", F.round(sim, 6).alias("sim"))
+        .withColumn("vec_rk", F.row_number().over(w_vec))
+        .select("probe_id", F.col("vec_id").alias("doc_id"), "vec_rk")
+    )
+
+    # lexical leg: restrict the shared index to the embedding universe
+    ids = emb.select(F.col("vec_id").alias("doc_id"))
+    sh = shingle_index(spark, sf_dir).join(F.broadcast(ids), "doc_id", "leftsemi")
+    a = sh.filter(F.col("doc_id") < N_PROBES).select(
+        F.col("doc_id").alias("probe_id"), "s"
+    )
+    overlap = (
+        a.join(sh.select("doc_id", "s"), "s")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("probe_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    w_lex = Window.partitionBy("probe_id").orderBy(F.desc("n_shared"), "doc_id")
+    lex_rk = overlap.withColumn("lex_rk", F.row_number().over(w_lex)).select(
+        "probe_id", "doc_id", "lex_rk"
+    )
+
+    fused = (
+        vec_rk.join(lex_rk, ["probe_id", "doc_id"], "left")
+        .withColumn(
+            "rrf_score",
+            F.expr(f"1000000000 DIV ({_RRF_K} + vec_rk)")
+            + F.coalesce(
+                F.expr(f"1000000000 DIV ({_RRF_K} + lex_rk)"), F.lit(0)
+            ),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy(F.desc("rrf_score"), "doc_id")
+            ),
+        )
+        .filter(F.col("rk") <= _RRF_TOP)
+    )
+    return fused.select(
+        "probe_id",
+        "doc_id",
+        "vec_rk",
+        F.coalesce("lex_rk", F.lit(0)).alias("lex_rk"),
+        "rrf_score",
+        F.col("rk").cast("long").alias("rk"),
+    ).orderBy("probe_id", "rk")
+
+
+Q93_SQL = rf"""
+WITH p AS (
+  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+  FROM embeddings WHERE vec_id < {N_PROBES}
+),
+vecr AS (
+  SELECT probe_id, vec_id AS doc_id,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY round(list_cosine_similarity(pe, CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                                     vec_id) AS vec_rk
+  FROM embeddings e CROSS JOIN p
+  WHERE e.vec_id != p.probe_id
+),
+toks AS (
+  SELECT d.doc_id, string_split_regex(lower(d.text), '\s+') AS t
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+sh AS (
+  SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+  FROM toks WHERE len(t) >= 3
+),
+overlap AS (
+  SELECT a.doc_id AS probe_id, b.doc_id, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b USING (s)
+  WHERE a.doc_id < {N_PROBES} AND b.doc_id != a.doc_id
+  GROUP BY 1, 2
+),
+lexr AS (
+  SELECT probe_id, doc_id,
+         row_number() OVER (PARTITION BY probe_id ORDER BY n_shared DESC, doc_id) AS lex_rk
+  FROM overlap
+),
+fused AS (
+  SELECT v.probe_id, v.doc_id, v.vec_rk, l.lex_rk,
+         1000000000 // ({_RRF_K} + v.vec_rk)
+           + COALESCE(1000000000 // ({_RRF_K} + l.lex_rk), 0) AS rrf_score
+  FROM vecr v LEFT JOIN lexr l USING (probe_id, doc_id)
+),
+top AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY rrf_score DESC, doc_id) AS rk
+  FROM fused
+)
+SELECT probe_id, doc_id,
+       CAST(vec_rk AS BIGINT) AS vec_rk,
+       CAST(COALESCE(lex_rk, 0) AS BIGINT) AS lex_rk,
+       CAST(rrf_score AS BIGINT) AS rrf_score,
+       CAST(rk AS BIGINT) AS rk
+FROM top
+WHERE rk <= {_RRF_TOP}
+ORDER BY probe_id, rk
+"""
+
+QUERIES["q93_rrf_hybrid_retrieval"] = q93_rrf_hybrid_retrieval
+ORACLES["q93_rrf_hybrid_retrieval"] = Q93_SQL

@@ -31,6 +31,7 @@ from developing_img_etl_spark.queries import all_queries
 BNLJ_ALLOWED = {
     "q11d_bucket_range_join",
     "q13_brute_force_topk",
+    "q93_rrf_hybrid_retrieval",  # q13's tiny-probe-set broadcast cross
     "q45_tfidf_topterms",
     "q46_fk_integrity",
     "q47_skew_profile",
