@@ -518,3 +518,171 @@ ORDER BY probe_id, rk
 
 QUERIES["q93_rrf_hybrid_retrieval"] = q93_rrf_hybrid_retrieval
 ORACLES["q93_rrf_hybrid_retrieval"] = Q93_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q96 — SemDeDup-style semantic dedup (Abbas et al. 2023): the modern
+# curation pipeline's EMBEDDING-cluster dedup — partition the corpus by
+# nearest cluster center, then drop, within each cluster, every vector
+# that has a more-senior (smaller-id) near-identical neighbor. q31
+# finds cosine near-dup PAIRS blocked by an existing label; SemDeDup's
+# defining step is that the blocking itself comes from the embedding
+# geometry, so near-identical vectors land in the same cluster by
+# construction and the pair search never crosses clusters.
+#
+# Determinism: cluster centers are K hash-picked MEDOIDS (actual corpus
+# vectors, chosen by the portable md5-rank of their vec_id — the
+# operators/sampling.py discipline), not floating-point k-means
+# averages, so both engines derive the identical center set; every
+# cosine is rounded to 6dp before any compare (the q13/q31 FP
+# discipline). The planted duplicates (q31's corpus: every 10th vector
+# re-appears under a new id) must each land in their original's cluster
+# — identical vectors get identical similarity rows and the same
+# argmax — and be dropped there; natural vectors survive (the corpus is
+# near-isotropic, no natural pair reaches 0.99).
+#
+# Scale shape: medoids are a K-row broadcast (assignment is map-side —
+# the q13 tiny-probe cross); the assignment window shuffles only
+# (vec_id, medoid_id, sim) scalars; embeddings re-attach BY KEY for the
+# within-cluster verify, one numpy Gram per cluster via applyInPandas
+# (never an interpreted per-pair fold). Cluster count scales as
+# corpus/cluster_size; the all-pairs stays inside clusters — the
+# SemDeDup paper's own cost model.
+# ---------------------------------------------------------------------------
+_SEM_K = 8
+
+
+def q96_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from .classify import md5_prefix_int
+
+    emb = load(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % PLANT_EVERY == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(PLANT_OFFSET)
+    )
+    corpus = emb.unionByName(planted).select("vec_id", "embedding")
+
+    medoids = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            md5_prefix_int(F.col("vec_id").cast("string"), 8).alias("hk"),
+        )
+        .orderBy("hk", "vec_id")  # TakeOrdered — no global sort materializes
+        .limit(_SEM_K)
+        .select(
+            F.col("vec_id").alias("medoid_id"),
+            F.col("embedding").alias("m_emb"),
+            norm(F.col("embedding")).alias("m_nrm"),
+        )
+    )
+    cand = corpus.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    sim = dot(F.col("m_emb"), F.col("embedding")) / (F.col("m_nrm") * F.col("nrm"))
+    assign = cand.crossJoin(F.broadcast(medoids)).select(
+        "vec_id", "medoid_id", F.round(sim, 6).alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "medoid_id")
+    cluster = (
+        assign.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("medoid_id").alias("cluster_id"))
+    )
+    members = corpus.join(cluster, "vec_id")
+
+    def drops(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id", ignore_index=True)
+        ids = pdf["vec_id"].to_numpy()
+        x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        n = np.linalg.norm(x, axis=1)
+        s = (x @ x.T) / np.outer(n, n)
+        # half-away-from-zero 6dp (np.round is banker's — q31's rule)
+        r = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
+        ia, ib = np.triu_indices(len(ids), k=1)
+        dropped = np.unique(ids[ib[r[ia, ib] >= NEAR_DUP_THRESHOLD]])
+        return pd.DataFrame(
+            {
+                "cluster_id": pdf["cluster_id"].iloc[:1].repeat(len(dropped)),
+                "dropped_id": dropped,
+            }
+        )
+
+    dropped = members.groupBy("cluster_id").applyInPandas(
+        drops, "cluster_id long, dropped_id long"
+    )
+    stats = cluster.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    agg = dropped.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_dropped"),
+        F.sum("dropped_id").alias("dropped_id_sum"),
+    )
+    return (
+        stats.join(agg, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("n_members") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
+            F.coalesce("dropped_id_sum", F.lit(0)).alias("dropped_id_sum"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+from .classify import sql_md5_prefix_int  # noqa: E402  (portable hash idiom)
+
+Q96_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET} AS vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id % {PLANT_EVERY} = 0
+),
+med AS (
+  SELECT vec_id AS medoid_id, CAST(embedding AS DOUBLE[]) AS m_emb
+  FROM (
+    SELECT vec_id, embedding, {sql_md5_prefix_int(8)} AS hk
+    FROM (SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h FROM embeddings)
+    ORDER BY hk, vec_id LIMIT {_SEM_K}
+  )
+),
+assign AS (
+  SELECT c.vec_id, m.medoid_id,
+         round(list_cosine_similarity(c.e, m.m_emb), 6) AS sim
+  FROM corpus c CROSS JOIN med m
+),
+cluster AS (
+  SELECT vec_id, medoid_id AS cluster_id
+  FROM (
+    SELECT vec_id, medoid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, medoid_id) AS rk
+    FROM assign
+  )
+  WHERE rk = 1
+),
+mem AS (
+  SELECT c.vec_id, cl.cluster_id, c.e
+  FROM corpus c JOIN cluster cl USING (vec_id)
+),
+dropped AS (
+  SELECT DISTINCT a.cluster_id, b.vec_id AS dropped_id
+  FROM mem a JOIN mem b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.e, b.e), 6) >= {NEAR_DUP_THRESHOLD}
+),
+agg AS (
+  SELECT cluster_id, COUNT(*) AS n_dropped, SUM(dropped_id) AS dropped_id_sum
+  FROM dropped GROUP BY cluster_id
+)
+SELECT s.cluster_id,
+       CAST(s.n_members AS BIGINT) AS n_members,
+       CAST(COALESCE(a.n_dropped, 0) AS BIGINT) AS n_dropped,
+       CAST(s.n_members - COALESCE(a.n_dropped, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(a.dropped_id_sum, 0) AS BIGINT) AS dropped_id_sum
+FROM (SELECT cluster_id, COUNT(*) AS n_members FROM cluster GROUP BY cluster_id) s
+LEFT JOIN agg a USING (cluster_id)
+ORDER BY s.cluster_id
+"""
+
+QUERIES["q96_semdedup"] = q96_semdedup
+ORACLES["q96_semdedup"] = Q96_SQL

@@ -6,8 +6,10 @@ reference's users write SQL against the catalog, SURVEY.md §2.11).
 
 Q21 is the STAGE_DEPENDENCY transitive traversal that round 1 scoped
 out (/root/reference/test.mmd:52-58, VERDICT r1 missing #3): the full
-ancestor closure of the within-order precedence chain — Spark has no
-recursive CTE, so a driver loop IS the Spark-native form. Round 3
+ancestor closure of the within-order precedence chain — built as a
+driver loop (the pre-Spark-4 form, and still the shape that admits
+path-doubling); q94 below runs the ENGINE-NATIVE WITH RECURSIVE that
+Spark 4.1 added (SPARK-24497) over the same chain. Round 3
 upgraded the one-hop frontier join to PATH DOUBLING (repeated
 squaring): ceil(log2 depth) barrier rounds instead of depth rounds,
 with multiplicity bookkeeping to preserve the recursion's bag
@@ -198,6 +200,65 @@ ORACLES = {
     "q20_sql_entry": Q20_SQL,
     "q21_dependency_closure": Q21_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Q94 — ENGINE-NATIVE recursive CTE through the SQL front door.
+# Spark 4.1 ships WITH RECURSIVE (SPARK-24497), so the traversal family
+# gains a third, engine-executed implementation next to q21's manual
+# path-doubling and the oracle's DuckDB recursion: the IDENTICAL SQL
+# text runs on both engines, and the hash-match certifies Catalyst's
+# new recursive execution against an independent native implementation
+# — plus per-step arithmetic (a path-accumulated quantity), which the
+# closure-shape queries don't exercise.
+#
+# Semantics: within each order the lineitem precedence chain (q19/q21's
+# edges) is walked from line 1, accumulating CAST(l_quantity AS BIGINT)
+# along the path; duplicate (orderkey, linenumber) rows give the
+# recursion BAG semantics — UNION ALL multiplies paths identically in
+# both engines. The output aggregates per depth (paths, distinct
+# orders, total path quantity), so result transfer is 7 rows while the
+# hash still pins every path's existence and sum.
+#
+# Scale shape: each recursion level is one equi-join of the frontier
+# against the (orderkey-partitioned) lineitem scan — cost per level is
+# one shuffle, level count = chain depth (7 here), not data volume.
+# The 10%-of-orders partition filter is pushed into the anchor scan.
+# Ledger note: Spark pays its fixed per-iteration stage floor 7 times
+# (~4-5 s at any tiny SF) while DuckDB's in-process recursive executor
+# replays in milliseconds — the ratio is the iteration floor, not the
+# plan; at 100x data the per-level join cost, not the floor, dominates.
+# ---------------------------------------------------------------------------
+Q94_TEXT = """
+WITH RECURSIVE chain AS (
+  SELECT l_orderkey AS orderkey, l_linenumber AS line,
+         CAST(l_quantity AS BIGINT) AS cum_qty, 1 AS depth
+  FROM lineitem WHERE l_linenumber = 1 AND l_orderkey % 10 = 0
+  UNION ALL
+  SELECT c.orderkey, l.l_linenumber, c.cum_qty + CAST(l.l_quantity AS BIGINT),
+         c.depth + 1
+  FROM chain c JOIN lineitem l
+    ON l.l_orderkey = c.orderkey AND l.l_linenumber = c.line + 1
+)
+SELECT depth,
+       COUNT(*) AS n_paths,
+       COUNT(DISTINCT orderkey) AS n_orders,
+       SUM(cum_qty) AS total_path_qty
+FROM chain
+GROUP BY depth
+ORDER BY depth
+"""
+
+
+def q94_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(Q94_TEXT)
+
+
+Q94_SQL = Q94_TEXT  # dialect-shared: the same text runs on DuckDB
+
+QUERIES["q94_recursive_cte"] = q94_recursive_cte
+ORACLES["q94_recursive_cte"] = Q94_SQL
 
 
 # ---------------------------------------------------------------------------

@@ -2196,3 +2196,117 @@ ORDER BY r.source
 
 QUERIES["q92_temperature_mixing"] = q92_temperature_mixing
 ORACLES["q92_temperature_mixing"] = Q92_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q95 — Count-Min sketch heavy hitters (operators/cms.py). Completes
+# the sketch family next to Bloom (q61) and HLL (q17): the reference
+# keeps exact driver-side frequency maps (/root/reference/test.py:
+# 94-118); at 100 TB heavy-hitter tracking runs on a mergeable sketch.
+#
+# One token-count aggregation feeds BOTH sides: the exact top-20 probe
+# set (TakeOrdered — no global sort) and the sketch build (token-level
+# weighted cells, so the d-way explode multiplies distinct tokens, not
+# occurrences). The estimate attaches via a broadcast join of the
+# d·w-cell frame; the never-underestimate invariant (over_est >= 0 on
+# every row) is checked by the oracle hash on the subtraction itself.
+# The hash family is the Bloom filter's portable Kirsch–Mitzenmacher
+# arithmetic over md5-derived integer keys, so DuckDB rebuilds the
+# identical cells — one wrong cell anywhere flips an estimate.
+# ---------------------------------------------------------------------------
+_CMS_D = 3
+_CMS_W = 16  # 31 distinct corpus tokens -> real collisions, the estimate is not vacuously exact
+_CMS_TOP = 20
+
+
+def q95_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as TXT
+    from ..operators.cms import cms_build, cms_estimate
+    from .classify import md5_prefix_int
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TXT.tokens(F.col("text"))).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+    keyed = counts.select("tok", "n_exact", md5_prefix_int(F.col("tok"), 8).alias("k"))
+    cells = cms_build(keyed, "k", "n_exact", depth=_CMS_D, width=_CMS_W)
+    w = Window.orderBy(F.desc("n_exact"), F.asc("tok"))
+    probes = keyed.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _CMS_TOP
+    )
+    est = cms_estimate(probes, "k", cells, depth=_CMS_D, width=_CMS_W)
+    return est.select(
+        F.col("rk").cast("long").alias("rk"),
+        "tok",
+        "n_exact",
+        "cms_est",
+        (F.col("cms_est") - F.col("n_exact")).alias("over_est"),
+    ).orderBy("rk")
+
+
+def _sql_cms_pos(key: str, r: int) -> str:
+    h1 = f"((({key}) % {P}) * {K1} + {S1}) % {P}"
+    h2 = f"((({key}) % {P}) * {K2} + {S2}) % {P}"
+    return f"(({h1}) + {r} * ({h2})) % {P} % {_CMS_W}"
+
+
+from ..operators.bloom import K1, K2, P, S1, S2  # noqa: E402  (portable hash family)
+from .classify import sql_md5_prefix_int  # noqa: E402
+
+Q95_SQL = rf"""
+WITH toks AS (
+  SELECT t.tok
+  FROM documents, UNNEST(string_split_regex(lower(text), '\s+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+counts AS (
+  SELECT tok, COUNT(*) AS n_exact FROM toks GROUP BY tok
+),
+keyed AS (
+  SELECT tok, n_exact, {sql_md5_prefix_int(8)} AS k
+  FROM (SELECT tok, n_exact, md5(tok) AS h FROM counts)
+),
+cells AS (
+  SELECT r, c, SUM(n_exact) AS cnt
+  FROM (
+    SELECT n_exact, u.r,
+           CASE u.r
+             WHEN 0 THEN {_sql_cms_pos('k', 0)}
+             WHEN 1 THEN {_sql_cms_pos('k', 1)}
+             ELSE {_sql_cms_pos('k', 2)}
+           END AS c
+    FROM keyed, UNNEST([0, 1, 2]) AS u(r)
+  )
+  GROUP BY r, c
+),
+probes AS (
+  SELECT tok, n_exact, k,
+         row_number() OVER (ORDER BY n_exact DESC, tok ASC) AS rk
+  FROM keyed
+  QUALIFY rk <= {_CMS_TOP}
+),
+est AS (
+  SELECT p.rk, p.tok, p.n_exact, MIN(COALESCE(ce.cnt, 0)) AS cms_est
+  FROM (
+    SELECT rk, tok, n_exact, u.r,
+           CASE u.r
+             WHEN 0 THEN {_sql_cms_pos('k', 0)}
+             WHEN 1 THEN {_sql_cms_pos('k', 1)}
+             ELSE {_sql_cms_pos('k', 2)}
+           END AS c
+    FROM probes, UNNEST([0, 1, 2]) AS u(r)
+  ) p
+  LEFT JOIN cells ce ON ce.r = p.r AND ce.c = p.c
+  GROUP BY p.rk, p.tok, p.n_exact
+)
+SELECT CAST(rk AS BIGINT) AS rk, tok,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - n_exact AS BIGINT) AS over_est
+FROM est
+ORDER BY rk
+"""
+
+QUERIES["q95_cms_heavy_hitters"] = q95_cms_heavy_hitters
+ORACLES["q95_cms_heavy_hitters"] = Q95_SQL

@@ -44,6 +44,9 @@ BNLJ_ALLOWED = {
     "q75_corpus_drift",
     # q92: Σweight/corpus-total as the 1-row mixing-plan scalar cross
     "q92_temperature_mixing",
+    # q96: K-row medoid set broadcast against every vector (the q13
+    # tiny-probe-set cross — assignment IS the algorithm)
+    "q96_semdedup",
 }
 
 # no exemptions today: every declared query ships ids through hash

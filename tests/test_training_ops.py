@@ -338,3 +338,69 @@ def test_ivm_sign_is_signed_multiplicity(spark):
     r = delta_aggregate(delta, ["g"], ["x"], sign_col="s").collect()[0]
     # count and sum stay CONSISTENT for any sign: 2+0-1 rows, 2*10+0*3-5
     assert (r.n, float(r.x)) == (1, 15.0)
+
+
+def test_cms_never_underestimates_and_is_exact_when_wide(spark):
+    from pyspark.sql import functions as F
+
+    from developing_img_etl_spark.operators.cms import cms_build, cms_estimate
+
+    keyed = spark.createDataFrame(
+        [(k, (k * 7) % 13 + 1) for k in range(100)], "k LONG, n LONG"
+    )
+    # narrow sketch: collisions guaranteed (100 keys, 16 columns) — the
+    # estimate must still never undercount any key
+    cells = cms_build(keyed, "k", "n", depth=3, width=16)
+    est = cms_estimate(keyed, "k", cells, depth=3, width=16)
+    rows = est.collect()
+    assert len(rows) == 100
+    assert all(r.cms_est >= r.n for r in rows)
+    assert any(r.cms_est > r.n for r in rows)  # narrow ⇒ real collisions
+    # wide sketch: with ~no collisions every estimate is exact
+    cells_w = cms_build(keyed, "k", "n", depth=3, width=4096)
+    exact = cms_estimate(keyed, "k", cells_w, depth=3, width=4096)
+    assert all(r.cms_est == r.n for r in exact.collect())
+
+
+def test_cms_cells_merge_across_partitions(spark):
+    """Cell-wise addition of two sketches == the sketch of the union —
+    the mergeability that makes CMS a distributed/streaming structure."""
+    from pyspark.sql import functions as F
+
+    from developing_img_etl_spark.operators.cms import cms_build
+
+    a = spark.createDataFrame([(k, 5) for k in range(0, 50)], "k LONG, n LONG")
+    b = spark.createDataFrame([(k, 3) for k in range(25, 75)], "k LONG, n LONG")
+    both = a.unionByName(b)
+    merged = (
+        cms_build(a, "k", "n", depth=2, width=32)
+        .unionByName(cms_build(b, "k", "n", depth=2, width=32))
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cms_build(both, "k", "n", depth=2, width=32)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_semdedup_drops_exactly_the_planted_duplicates(spark, sf_dir):
+    """Ground truth: the q31/q96 corpus plants every 10th vector under a
+    new id; SemDeDup must drop precisely that planted set (the senior
+    original survives) and nothing natural."""
+    from developing_img_etl_spark.queries.similarity import (
+        PLANT_EVERY,
+        PLANT_OFFSET,
+        q96_semdedup,
+    )
+
+    rows = q96_semdedup(spark, sf_dir).collect()
+    n_base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    planted = list(range(0, n_base, PLANT_EVERY))
+    assert sum(r.n_dropped for r in rows) == len(planted)
+    # every planted copy carries the +PLANT_OFFSET id, so the dropped-id
+    # sum identifies the dropped SET, not just its size
+    assert sum(r.dropped_id_sum for r in rows) == sum(
+        i + PLANT_OFFSET for i in planted
+    )
+    assert sum(r.n_members for r in rows) == n_base + len(planted)
