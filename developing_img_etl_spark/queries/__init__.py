@@ -27,6 +27,7 @@ from . import (
     relational,
     sampling,
     similarity,
+    sketches,
     sql_surface,
     streaming_batch,
     text,
@@ -47,6 +48,7 @@ _MODULES = (
     training,
     behavior,
     classify,
+    sketches,
 )
 
 

@@ -975,3 +975,156 @@ ORDER BY c_mktsegment, c_custkey
 
 QUERIES["q89_distribution_ranks"] = q89_distribution_ranks
 ORACLES["q89_distribution_ranks"] = Q89_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q99 — interval-overlap join via bin bucketing (J7's missing sibling).
+#
+# As-of and range joins (q11b-d) cover point-to-interval lookup; the
+# remaining interval primitive is INTERVAL x INTERVAL overlap — "which
+# order-activity windows intersect which campaign windows" (the
+# genomics/AD-tech overlap join). A naive theta join is O(n*m); the
+# scale shape is BINNING: each interval explodes to the fixed-width
+# timeline bins it spans, candidates come from an EQUI-join on
+# (segment, bin), pairs are deduped, and the exact overlap predicate +
+# arithmetic runs only on candidates. Intervals here span <= 30 days
+# -> <= 2 bins each, so the blowup factor is bounded by
+# ceil(len/binw)+1 regardless of data volume, and the join is an
+# ordinary hash join Catalyst/AQE can plan (vs an unplannable theta).
+#
+# The DuckDB oracle runs the NAIVE theta join over the same intervals,
+# so the hash-match is a cross-ALGORITHM invariance check (the q82
+# discipline): binning provably loses no pair and invents none.
+#
+# Campaign windows are derived arithmetically from the segment list
+# (12 per segment, 30-day cadence, md5-jittered start, 10-25 day
+# length) — deterministic on both engines, no side table needed.
+# ---------------------------------------------------------------------------
+
+_Q99_BIN = 30
+_Q99_D0 = 9131  # epoch day of 1995-01-01
+
+
+def q99_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .classify import md5_prefix_int
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    epoch_day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    o_iv = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "o_orderkey",
+            F.col("c_mktsegment").alias("segment"),
+            epoch_day.alias("o_start"),
+            (epoch_day + 1 + F.col("o_orderkey") % 14).alias("o_end"),
+        )
+    )
+    camp = (
+        cust.select(F.col("c_mktsegment").alias("segment"))
+        .distinct()
+        .select("segment", F.explode(F.sequence(F.lit(0), F.lit(11))).alias("campaign_id"))
+        .select(
+            "segment",
+            "campaign_id",
+            (
+                F.lit(_Q99_D0)
+                + F.col("campaign_id") * 30
+                + md5_prefix_int(F.col("segment"), 2) % 20
+            ).alias("c_start"),
+        )
+        .withColumn(
+            "c_end", F.col("c_start") + 10 + (F.col("campaign_id") % 4) * 5
+        )
+    )
+    o_bins = o_iv.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr(f"o_start div {_Q99_BIN}"), F.expr(f"o_end div {_Q99_BIN}")
+            )
+        ).alias("bin"),
+    )
+    c_bins = camp.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr(f"c_start div {_Q99_BIN}"), F.expr(f"c_end div {_Q99_BIN}")
+            )
+        ).alias("bin"),
+    )
+    pairs = (
+        o_bins.join(c_bins, ["segment", "bin"])
+        .filter((F.col("o_start") <= F.col("c_end")) & (F.col("c_start") <= F.col("o_end")))
+        .select(
+            "segment",
+            "campaign_id",
+            "c_start",
+            "c_end",
+            "o_orderkey",
+            (
+                F.least("o_end", "c_end") - F.greatest("o_start", "c_start") + 1
+            ).alias("overlap_days"),
+        )
+        .distinct()  # an overlapping pair can share both spanned bins
+    )
+    return (
+        pairs.groupBy("segment", "campaign_id", "c_start", "c_end")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("overlap_days").alias("total_overlap_days"),
+            F.max("overlap_days").alias("max_overlap_days"),
+        )
+        .select(
+            "segment",
+            "campaign_id",
+            F.col("c_start").alias("campaign_start_day"),
+            F.col("c_end").alias("campaign_end_day"),
+            "n_orders",
+            "total_overlap_days",
+            "max_overlap_days",
+        )
+        .orderBy("segment", "campaign_id")
+    )
+
+
+from .classify import sql_md5_prefix_int as _sql_md5  # noqa: E402
+
+Q99_SQL = rf"""
+WITH o_iv AS (
+  SELECT o_orderkey, c_mktsegment AS segment,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS o_start,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           + 1 + o_orderkey % 14 AS o_end
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+seg AS (SELECT DISTINCT c_mktsegment AS segment FROM customer),
+segh AS (
+  SELECT segment, {_sql_md5(2)} % 20 AS jitter
+  FROM (SELECT segment, md5(segment) AS h FROM seg)
+),
+camp AS (
+  SELECT segment, campaign_id,
+         {_Q99_D0} + campaign_id * 30 + jitter AS c_start,
+         {_Q99_D0} + campaign_id * 30 + jitter + 10 + (campaign_id % 4) * 5 AS c_end
+  FROM (SELECT segment, jitter, UNNEST(range(0, 12)) AS campaign_id FROM segh)
+),
+pairs AS (
+  SELECT o.segment, c.campaign_id, c.c_start, c.c_end, o.o_orderkey,
+         least(o.o_end, c.c_end) - greatest(o.o_start, c.c_start) + 1 AS overlap_days
+  FROM o_iv o JOIN camp c
+    ON o.segment = c.segment AND o.o_start <= c.c_end AND c.c_start <= o.o_end
+)
+SELECT segment, CAST(campaign_id AS BIGINT) AS campaign_id,
+       CAST(c_start AS BIGINT) AS campaign_start_day,
+       CAST(c_end AS BIGINT) AS campaign_end_day,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(overlap_days) AS BIGINT) AS total_overlap_days,
+       CAST(MAX(overlap_days) AS BIGINT) AS max_overlap_days
+FROM pairs
+GROUP BY segment, campaign_id, c_start, c_end
+ORDER BY segment, campaign_id
+"""
+
+QUERIES["q99_interval_overlap_join"] = q99_interval_overlap_join
+ORACLES["q99_interval_overlap_join"] = Q99_SQL

@@ -951,3 +951,121 @@ LIMIT 30
 
 QUERIES["q84_pmi_pairs"] = q84_pmi_pairs
 ORACLES["q84_pmi_pairs"] = Q84_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q98 — Kneser–Ney bigram statistics (LM training counts).
+#
+# The statistical-LM side of corpus curation: interpolated Kneser–Ney
+# (Kneser & Ney 1995; Chen & Goodman 1998) is THE classic n-gram
+# smoothing, and its sufficient statistics — bigram counts c(w1,w2),
+# left-context fanouts N1+(*,w2) (continuation counts), right fanouts
+# N1+(w1,*) and the distinct-bigram-type total T — are exactly what a
+# KenLM-style counting job extracts from a 100 TB corpus. The reference
+# derives per-row text stats (`/root/reference/test.py:94-118`); this
+# is the corpus-level generalization.
+#
+# The full interpolated-KN probability is evaluated in EXACT integer
+# ppm arithmetic (absolute discount d = 0.75 carried as quarters so no
+# floats appear anywhere; truncating DIV on both engines):
+#
+#   P_cont(w2)      = N1+(*,w2) / T                       [ppm]
+#   term1           = max(c - 0.75, 0) / c(w1,*)          [(4c-3)*250000 DIV cw1]
+#   lambda(w1)      = 0.75 * N1+(w1,*) / c(w1,*)          [3*nr*250000 DIV cw1]
+#   P_KN(w2|w1)     = term1 + lambda * P_cont / 1e6       [ppm]
+#
+# Scale shape: bigrams are built MAP-SIDE from the token array
+# (transform over a sequence — no window, no shuffle to form pairs);
+# the aggregations are token-keyed hash aggs whose keys are vocabulary
+# terms, so shuffle volume is O(vocab), not O(corpus). lambda's
+# integer intermediate 3*N1+*250000 stays under 2^63 for any corpus
+# up to ~10^12 bigram tokens per head word.
+# ---------------------------------------------------------------------------
+
+
+def q98_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", TXT.tokens(F.col("text")).alias("t")
+    )
+    bg = (
+        docs.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t)-1),"
+                    " i -> struct(element_at(t, i) AS w1, element_at(t, i+1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    c = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cw1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cw1"))
+    bg_types = bg.distinct()
+    n_left = bg_types.groupBy("w2").agg(F.count(F.lit(1)).alias("n_left"))
+    n_right = bg_types.groupBy("w1").agg(F.count(F.lit(1)).alias("n_right"))
+    # T as the audited 1-row broadcast scalar (the q75 discipline)
+    t_total = bg_types.agg(F.count(F.lit(1)).alias("t_types"))
+    return (
+        c.join(cw1, "w1")
+        .join(n_right, "w1")
+        .join(n_left, "w2")
+        .crossJoin(F.broadcast(t_total))
+        .withColumn("p_cont_ppm", F.expr("n_left * 1000000 DIV t_types"))
+        .withColumn("term1_ppm", F.expr("greatest(4*c - 3, 0) * 250000 DIV cw1"))
+        .withColumn("lambda_ppm", F.expr("3 * n_right * 250000 DIV cw1"))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            "cw1",
+            F.col("n_right").alias("n_right_w1"),
+            F.col("n_left").alias("n_left_w2"),
+            "p_cont_ppm",
+            F.expr("term1_ppm + (lambda_ppm * p_cont_ppm) DIV 1000000").alias(
+                "p_kn_ppm"
+            ),
+        )
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(100)
+    )
+
+
+Q98_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+),
+bg AS (
+  SELECT w1, w2 FROM (
+    SELECT t[i] AS w1, t[i+1] AS w2
+    FROM (SELECT t, UNNEST(range(1, len(t))) AS i FROM toks)
+  ) WHERE w1 <> '' AND w2 <> ''
+),
+c AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+cw1 AS (SELECT w1, COUNT(*) AS cw1 FROM bg GROUP BY w1),
+bg_types AS (SELECT DISTINCT w1, w2 FROM bg),
+n_left AS (SELECT w2, COUNT(*) AS n_left FROM bg_types GROUP BY w2),
+n_right AS (SELECT w1, COUNT(*) AS n_right FROM bg_types GROUP BY w1),
+t_total AS (SELECT COUNT(*) AS t_types FROM bg_types)
+SELECT c.w1, c.w2,
+       CAST(c.c AS BIGINT) AS c,
+       CAST(cw1.cw1 AS BIGINT) AS cw1,
+       CAST(n_right.n_right AS BIGINT) AS n_right_w1,
+       CAST(n_left.n_left AS BIGINT) AS n_left_w2,
+       CAST(n_left.n_left * 1000000 // t_total.t_types AS BIGINT) AS p_cont_ppm,
+       CAST(greatest(4*c.c - 3, 0) * 250000 // cw1.cw1
+            + (3 * n_right.n_right * 250000 // cw1.cw1)
+              * (n_left.n_left * 1000000 // t_total.t_types) // 1000000
+            AS BIGINT) AS p_kn_ppm
+FROM c
+JOIN cw1 USING (w1)
+JOIN n_right USING (w1)
+JOIN n_left USING (w2)
+CROSS JOIN t_total
+ORDER BY c DESC, w1, w2
+LIMIT 100
+"""
+
+QUERIES["q98_kneser_ney_bigrams"] = q98_kneser_ney_bigrams
+ORACLES["q98_kneser_ney_bigrams"] = Q98_SQL
