@@ -23,6 +23,7 @@ from . import (
     behavior,
     classify,
     dedup,
+    linkage,
     multimodal,
     relational,
     sampling,
@@ -49,6 +50,7 @@ _MODULES = (
     behavior,
     classify,
     sketches,
+    linkage,
 )
 
 

@@ -259,3 +259,227 @@ ORDER BY user_id, session_start
 
 QUERIES["q86_capped_sessions"] = q86_capped_sessions
 ORACLES["q86_capped_sessions"] = Q86_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q102 — rolling z-score anomaly detection, exact cross-multiplied
+# integers (time-series monitoring over the orders stream).
+#
+# The ops side of a 100 TB pipeline: flag days whose revenue deviates
+# > k sigma from the trailing window — the standard streaming/batch
+# data-quality monitor. The textbook formulation needs sqrt(variance);
+# both sqrt and the division are floating and engine-noisy. The
+# z-test is instead evaluated as an EXACT integer inequality by
+# cross-multiplying the definition (the q89 integer-rank discipline):
+#
+#   z^2 > k^2   <=>   (n*x - S1)^2 > k^2 * (n*S2 - S1^2)
+#
+# with x = daily revenue in cents, S1/S2 = trailing-window sum and
+# sum-of-squares (7 prior days, >= 5 required), k = 3. A severity
+# ranking that needs no sqrt either: sev_ppm = lhs * 1e6 DIV rhs.
+# Squares of cent sums reach ~10^22 at warehouse scale, so the
+# comparison runs in DECIMAL(38,0) on both engines — overflow-free up
+# to ~10^19 cents per window.
+#
+# Scale shape: one (segment, day) hash agg over the orders scan, one
+# segment-keyed window (each segment's day series is tiny relative to
+# the scan), output = 3 rows per segment. All arithmetic exact, so
+# partitioning can never flip a flag.
+# ---------------------------------------------------------------------------
+
+
+def q102_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    daily = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,4)")) * 100, 0)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    stats = daily.select(
+        "segment",
+        "day",
+        "cents",
+        F.count("cents").over(w).alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).over(w).alias("s1"),
+        F.sum((F.col("cents").cast("decimal(38,0)") * F.col("cents")).cast("decimal(38,0)"))
+        .over(w)
+        .alias("s2"),
+    ).filter(F.col("n") >= 5)
+    scored = stats.select(
+        "segment",
+        "day",
+        "cents",
+        F.col("n").cast("long").alias("window_n"),
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * cents - s1) * (CAST(n AS DECIMAL(38,0)) * cents - s1) AS DECIMAL(38,0))"
+        ).alias("lhs"),
+        F.expr(
+            "CAST(9 * (CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1) AS DECIMAL(38,0))"
+        ).alias("rhs"),
+    )
+    ranked = scored.select(
+        "segment",
+        "day",
+        "cents",
+        "window_n",
+        F.when(F.col("rhs") <= 0, F.col("lhs") > 0)
+        .otherwise(F.col("lhs") > F.col("rhs"))
+        .alias("is_anomaly"),
+        F.when(F.col("rhs") <= 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("CAST(lhs * 1000000 div rhs AS BIGINT)"))
+        .alias("sev_ppm"),
+    )
+    wtop = Window.partitionBy("segment").orderBy(
+        F.desc_nulls_last("sev_ppm"), "day"
+    )
+    return (
+        ranked.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "segment",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cents",
+            "window_n",
+            "is_anomaly",
+            "sev_ppm",
+            F.col("rk").cast("long").alias("rk"),
+        )
+        .orderBy("segment", "rk")
+    )
+
+
+Q102_SQL = """
+WITH daily AS (
+  SELECT c_mktsegment AS segment, CAST(o_orderdate AS DATE) AS day,
+         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,4))) * 100, 0) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT segment, day, cents,
+         COUNT(cents) OVER w AS n,
+         SUM(CAST(cents AS DECIMAL(38,0))) OVER w AS s1,
+         SUM(CAST(CAST(cents AS DECIMAL(38,0)) * cents AS DECIMAL(38,0))) OVER w AS s2
+  FROM daily
+  WINDOW w AS (PARTITION BY segment ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT segment, day, cents, CAST(n AS BIGINT) AS window_n,
+         CAST((CAST(n AS DECIMAL(38,0)) * cents - s1) * (CAST(n AS DECIMAL(38,0)) * cents - s1) AS DECIMAL(38,0)) AS lhs,
+         CAST(9 * (CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1) AS DECIMAL(38,0)) AS rhs
+  FROM stats WHERE n >= 5
+),
+ranked AS (
+  SELECT segment, day, cents, window_n,
+         CASE WHEN rhs <= 0 THEN lhs > 0 ELSE lhs > rhs END AS is_anomaly,
+         CASE WHEN rhs <= 0 THEN NULL
+              ELSE CAST(CAST(lhs AS HUGEINT) * 1000000 // CAST(rhs AS HUGEINT) AS BIGINT) END AS sev_ppm,
+         row_number() OVER (PARTITION BY segment
+                            ORDER BY (CASE WHEN rhs <= 0 THEN NULL
+                                           ELSE CAST(CAST(lhs AS HUGEINT) * 1000000 // CAST(rhs AS HUGEINT) AS BIGINT) END) DESC NULLS LAST,
+                                     day) AS rk
+  FROM scored
+)
+SELECT segment, strftime(day, '%Y-%m-%d') AS day, cents, window_n, is_anomaly, sev_ppm,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked
+WHERE rk <= 3
+ORDER BY segment, rk
+"""
+
+QUERIES["q102_zscore_anomalies"] = q102_zscore_anomalies
+ORACLES["q102_zscore_anomalies"] = Q102_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q105 — sliding-window distinct users (the window-distinct rewrite).
+#
+# "Distinct users in the trailing 7 days, per day" is the canonical
+# engagement metric, and COUNT(DISTINCT) OVER a sliding frame is the
+# one aggregate window functions cannot do (Spark raises
+# DISTINCT_WINDOW_FUNCTION_UNSUPPORTED; DuckDB computes it but only
+# single-threaded). The scale rewrite: each event CONTRIBUTES to the
+# 7 window-ends it falls into — explode to (window_end, user) pairs
+# map-side (bounded 7x fanout of two-integer rows), then one ordinary
+# distinct hash agg per window end. Shuffle volume is 7x(int,int) per
+# event — independent of how wide the window is relative to the data,
+# and embarrassingly parallel where the naive per-day DISTINCT scan
+# is O(days * window) rescans.
+#
+# The oracle computes the same metric the NAIVE way (per-day range
+# self-join + COUNT DISTINCT) — a cross-algorithm hash-match like
+# q82/q99. Window ends are kept only where the full 7-day window fits
+# inside the observed range, so both formulations agree at the edges.
+# ---------------------------------------------------------------------------
+
+
+def q105_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+        "user_id",
+    )
+    bounds = ev.agg(
+        F.min("d").alias("d_min"), F.max("d").alias("d_max")
+    )
+    expl = ev.select(
+        F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("wend"),
+        "user_id",
+        "d",
+    )
+    agg = expl.groupBy("wend").agg(
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(bounds))
+        .filter((F.col("wend") >= F.col("d_min") + 6) & (F.col("wend") <= F.col("d_max")))
+        .select(
+            F.date_format(
+                F.date_add(F.lit("1970-01-01").cast("date"), F.col("wend").cast("int")),
+                "yyyy-MM-dd",
+            ).alias("window_end"),
+            "distinct_users",
+            "n_events",
+        )
+        .orderBy("window_end")
+    )
+
+
+Q105_SQL = """
+WITH ev AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d, user_id
+  FROM events
+),
+bounds AS (SELECT MIN(d) AS d_min, MAX(d) AS d_max FROM ev),
+days AS (
+  SELECT UNNEST(range(d_min + 6, d_max + 1)) AS wend FROM bounds
+),
+win AS (
+  SELECT days.wend,
+         COUNT(DISTINCT ev.user_id) AS distinct_users,
+         COUNT(*) AS n_events
+  FROM days JOIN ev ON ev.d BETWEEN days.wend - 6 AND days.wend
+  GROUP BY days.wend
+)
+SELECT strftime(DATE '1970-01-01' + CAST(wend AS INTEGER), '%Y-%m-%d') AS window_end,
+       CAST(distinct_users AS BIGINT) AS distinct_users,
+       CAST(n_events AS BIGINT) AS n_events
+FROM win
+ORDER BY window_end
+"""
+
+QUERIES["q105_sliding_distinct_users"] = q105_sliding_distinct_users
+ORACLES["q105_sliding_distinct_users"] = Q105_SQL

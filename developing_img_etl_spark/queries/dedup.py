@@ -10,7 +10,7 @@ content-addressed dedup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -621,3 +621,145 @@ def q83_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q83_prefix_filter_jaccard"] = q83_prefix_filter_jaccard
 ORACLES["q83_prefix_filter_jaccard"] = Q14C_SQL  # cross-algorithm: must equal q14c
+
+
+# ---------------------------------------------------------------------------
+# Q103 — semi-supervised label propagation over the near-dup graph.
+#
+# The curation use: a small human/LLM-labeled seed set (quality tier,
+# topic, license class) must cover the rest of the corpus; near-dup
+# edges are the natural propagation medium — a document inherits the
+# majority label of its labeled near-duplicates (Zhu & Ghahramani
+# 2002; the LPA community-detection variant is Raghavan et al. 2007).
+# Three SYNCHRONOUS rounds: votes come only from the previous round's
+# labeled frontier, ties break to the smallest label, assigned labels
+# are immutable. Deterministic by construction — no floats, no races.
+#
+# Edges ride the SHARED persisted shingle index (zero extra scans —
+# the q14c/q27/q30/q48/q63 discipline): within-source pairs sharing
+# >= 2 distinct 3-gram shingles, symmetrized. Each round is one
+# id-keyed join + one (node, label) hash agg + one argmax window —
+# all shuffles carry (bigint, bigint) pairs only. Fixed 3-round
+# unroll: plan depth is bounded, no checkpoint needed (the q39
+# fixed-iteration discipline; q30/q21 own the unbounded-round case).
+#
+# The oracle replays the same three rounds as generated SQL stages —
+# the round templates are emitted by the same Python loop, so Spark
+# and DuckDB run structurally identical iterations.
+# ---------------------------------------------------------------------------
+
+_Q103_ROUNDS = 3
+_Q103_MIN_COMMON = 2
+
+
+def q103_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingle_index(spark, sf_dir)
+    a = sh.select("source", "s", F.col("doc_id").alias("id_a"))
+    b = sh.select("source", "s", F.col("doc_id").alias("id_b"))
+    half = (
+        a.join(b, ["source", "s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= _Q103_MIN_COMMON)
+        .select("id_a", "id_b")
+    )
+    edges = half.unionByName(
+        half.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    lab = docs.filter(F.col("doc_id") % 11 == 0).select(
+        "doc_id",
+        (F.col("doc_id") % 3).alias("label"),
+        F.lit(0).alias("round_assigned"),
+    )
+    for r in range(1, _Q103_ROUNDS + 1):
+        frontier = lab.filter(F.col("round_assigned") == r - 1)
+        votes = (
+            edges.join(frontier.withColumnRenamed("doc_id", "src"), "src")
+            .join(lab.select(F.col("doc_id").alias("dst")), "dst", "left_anti")
+            .groupBy(F.col("dst").alias("doc_id"), "label")
+            .agg(F.count(F.lit(1)).alias("n_votes"))
+        )
+        w = Window.partitionBy("doc_id").orderBy(F.desc("n_votes"), "label")
+        new = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("doc_id", "label", F.lit(r).alias("round_assigned"))
+        )
+        lab = lab.unionByName(new)
+    return (
+        lab.select(
+            "doc_id",
+            F.col("label").cast("long").alias("label"),
+            F.col("round_assigned").cast("long").alias("round_assigned"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q103_sql() -> str:
+    rounds = []
+    prev = "lab0"
+    for r in range(1, _Q103_ROUNDS + 1):
+        rounds.append(f"""
+votes{r} AS (
+  SELECT e.dst AS doc_id, l.label, COUNT(*) AS n_votes
+  FROM edges e
+  JOIN {prev} l ON e.src = l.doc_id AND l.round_assigned = {r - 1}
+  WHERE e.dst NOT IN (SELECT doc_id FROM {prev})
+  GROUP BY e.dst, l.label
+),
+new{r} AS (
+  SELECT doc_id, label, {r} AS round_assigned
+  FROM (SELECT doc_id, label,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY n_votes DESC, label) AS rk
+        FROM votes{r})
+  WHERE rk = 1
+),
+lab{r} AS (
+  SELECT * FROM {prev} UNION ALL SELECT * FROM new{r}
+)""")
+        prev = f"lab{r}"
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+  FROM toks
+  WHERE len(t) >= 3
+),
+inv AS (
+  SELECT doc_id, source, UNNEST(s) AS shingle FROM sh
+),
+half AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM inv a JOIN inv b
+    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {_Q103_MIN_COMMON}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM half
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM half
+),
+lab0 AS (
+  SELECT doc_id, doc_id % 3 AS label, 0 AS round_assigned
+  FROM documents WHERE doc_id % 11 = 0
+),{",".join(rounds)}
+SELECT doc_id, CAST(label AS BIGINT) AS label,
+       CAST(round_assigned AS BIGINT) AS round_assigned
+FROM {prev}
+ORDER BY doc_id
+"""
+
+
+QUERIES["q103_label_propagation"] = q103_label_propagation
+ORACLES["q103_label_propagation"] = _q103_sql()

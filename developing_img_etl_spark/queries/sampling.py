@@ -256,3 +256,135 @@ LIMIT {_WTOPK}
 
 QUERIES["q72_weighted_topk_sample"] = q72_weighted_topk_sample
 ORACLES["q72_weighted_topk_sample"] = Q72_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q104 — largest-remainder (Hamilton) stratified quota allocation.
+#
+# The sampling matrix (q26 hash split, q50 weighted shares, q57 group
+# top-k, q72 exactly-k global, q92 temperature mixing) lacks one
+# member: EXACTLY-K stratified sampling with proportional quotas that
+# sum to exactly K. Naive floor(K*n_i/N) under-allocates by up to
+# (#strata - 1); the largest-remainder method (Hamilton apportionment
+# — the seat-allocation algorithm) distributes the shortfall to the
+# strata with the largest fractional remainders. All integer: quota_i
+# = floor(K*n_i/N) + (1 if remainder-rank <= K - sum(floors)), with
+# remainder rank ordered by (K*n_i mod N) DESC, then source for the
+# deterministic tie-break.
+#
+# The per-stratum pick is then the q57 primitive: the quota_i docs
+# with the smallest portable md5 hash (deterministic, retry-stable).
+# Output audits the allocation: per stratum, population, floor quota,
+# remainder, +1 top-ups, final quota, picked count (must equal the
+# quota wherever population allows) — and the grand total must be
+# exactly K, which the oracle recomputes independently.
+#
+# Scale shape: stratum sizes are one hash agg (#strata rows — driver
+# scale, broadcast back); the pick is one window over docs hashed
+# map-side. No stage touches more than (doc_id, source, hash).
+# ---------------------------------------------------------------------------
+
+_Q104_K = 100
+
+
+def q104_stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from .classify import md5_prefix_int
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    sizes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = sizes.agg(F.sum("n_docs").alias("n_total"))
+    alloc = (
+        sizes.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_total",
+            F.expr(f"{_Q104_K} * n_docs div n_total").alias("floor_quota"),
+            F.expr(f"({_Q104_K} * n_docs) % n_total").alias("remainder"),
+        )
+    )
+    w_rem = Window.orderBy(F.desc("remainder"), "source")
+    w_all = Window.partitionBy(F.lit(1))
+    alloc = (
+        alloc.withColumn("shortfall", F.lit(_Q104_K) - F.sum("floor_quota").over(w_all))
+        .withColumn("rem_rank", F.row_number().over(w_rem))
+        .withColumn(
+            "quota",
+            F.col("floor_quota")
+            + F.when(F.col("rem_rank") <= F.col("shortfall"), 1).otherwise(0),
+        )
+    )
+    w_pick = Window.partitionBy("source").orderBy("h", "doc_id")
+    picked = (
+        docs.select("doc_id", "source", md5_prefix_int(F.col("doc_id").cast("string"), 15).alias("h"))
+        .withColumn("pick_rank", F.row_number().over(w_pick))
+        .join(F.broadcast(alloc.select("source", "quota")), "source")
+        .filter(F.col("pick_rank") <= F.col("quota"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_picked"))
+    )
+    return (
+        alloc.join(picked, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "floor_quota",
+            "remainder",
+            (F.col("rem_rank") <= F.col("shortfall")).alias("topped_up"),
+            "quota",
+            F.coalesce("n_picked", F.lit(0)).alias("n_picked"),
+        )
+        .orderBy("source")
+    )
+
+
+from .classify import sql_md5_prefix_int as _sql_md5p  # noqa: E402
+
+Q104_SQL = rf"""
+WITH sizes AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_docs) AS n_total FROM sizes),
+alloc0 AS (
+  SELECT source, n_docs, n_total,
+         {_Q104_K} * n_docs // n_total AS floor_quota,
+         ({_Q104_K} * n_docs) % n_total AS remainder
+  FROM sizes CROSS JOIN tot
+),
+alloc AS (
+  SELECT *,
+         {_Q104_K} - SUM(floor_quota) OVER () AS shortfall,
+         row_number() OVER (ORDER BY remainder DESC, source) AS rem_rank
+  FROM alloc0
+),
+alloc2 AS (
+  SELECT *, floor_quota + CASE WHEN rem_rank <= shortfall THEN 1 ELSE 0 END AS quota
+  FROM alloc
+),
+hashed AS (
+  SELECT doc_id, source, {_sql_md5p(15)} AS hv
+  FROM (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+),
+picked AS (
+  SELECT source, COUNT(*) AS n_picked
+  FROM (SELECT source,
+               row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS pick_rank
+        FROM hashed) p
+  JOIN alloc2 USING (source)
+  WHERE p.pick_rank <= alloc2.quota
+  GROUP BY source
+)
+SELECT a.source,
+       CAST(a.n_docs AS BIGINT) AS n_docs,
+       CAST(a.floor_quota AS BIGINT) AS floor_quota,
+       CAST(a.remainder AS BIGINT) AS remainder,
+       a.rem_rank <= a.shortfall AS topped_up,
+       CAST(a.quota AS BIGINT) AS quota,
+       CAST(COALESCE(p.n_picked, 0) AS BIGINT) AS n_picked
+FROM alloc2 a LEFT JOIN picked p USING (source)
+ORDER BY a.source
+"""
+
+QUERIES["q104_stratified_quota_sample"] = q104_stratified_quota_sample
+ORACLES["q104_stratified_quota_sample"] = Q104_SQL

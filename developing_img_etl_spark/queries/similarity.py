@@ -686,3 +686,99 @@ ORDER BY s.cluster_id
 
 QUERIES["q96_semdedup"] = q96_semdedup
 ORACLES["q96_semdedup"] = Q96_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q100 — int8 embedding quantization + reconstruction-error audit.
+#
+# The embedding-storage workhorse between "raw float32" and "PQ codes"
+# (m15): symmetric per-vector int8 quantization — scale each vector by
+# 127/max|x|, round to int8, store codes + one scale — is what FAISS
+# (ScalarQuantizer QT_8bit), Milvus and vector DBs ship as the 4x
+# compression default. This query runs quantize -> dequantize ->
+# error-audit over the embeddings table and reports per-vector code
+# sums and L1 reconstruction error in exact micro-units.
+#
+# Determinism: elementwise IEEE double arithmetic in ARRAY ORDER (the
+# q13 discipline — higher-order-function folds are sequential, so
+# there is no accumulation-order noise), with every per-element value
+# snapped to an integer (floor(.+0.5)) BEFORE the per-vector sum; the
+# sums are then exact BIGINT arithmetic. Rounding is floor(x+0.5) on
+# both engines — no reliance on either engine's round() tie-breaking.
+#
+# Scale shape: zero shuffles — quantization, reconstruction, and error
+# folds are all map-side codegen-adjacent lambdas over the embedding
+# array; the only movement is the final vec_id sort of the audit rows.
+# At 100 TB this is a pure scan->write job (the codes column would be
+# written out as array<tinyint> + scale, 4x smaller than the input).
+# ---------------------------------------------------------------------------
+
+
+def q100_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").alias("n_dims"),
+            F.expr(
+                "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+            ).alias("m"),
+            "embedding",
+        )
+        .select(
+            "vec_id",
+            "n_dims",
+            F.expr("CAST(floor(m * 1000000.0 + 0.5d) AS BIGINT)").alias("maxabs_e6"),
+            F.expr(
+                "CASE WHEN m = 0.0d THEN CAST(0 AS BIGINT) ELSE aggregate(embedding,"
+                " CAST(0 AS BIGINT),"
+                " (acc, x) -> acc + CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5d) AS BIGINT)) END"
+            ).alias("sum_codes"),
+            F.expr(
+                "CASE WHEN m = 0.0d THEN CAST(0 AS BIGINT) ELSE aggregate(embedding,"
+                " CAST(0 AS BIGINT),"
+                " (acc, x) -> acc + abs(CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5d) AS BIGINT))) END"
+            ).alias("sum_abs_codes"),
+            F.expr(
+                "CASE WHEN m = 0.0d THEN CAST(0 AS BIGINT) ELSE aggregate(embedding,"
+                " CAST(0 AS BIGINT),"
+                " (acc, x) -> acc + CAST(floor(abs(CAST(x AS DOUBLE)"
+                "   - CAST(CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5d) AS BIGINT) AS DOUBLE)"
+                "     * m / 127.0) * 1000000.0 + 0.5d) AS BIGINT)) END"
+            ).alias("l1_err_e6"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+Q100_SQL = """
+WITH base AS (
+  SELECT vec_id,
+         len(embedding) AS n_dims,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS m,
+         embedding AS e
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(n_dims AS INTEGER) AS n_dims,
+       CAST(floor(m * 1000000.0 + 0.5) AS BIGINT) AS maxabs_e6,
+       CASE WHEN m = 0.0 THEN 0
+            ELSE list_sum(list_transform(e,
+              x -> CAST(floor(x::DOUBLE * 127.0 / m + 0.5) AS BIGINT)))
+       END AS sum_codes,
+       CASE WHEN m = 0.0 THEN 0
+            ELSE list_sum(list_transform(e,
+              x -> abs(CAST(floor(x::DOUBLE * 127.0 / m + 0.5) AS BIGINT))))
+       END AS sum_abs_codes,
+       CASE WHEN m = 0.0 THEN 0
+            ELSE list_sum(list_transform(e,
+              x -> CAST(floor(abs(x::DOUBLE
+                     - CAST(floor(x::DOUBLE * 127.0 / m + 0.5) AS BIGINT)::DOUBLE
+                       * m / 127.0) * 1000000.0 + 0.5) AS BIGINT)))
+       END AS l1_err_e6
+FROM base
+ORDER BY vec_id
+"""
+
+QUERIES["q100_int8_quantization"] = q100_int8_quantization
+ORACLES["q100_int8_quantization"] = Q100_SQL

@@ -2310,3 +2310,118 @@ ORDER BY rk
 
 QUERIES["q95_cms_heavy_hitters"] = q95_cms_heavy_hitters
 ORACLES["q95_cms_heavy_hitters"] = Q95_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q106 — Benford first-digit audit (data-forensics profile).
+#
+# The data-quality family (q36 column profile, q64 k-anonymity, q88
+# table fingerprint) gains the classic forensic screen: Newcomb-
+# Benford first-significant-digit analysis, the standard test for
+# fabricated or machine-generated numeric columns (auditing, fraud
+# detection, synthetic-data detection — directly relevant to spotting
+# TEMPLATED/GENERATED text-corpus metadata at curation time). Real
+# organic amounts follow P(d) = log10(1 + 1/d); uniform synthetic
+# generators (like this TPC-H-ish price column) do NOT — the audit's
+# delta column is designed to light up here, demonstrating the
+# detector against a known-synthetic source.
+#
+# Exactness: amounts go through the integer-cents idiom; the first
+# significant digit is string arithmetic on the BIGINT cents value;
+# expected Benford shares are frozen integer ppm constants (no log()
+# at query time); observed shares are truncating integer ppm. The
+# chi-square-style statistic is cross-multiplied exact:
+# sum((obs*1e6 - exp*total)^2 DIV (exp*total)) carried in
+# DECIMAL(38,0) on both engines.
+#
+# Scale shape: one scan -> map-side digit extraction -> 9-key hash
+# agg; the total is the audited 1-row broadcast scalar. Scan-bound at
+# any volume.
+# ---------------------------------------------------------------------------
+
+_BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+                6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+def q106_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice").cast("decimal(12,4)") * 100, 0).cast("long")
+    digit = F.substring(F.col("cents").cast("string"), 1, 1).cast("int")
+    exp_map = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
+    )
+    obs = (
+        orders.select(cents.alias("cents"))
+        .filter(F.col("cents") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    tot = obs.agg(F.sum("observed").alias("total"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "observed",
+            "total",
+            F.expr("observed * 1000000 div total").alias("obs_ppm"),
+            exp_map[F.col("digit")].alias("exp_ppm"),
+        )
+        .withColumn(
+            "chi_term",
+            F.expr(
+                "CAST((CAST(observed AS DECIMAL(38,0)) * 1000000 - CAST(exp_ppm AS DECIMAL(38,0)) * total)"
+                " * (CAST(observed AS DECIMAL(38,0)) * 1000000 - CAST(exp_ppm AS DECIMAL(38,0)) * total)"
+                " div (CAST(exp_ppm AS DECIMAL(38,0)) * total * 1000000) AS BIGINT)"
+            ),
+        )
+        .select(
+            F.col("digit").cast("int").alias("digit"),
+            "observed",
+            "total",
+            "obs_ppm",
+            F.col("exp_ppm").cast("long").alias("exp_ppm"),
+            (F.col("obs_ppm") - F.col("exp_ppm")).alias("delta_ppm"),
+            "chi_term",
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+)
+
+Q106_SQL = f"""
+WITH cents AS (
+  SELECT CAST(round(CAST(o_totalprice AS DECIMAL(12,4)) * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+obs AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         COUNT(*) AS observed
+  FROM cents WHERE cents > 0
+  GROUP BY 1
+),
+tot AS (SELECT SUM(observed) AS total FROM obs),
+j AS (
+  SELECT digit, observed, total,
+         observed * 1000000 // total AS obs_ppm,
+         CASE digit {_BENFORD_CASE} END AS exp_ppm
+  FROM obs CROSS JOIN tot
+)
+SELECT CAST(digit AS INTEGER) AS digit,
+       CAST(observed AS BIGINT) AS observed,
+       CAST(total AS BIGINT) AS total,
+       CAST(obs_ppm AS BIGINT) AS obs_ppm,
+       CAST(exp_ppm AS BIGINT) AS exp_ppm,
+       CAST(obs_ppm - exp_ppm AS BIGINT) AS delta_ppm,
+       CAST((CAST(observed AS HUGEINT) * 1000000 - CAST(exp_ppm AS HUGEINT) * total)
+            * (CAST(observed AS HUGEINT) * 1000000 - CAST(exp_ppm AS HUGEINT) * total)
+            // (CAST(exp_ppm AS HUGEINT) * total * 1000000) AS BIGINT) AS chi_term
+FROM j
+ORDER BY digit
+"""
+
+QUERIES["q106_benford_audit"] = q106_benford_audit
+ORACLES["q106_benford_audit"] = Q106_SQL
