@@ -276,7 +276,12 @@ ORACLES["q86_capped_sessions"] = Q86_SQL
 #
 # with x = daily revenue in cents, S1/S2 = trailing-window sum and
 # sum-of-squares (7 prior days, >= 5 required), k = 3. A severity
-# ranking that needs no sqrt either: sev_ppm = lhs * 1e6 DIV rhs.
+# ranking that needs no sqrt either: sev_ppm = lhs * 1e6 DIV rhs,
+# SATURATED at 10^15 ppm so a near-degenerate window variance (rhs
+# of a few units under a large spike) can't push the quotient past
+# BIGINT on either engine — Spark's integral divide nulls past 2^63
+# (coalesced to the cap = the same clamp), DuckDB clamps the exact
+# HUGEINT quotient.
 # Squares of cent sums reach ~10^22 at warehouse scale, so the
 # comparison runs in DECIMAL(38,0) on both engines — overflow-free up
 # to ~10^19 cents per window.
@@ -339,7 +344,12 @@ def q102_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("lhs") > F.col("rhs"))
         .alias("is_anomaly"),
         F.when(F.col("rhs") <= 0, F.lit(None).cast("long"))
-        .otherwise(F.expr("CAST(lhs * 1000000 div rhs AS BIGINT)"))
+        .otherwise(
+            F.expr(
+                "least(coalesce(CAST(lhs * 1000000 div rhs AS BIGINT),"
+                " 1000000000000000), 1000000000000000)"
+            )
+        )
         .alias("sev_ppm"),
     )
     wtop = Window.partitionBy("segment").orderBy(
@@ -386,10 +396,12 @@ ranked AS (
   SELECT segment, day, cents, window_n,
          CASE WHEN rhs <= 0 THEN lhs > 0 ELSE lhs > rhs END AS is_anomaly,
          CASE WHEN rhs <= 0 THEN NULL
-              ELSE CAST(CAST(lhs AS HUGEINT) * 1000000 // CAST(rhs AS HUGEINT) AS BIGINT) END AS sev_ppm,
+              ELSE CAST(least(CAST(lhs AS HUGEINT) * 1000000 // CAST(rhs AS HUGEINT),
+                          1000000000000000) AS BIGINT) END AS sev_ppm,
          row_number() OVER (PARTITION BY segment
                             ORDER BY (CASE WHEN rhs <= 0 THEN NULL
-                                           ELSE CAST(CAST(lhs AS HUGEINT) * 1000000 // CAST(rhs AS HUGEINT) AS BIGINT) END) DESC NULLS LAST,
+                                           ELSE CAST(least(CAST(lhs AS HUGEINT) * 1000000 // CAST(rhs AS HUGEINT),
+                                               1000000000000000) AS BIGINT) END) DESC NULLS LAST,
                                      day) AS rk
   FROM scored
 )
@@ -427,8 +439,10 @@ ORACLES["q102_zscore_anomalies"] = Q102_SQL
 
 
 def q105_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .classify import epoch_day
+
     ev = load(spark, sf_dir, "events").select(
-        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+        epoch_day(F.col("ts")).alias("d"),
         "user_id",
     )
     bounds = ev.agg(
@@ -437,7 +451,6 @@ def q105_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     expl = ev.select(
         F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("wend"),
         "user_id",
-        "d",
     )
     agg = expl.groupBy("wend").agg(
         F.countDistinct("user_id").alias("distinct_users"),
@@ -483,3 +496,130 @@ ORDER BY window_end
 
 QUERIES["q105_sliding_distinct_users"] = q105_sliding_distinct_users
 ORACLES["q105_sliding_distinct_users"] = Q105_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q109 — grouped least-squares trend (OLS slope/intercept), exact.
+#
+# The analytics tier above q102's anomaly test: fit y = a + b*x per
+# segment over the daily-revenue series (trend monitoring, capacity
+# forecasting, drift detection over training-data throughput). The
+# normal-equation solution is a ratio of integer bilinear forms, so —
+# like q102 — it needs NO floating point at all:
+#
+#   b = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)         [micro-cents/day]
+#   a = (Sy*den - num*Sx) / (n*den)              [micro-cents at x0]
+#
+# x is the day offset from the segment's first day (keeps the moments
+# small and the fit conditioned); sums accumulate as DECIMAL(38,0) /
+# HUGEINT; the final DIVs truncate identically on both engines.
+#
+# Scale shape: one (segment, day) hash agg off the scan, then a
+# 5-moment hash agg per segment (constant-width state — this is
+# textbook map-side-combinable), 5 output rows. The same shape fits
+# streaming (moments are mergeable) and 1000-way parallelism.
+# ---------------------------------------------------------------------------
+
+
+def q109_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .classify import epoch_day
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    daily = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            epoch_day(F.col("o_orderdate")).alias("d"),
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,4)")) * 100, 0)
+            .cast("long")
+            .alias("y")
+        )
+    )
+    moments = (
+        daily.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("d").alias("x0"),
+            F.sum(F.col("d").cast("decimal(38,0)")).alias("sd"),
+            F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+            F.sum((F.col("d").cast("decimal(38,0)") * F.col("y"))).alias("sdy"),
+            F.sum((F.col("d").cast("decimal(38,0)") * F.col("d"))).alias("sdd"),
+        )
+        # shift x to offsets from x0: Sx = sd - n*x0; Sxy = sdy - x0*sy;
+        # Sxx = sdd - 2*x0*sd + n*x0^2  (exact decimal identities)
+        .select(
+            "segment",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("x0").cast("long").alias("x0_day"),
+            F.expr("CAST(sd - n * x0 AS DECIMAL(38,0))").alias("sx"),
+            F.col("sy").alias("sy"),
+            F.expr("CAST(sdy - x0 * sy AS DECIMAL(38,0))").alias("sxy"),
+            F.expr("CAST(sdd - 2 * x0 * sd + CAST(n AS DECIMAL(38,0)) * x0 * x0 AS DECIMAL(38,0))").alias("sxx"),
+        )
+        .withColumn("num", F.expr("CAST(n_days * sxy - sx * sy AS DECIMAL(38,0))"))
+        .withColumn("den", F.expr("CAST(n_days * sxx - sx * sx AS DECIMAL(38,0))"))
+    )
+    return (
+        moments.filter(F.col("den") > 0)
+        .select(
+            "segment",
+            "n_days",
+            "x0_day",
+            F.col("sy").cast("long").alias("total_cents"),
+            F.expr("CAST(num * 1000000 div den AS BIGINT)").alias(
+                "slope_microcents_per_day"
+            ),
+            F.expr(
+                "CAST((sy * den - num * sx) * 1000000 div (CAST(n_days AS DECIMAL(38,0)) * den) AS BIGINT)"
+            ).alias("intercept_microcents"),
+        )
+        .orderBy("segment")
+    )
+
+
+Q109_SQL = """
+WITH daily AS (
+  SELECT c_mktsegment AS segment,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,4))) * 100, 0) AS BIGINT) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+moments AS (
+  SELECT segment,
+         COUNT(*) AS n, MIN(d) AS x0,
+         SUM(CAST(d AS HUGEINT)) AS sd,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(d AS HUGEINT) * y) AS sdy,
+         SUM(CAST(d AS HUGEINT) * d) AS sdd
+  FROM daily GROUP BY segment
+),
+shifted AS (
+  SELECT segment, n, x0,
+         sd - n * x0 AS sx, sy,
+         sdy - x0 * sy AS sxy,
+         sdd - 2 * x0 * sd + CAST(n AS HUGEINT) * x0 * x0 AS sxx
+  FROM moments
+),
+fit AS (
+  SELECT segment, n, x0, sy, sx,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den
+  FROM shifted
+)
+SELECT segment,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(x0 AS BIGINT) AS x0_day,
+       CAST(sy AS BIGINT) AS total_cents,
+       CAST(num * 1000000 // den AS BIGINT) AS slope_microcents_per_day,
+       CAST((sy * den - num * sx) * 1000000 // (CAST(n AS HUGEINT) * den) AS BIGINT) AS intercept_microcents
+FROM fit
+WHERE den > 0
+ORDER BY segment
+"""
+
+QUERIES["q109_revenue_trend"] = q109_revenue_trend
+ORACLES["q109_revenue_trend"] = Q109_SQL

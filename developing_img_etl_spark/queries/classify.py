@@ -152,3 +152,15 @@ ORDER BY d.doc_id
 
 QUERIES = {"q77_quality_classifier": q77_quality_classifier}
 ORACLES = {"q77_quality_classifier": Q77_SQL}
+
+
+def epoch_day(col: Column) -> Column:
+    """Days since 1970-01-01 of a timestamp/date column — the single
+    Spark-side home of the cross-engine epoch-day idiom (q99, q105);
+    sql_epoch_day is its one DuckDB mirror."""
+    return F.datediff(F.to_date(col), F.lit("1970-01-01").cast("date"))
+
+
+def sql_epoch_day(sql_expr: str) -> str:
+    """DuckDB mirror of epoch_day over a SQL expression."""
+    return f"date_diff('day', DATE '1970-01-01', CAST({sql_expr} AS DATE))"

@@ -134,12 +134,12 @@ dirty AS (
 ),
 lb AS (
   SELECT *, nat AS b_nat, right(name, 1) AS b_last,
-         CAST(regexp_extract(name, '([0-9]+)$', 1) AS BIGINT) AS l_num
+         TRY_CAST(regexp_extract(name, '([0-9]+)$', 1) AS BIGINT) AS l_num
   FROM clean
 ),
 rb AS (
   SELECT *, nat AS b_nat, right(name, 1) AS b_last,
-         CAST(regexp_extract(name, '([0-9]+)$', 1) AS BIGINT) AS r_num
+         TRY_CAST(regexp_extract(name, '([0-9]+)$', 1) AS BIGINT) AS r_num
   FROM dirty
 ),
 scored AS (

@@ -1006,18 +1006,18 @@ _Q99_D0 = 9131  # epoch day of 1995-01-01
 
 
 def q99_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .classify import md5_prefix_int
+    from .classify import epoch_day, md5_prefix_int
 
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
-    epoch_day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    o_day = epoch_day(F.col("o_orderdate"))
     o_iv = (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "o_orderkey",
             F.col("c_mktsegment").alias("segment"),
-            epoch_day.alias("o_start"),
-            (epoch_day + 1 + F.col("o_orderkey") % 14).alias("o_end"),
+            o_day.alias("o_start"),
+            (o_day + 1 + F.col("o_orderkey") % 14).alias("o_end"),
         )
     )
     camp = (

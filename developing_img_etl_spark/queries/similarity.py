@@ -721,29 +721,30 @@ def q100_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.size("embedding").alias("n_dims"),
             F.expr(
-                "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+                "array_max(transform(embedding,"
+                " x -> abs(coalesce(CAST(x AS DOUBLE), 0.0d))))"
             ).alias("m"),
             "embedding",
         )
         .select(
             "vec_id",
             "n_dims",
-            F.expr("CAST(floor(m * 1000000.0 + 0.5d) AS BIGINT)").alias("maxabs_e6"),
+            F.expr("CAST(floor(coalesce(m, 0.0d) * 1000000.0 + 0.5d) AS BIGINT)").alias("maxabs_e6"),
             F.expr(
-                "CASE WHEN m = 0.0d THEN CAST(0 AS BIGINT) ELSE aggregate(embedding,"
+                "CASE WHEN m IS NULL OR m = 0.0d THEN CAST(0 AS BIGINT) ELSE aggregate(embedding,"
                 " CAST(0 AS BIGINT),"
-                " (acc, x) -> acc + CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5d) AS BIGINT)) END"
+                " (acc, x) -> acc + CAST(floor(coalesce(CAST(x AS DOUBLE), 0.0d) * 127.0 / m + 0.5d) AS BIGINT)) END"
             ).alias("sum_codes"),
             F.expr(
-                "CASE WHEN m = 0.0d THEN CAST(0 AS BIGINT) ELSE aggregate(embedding,"
+                "CASE WHEN m IS NULL OR m = 0.0d THEN CAST(0 AS BIGINT) ELSE aggregate(embedding,"
                 " CAST(0 AS BIGINT),"
-                " (acc, x) -> acc + abs(CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5d) AS BIGINT))) END"
+                " (acc, x) -> acc + abs(CAST(floor(coalesce(CAST(x AS DOUBLE), 0.0d) * 127.0 / m + 0.5d) AS BIGINT))) END"
             ).alias("sum_abs_codes"),
             F.expr(
-                "CASE WHEN m = 0.0d THEN CAST(0 AS BIGINT) ELSE aggregate(embedding,"
+                "CASE WHEN m IS NULL OR m = 0.0d THEN CAST(0 AS BIGINT) ELSE aggregate(embedding,"
                 " CAST(0 AS BIGINT),"
-                " (acc, x) -> acc + CAST(floor(abs(CAST(x AS DOUBLE)"
-                "   - CAST(CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5d) AS BIGINT) AS DOUBLE)"
+                " (acc, x) -> acc + CAST(floor(abs(coalesce(CAST(x AS DOUBLE), 0.0d)"
+                "   - CAST(CAST(floor(coalesce(CAST(x AS DOUBLE), 0.0d) * 127.0 / m + 0.5d) AS BIGINT) AS DOUBLE)"
                 "     * m / 127.0) * 1000000.0 + 0.5d) AS BIGINT)) END"
             ).alias("l1_err_e6"),
         )
@@ -755,26 +756,26 @@ Q100_SQL = """
 WITH base AS (
   SELECT vec_id,
          len(embedding) AS n_dims,
-         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS m,
+         list_max(list_transform(embedding, x -> abs(coalesce(x::DOUBLE, 0.0)))) AS m,
          embedding AS e
   FROM embeddings
 )
 SELECT vec_id,
        CAST(n_dims AS INTEGER) AS n_dims,
-       CAST(floor(m * 1000000.0 + 0.5) AS BIGINT) AS maxabs_e6,
-       CASE WHEN m = 0.0 THEN 0
-            ELSE list_sum(list_transform(e,
-              x -> CAST(floor(x::DOUBLE * 127.0 / m + 0.5) AS BIGINT)))
+       CAST(floor(coalesce(m, 0.0) * 1000000.0 + 0.5) AS BIGINT) AS maxabs_e6,
+       CASE WHEN m IS NULL OR m = 0.0 THEN 0
+            ELSE coalesce(list_sum(list_transform(e,
+              x -> CAST(floor(coalesce(x::DOUBLE, 0.0) * 127.0 / m + 0.5) AS BIGINT))), 0)
        END AS sum_codes,
-       CASE WHEN m = 0.0 THEN 0
-            ELSE list_sum(list_transform(e,
-              x -> abs(CAST(floor(x::DOUBLE * 127.0 / m + 0.5) AS BIGINT))))
+       CASE WHEN m IS NULL OR m = 0.0 THEN 0
+            ELSE coalesce(list_sum(list_transform(e,
+              x -> abs(CAST(floor(coalesce(x::DOUBLE, 0.0) * 127.0 / m + 0.5) AS BIGINT)))), 0)
        END AS sum_abs_codes,
-       CASE WHEN m = 0.0 THEN 0
-            ELSE list_sum(list_transform(e,
-              x -> CAST(floor(abs(x::DOUBLE
-                     - CAST(floor(x::DOUBLE * 127.0 / m + 0.5) AS BIGINT)::DOUBLE
-                       * m / 127.0) * 1000000.0 + 0.5) AS BIGINT)))
+       CASE WHEN m IS NULL OR m = 0.0 THEN 0
+            ELSE coalesce(list_sum(list_transform(e,
+              x -> CAST(floor(abs(coalesce(x::DOUBLE, 0.0)
+                     - CAST(floor(coalesce(x::DOUBLE, 0.0) * 127.0 / m + 0.5) AS BIGINT)::DOUBLE
+                       * m / 127.0) * 1000000.0 + 0.5) AS BIGINT))), 0)
        END AS l1_err_e6
 FROM base
 ORDER BY vec_id

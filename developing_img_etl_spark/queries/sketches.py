@@ -150,7 +150,8 @@ def q97_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hll_estimate",
             "exact_distinct",
             F.expr(
-                "CAST(abs(hll_estimate - exact_distinct) * 1000000 DIV exact_distinct AS BIGINT)"
+                "CAST(CAST(abs(hll_estimate - exact_distinct) AS DECIMAL(38,0))"
+                " * 1000000 DIV exact_distinct AS BIGINT)"
             ).alias("err_ppm"),
         )
         .orderBy("scope")
@@ -218,7 +219,8 @@ final AS (
 )
 SELECT scope, n_zero_registers, s_scaled, hll_estimate,
        CAST(exact_distinct AS BIGINT) AS exact_distinct,
-       CAST(abs(hll_estimate - exact_distinct) * 1000000 // exact_distinct AS BIGINT) AS err_ppm
+       CAST(CAST(abs(hll_estimate - exact_distinct) AS HUGEINT)
+            * 1000000 // exact_distinct AS BIGINT) AS err_ppm
 FROM final
 ORDER BY scope
 """
