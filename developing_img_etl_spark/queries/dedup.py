@@ -763,3 +763,153 @@ ORDER BY doc_id
 
 QUERIES["q103_label_propagation"] = q103_label_propagation
 ORACLES["q103_label_propagation"] = _q103_sql()
+
+
+# ---------------------------------------------------------------------------
+# Q108 — MinHash estimator audit, fully hash-matched cross-engine.
+#
+# m4 (MinHash-LSH near-dup discovery) is rows-only BY DESIGN: its
+# signatures ride Spark's engine-private xxhash64. This query
+# certifies the MINHASH MATH itself under the oracle gate by building
+# k = 8 portable signatures (h_i(s) = md5 of "i:shingle" — the
+# md5_prefix_int idiom) and comparing, for every true candidate pair
+# (the q14c inverted-index pairs at Jaccard > 0.2), the MinHash
+# estimate matches/k against the EXACT set Jaccard computed by the
+# same query. Broder's theorem (1997): P[min_i(A) = min_i(B)] =
+# J(A,B), so est = matches/8 is an unbiased 8-sample estimate; the
+# DuckDB oracle replays signatures, matches, and errors bit-for-bit,
+# and the result table IS the estimator's empirical error profile.
+#
+# Scale shape: signatures are one (doc_id, i)-keyed min-agg over the
+# shared persisted shingle index (8x fanout of (long, int, long)
+# rows); the audit join moves only 8-row signature sets for candidate
+# pairs. The expensive md5s happen map-side before any shuffle.
+# ---------------------------------------------------------------------------
+
+_Q108_K = 8
+
+
+def q108_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .classify import md5_prefix_int
+
+    sh = shingle_index(spark, sf_dir)
+    sigs = (
+        sh.select(
+            "doc_id",
+            "s",
+            F.explode(F.sequence(F.lit(0), F.lit(_Q108_K - 1))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            md5_prefix_int(
+                F.concat_ws(":", F.col("i").cast("string"), F.col("s")), 15
+            ).alias("hv"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("hv").alias("mh"))
+    )
+    a = sh.select(
+        "source", "s", F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")
+    )
+    b = sh.select(
+        "source", "s", F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")
+    )
+    pairs = (
+        a.join(b, ["source", "s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("source", "id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .withColumn(
+            "exact_ppm",
+            F.expr("n_common * 1000000 div (n_a + n_b - n_common)"),
+        )
+        .filter(F.col("exact_ppm") > 200000)
+    )
+    sa = sigs.select(F.col("doc_id").alias("id_a"), "i", F.col("mh").alias("mh_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), "i", F.col("mh").alias("mh_b"))
+    matched = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "i"])
+        .groupBy("source", "id_a", "id_b", "n_common", "exact_ppm")
+        .agg(
+            F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)).alias(
+                "minhash_matches"
+            )
+        )
+    )
+    return (
+        matched.select(
+            "source",
+            "id_a",
+            "id_b",
+            "n_common",
+            "exact_ppm",
+            F.col("minhash_matches").cast("long").alias("minhash_matches"),
+            F.expr(f"minhash_matches * 1000000 div {_Q108_K}").alias("est_ppm"),
+            F.expr(
+                f"abs(minhash_matches * 1000000 div {_Q108_K} - exact_ppm)"
+            ).alias("abs_err_ppm"),
+        )
+        .orderBy("source", "id_a", "id_b")
+    )
+
+
+from .classify import sql_md5_prefix_int as _sql_md5p  # noqa: E402
+
+Q108_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+  FROM toks
+  WHERE len(t) >= 3
+),
+inv AS (
+  SELECT doc_id, source, len(s) AS n_sh, UNNEST(s) AS shingle FROM sh
+),
+hashes AS (
+  SELECT doc_id, i, {_sql_md5p(15)} AS hv
+  FROM (SELECT doc_id, i, md5(CAST(i AS VARCHAR) || ':' || shingle) AS h
+        FROM inv, (SELECT UNNEST(range(0, {_Q108_K})) AS i))
+),
+sigs AS (
+  SELECT doc_id, i, MIN(hv) AS mh FROM hashes GROUP BY doc_id, i
+),
+pairs AS (
+  SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+         a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_common
+  FROM inv a JOIN inv b
+    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.source, a.doc_id, b.doc_id, a.n_sh, b.n_sh
+),
+cand AS (
+  SELECT source, id_a, id_b, n_common,
+         n_common * 1000000 // (n_a + n_b - n_common) AS exact_ppm
+  FROM pairs
+  WHERE n_common * 1000000 // (n_a + n_b - n_common) > 200000
+),
+matched AS (
+  SELECT c.source, c.id_a, c.id_b, c.n_common, c.exact_ppm,
+         SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS minhash_matches
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+  GROUP BY c.source, c.id_a, c.id_b, c.n_common, c.exact_ppm
+)
+SELECT source, id_a, id_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(exact_ppm AS BIGINT) AS exact_ppm,
+       CAST(minhash_matches AS BIGINT) AS minhash_matches,
+       CAST(minhash_matches * 1000000 // {_Q108_K} AS BIGINT) AS est_ppm,
+       CAST(abs(minhash_matches * 1000000 // {_Q108_K} - exact_ppm) AS BIGINT) AS abs_err_ppm
+FROM matched
+ORDER BY source, id_a, id_b
+"""
+
+QUERIES["q108_minhash_audit"] = q108_minhash_audit
+ORACLES["q108_minhash_audit"] = Q108_SQL

@@ -1069,3 +1069,98 @@ LIMIT 100
 
 QUERIES["q98_kneser_ney_bigrams"] = q98_kneser_ney_bigrams
 ORACLES["q98_kneser_ney_bigrams"] = Q98_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q107 — Heaps'-law vocabulary growth curve.
+#
+# Corpus planners size tokenizers and estimate dedup headroom from how
+# the vocabulary grows with corpus size (Heaps' law V ~ K*n^beta,
+# beta ~ 0.5 for natural text; saturation signals templated/synthetic
+# content — this corpus's tiny generator vocab shows exactly that).
+# The measurement: cumulative distinct tokens after each decile of the
+# corpus, in one pass — NOT ten rescans: each token's FIRST-OCCURRENCE
+# decile is a min-aggregate, and the growth curve is the running sum
+# of first occurrences (10-row window).
+#
+# Deciles are arithmetic on doc_id (the corpus's stable ingest order),
+# not NTILE over rows — map-side, shuffle-free decile assignment.
+# Token totals per decile ride the same single scan.
+#
+# Scale shape: one scan -> explode -> (token) min-agg (vocab-sized
+# shuffle) -> 10-row presentation window. The curve costs the same as
+# counting the vocabulary once.
+# ---------------------------------------------------------------------------
+
+
+def q107_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.max("doc_id").alias("max_id"))
+    tok = (
+        docs.crossJoin(F.broadcast(n_docs))
+        .select(
+            F.expr("least(doc_id * 10 div (max_id + 1) + 1, 10)").alias("decile"),
+            F.explode(TXT.tokens(F.col("text"))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    first_seen = tok.groupBy("token").agg(F.min("decile").alias("first_decile"))
+    new_types = first_seen.groupBy("first_decile").agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    tokens_per = tok.groupBy("decile").agg(F.count(F.lit(1)).alias("n_tokens"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tokens_per.join(
+            new_types.withColumnRenamed("first_decile", "decile"), "decile", "left"
+        )
+        .select(
+            "decile",
+            "n_tokens",
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("cum_vocab", F.sum("new_types").over(w))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_tokens",
+            "new_types",
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+            F.col("cum_vocab").cast("long").alias("cum_vocab"),
+            F.expr("cum_vocab * 1000000 div cum_tokens").alias("type_token_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+Q107_SQL = r"""
+WITH nd AS (SELECT MAX(doc_id) AS max_id FROM documents),
+tok AS (
+  SELECT least(doc_id * 10 // (max_id + 1) + 1, 10) AS decile,
+         UNNEST(string_split_regex(lower(text), '\s+')) AS token
+  FROM documents CROSS JOIN nd
+),
+tokf AS (SELECT decile, token FROM tok WHERE token <> ''),
+first_seen AS (SELECT token, MIN(decile) AS first_decile FROM tokf GROUP BY token),
+new_types AS (SELECT first_decile AS decile, COUNT(*) AS new_types FROM first_seen GROUP BY 1),
+tokens_per AS (SELECT decile, COUNT(*) AS n_tokens FROM tokf GROUP BY decile),
+curve AS (
+  SELECT t.decile, t.n_tokens, COALESCE(n.new_types, 0) AS new_types,
+         SUM(t.n_tokens) OVER (ORDER BY t.decile) AS cum_tokens,
+         SUM(COALESCE(n.new_types, 0)) OVER (ORDER BY t.decile) AS cum_vocab
+  FROM tokens_per t LEFT JOIN new_types n USING (decile)
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(new_types AS BIGINT) AS new_types,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(cum_vocab AS BIGINT) AS cum_vocab,
+       CAST(cum_vocab * 1000000 // cum_tokens AS BIGINT) AS type_token_ppm
+FROM curve
+ORDER BY decile
+"""
+
+QUERIES["q107_vocab_growth"] = q107_vocab_growth
+ORACLES["q107_vocab_growth"] = Q107_SQL
