@@ -623,3 +623,77 @@ ORDER BY segment
 
 QUERIES["q109_revenue_trend"] = q109_revenue_trend
 ORACLES["q109_revenue_trend"] = Q109_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q112 — first-order Markov transition matrix over event streams.
+#
+# q70 extracts top PATHS; the modeling counterpart is the transition
+# MATRIX — the maximum-likelihood estimator of a first-order Markov
+# chain over event types (next-action prediction, bot detection via
+# improbable transitions, session simulation). Per user, events are
+# totally ordered by (ts, event_id) — the q70 tie-break discipline —
+# and each adjacent pair (prev, next) is one observation; rows are
+# normalized to integer ppm.
+#
+# Scale shape: ONE user-keyed shuffle feeds the lag window (state =
+# one row), then a (from, to) hash agg whose cardinality is
+# |event_types|^2 — dim scale — plus a window sum over that tiny
+# frame for row normalization. Exact integers end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def q112_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    w_row = Window.partitionBy("from_type")
+    return (
+        trans.withColumn("row_total", F.sum("n_obs").over(w_row))
+        .select(
+            "from_type",
+            "to_type",
+            "n_obs",
+            F.col("row_total").cast("long").alias("row_total"),
+            F.expr(
+                "CAST(CAST(n_obs AS DECIMAL(38,0)) * 1000000 div row_total AS BIGINT)"
+            ).alias("p_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+Q112_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+),
+trans AS (
+  SELECT from_type, to_type, COUNT(*) AS n_obs
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(SUM(n_obs) OVER (PARTITION BY from_type) AS BIGINT) AS row_total,
+       CAST(CAST(n_obs AS HUGEINT) * 1000000
+            // SUM(n_obs) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+FROM trans
+ORDER BY from_type, to_type
+"""
+
+QUERIES["q112_markov_transitions"] = q112_markov_transitions
+ORACLES["q112_markov_transitions"] = Q112_SQL

@@ -1128,3 +1128,95 @@ ORDER BY segment, campaign_id
 
 QUERIES["q99_interval_overlap_join"] = q99_interval_overlap_join
 ORACLES["q99_interval_overlap_join"] = Q99_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q111 — hierarchical ratio-to-parent rollup (region -> nation ->
+# segment revenue shares).
+#
+# The OLAP presentation pattern the rollup/cube family (q6, q6b, q41)
+# doesn't cover: each node's share OF ITS PARENT — nation within
+# region, segment within nation — computed with window sums over the
+# leaf aggregate, not with re-scans per level. Three levels ride ONE
+# leaf aggregation: the leaf is (region, nation, segment), parents
+# are window partitions over it.
+#
+# Shares are integer ppm over exact DECIMAL cents (the _det/q50
+# discipline) — a share column that sums to ~1e6 per parent and can
+# never drift with partitioning. At 100 TB: one FK-join scan, one
+# 3-key hash agg (cardinality = |regions|x|nations|x|segments| — dim
+# scale), window sums over that tiny frame.
+# ---------------------------------------------------------------------------
+
+
+def q111_ratio_to_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    leaf = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,4)")) * 100, 0)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w_nat = Window.partitionBy("region", "nation")
+    w_reg = Window.partitionBy("region")
+    w_all = Window.partitionBy(F.lit(1))
+    return (
+        leaf.withColumn("nation_cents", F.sum("cents").over(w_nat))
+        .withColumn("region_cents", F.sum("cents").over(w_reg))
+        .withColumn("total_cents", F.sum("cents").over(w_all))
+        .select(
+            "region",
+            "nation",
+            "segment",
+            "cents",
+            F.expr("CAST(CAST(cents AS DECIMAL(38,0)) * 1000000 div nation_cents AS BIGINT)").alias("share_of_nation_ppm"),
+            F.expr("CAST(CAST(nation_cents AS DECIMAL(38,0)) * 1000000 div region_cents AS BIGINT)").alias(
+                "nation_share_of_region_ppm"
+            ),
+            F.expr("CAST(CAST(region_cents AS DECIMAL(38,0)) * 1000000 div total_cents AS BIGINT)").alias(
+                "region_share_ppm"
+            ),
+        )
+        .orderBy("region", "nation", "segment")
+    )
+
+
+Q111_SQL = """
+WITH leaf AS (
+  SELECT r_name AS region, n_name AS nation, c_mktsegment AS segment,
+         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,4))) * 100, 0) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2, 3
+),
+shares AS (
+  SELECT *,
+         SUM(cents) OVER (PARTITION BY region, nation) AS nation_cents,
+         SUM(cents) OVER (PARTITION BY region) AS region_cents,
+         SUM(cents) OVER () AS total_cents
+  FROM leaf
+)
+SELECT region, nation, segment, cents,
+       CAST(CAST(cents AS HUGEINT) * 1000000 // nation_cents AS BIGINT) AS share_of_nation_ppm,
+       CAST(CAST(nation_cents AS HUGEINT) * 1000000 // region_cents AS BIGINT) AS nation_share_of_region_ppm,
+       CAST(CAST(region_cents AS HUGEINT) * 1000000 // total_cents AS BIGINT) AS region_share_ppm
+FROM shares
+ORDER BY region, nation, segment
+"""
+
+QUERIES["q111_ratio_to_parent"] = q111_ratio_to_parent
+ORACLES["q111_ratio_to_parent"] = Q111_SQL

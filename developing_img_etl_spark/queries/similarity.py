@@ -783,3 +783,162 @@ ORDER BY vec_id
 
 QUERIES["q100_int8_quantization"] = q100_int8_quantization
 ORACLES["q100_int8_quantization"] = Q100_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q110 — retrieval evaluation harness: recall@5 / MRR / nDCG@5 in
+# exact integer ppm.
+#
+# The missing piece of the retrieval stack (q13 exact, m6/m9/m15
+# approximate, q93 hybrid fusion): EVALUATION. A corpus pipeline
+# doesn't just serve rankings, it grades them — recall@k, mean
+# reciprocal rank, and nDCG are the standard IR metrics (Järvelin &
+# Kekäläinen 2002). Here the LEXICAL ranking (shingle-overlap, q93's
+# sparse leg) is evaluated against exact-cosine top-5 ground truth
+# (q13's arithmetic) — a real cross-modal agreement measurement.
+#
+# Every metric is exact integer arithmetic: binary relevance, the
+# log2 rank discounts are FROZEN ppm constants (the q106 Benford
+# discipline — no log() at query time), MRR is a truncating integer
+# divide, and the ideal DCG@5 is a compile-time constant. Both
+# engines replay the full chain bit-for-bit.
+#
+# Scale shape: ground truth is the q13 broadcast-probe scan; the
+# system ranking is an inverted-index join (never all-pairs); metrics
+# are one (probe) hash agg over <= 5 rows each. Evaluating a better
+# system or deeper k changes constants, not shape.
+# ---------------------------------------------------------------------------
+
+_Q110_K = 5
+# floor(1e6 / log2(rank+1)) for rank 1..5
+_Q110_DISC = {1: 1000000, 2: 630929, 3: 500000, 4: 430676, 5: 386852}
+_Q110_IDCG = sum(_Q110_DISC.values())
+
+
+def q110_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._shingle import shingle_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    cand = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    probes = cand.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_emb"),
+        F.col("nrm").alias("probe_nrm"),
+    )
+    sim = dot(F.col("probe_emb"), F.col("embedding")) / (
+        F.col("probe_nrm") * F.col("nrm")
+    )
+    w_vec = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "vec_id")
+    truth = (
+        cand.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", F.round(sim, 6).alias("sim"))
+        .withColumn("t_rk", F.row_number().over(w_vec))
+        .filter(F.col("t_rk") <= _Q110_K)
+        .select("probe_id", F.col("vec_id").alias("doc_id"))
+    )
+
+    ids = emb.select(F.col("vec_id").alias("doc_id"))
+    sh = shingle_index(spark, sf_dir).join(F.broadcast(ids), "doc_id", "leftsemi")
+    a = sh.filter(F.col("doc_id") < N_PROBES).select(
+        F.col("doc_id").alias("probe_id"), "s"
+    )
+    w_lex = Window.partitionBy("probe_id").orderBy(F.desc("n_shared"), "doc_id")
+    system = (
+        a.join(sh.select("doc_id", "s"), "s")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("probe_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .withColumn("rk", F.row_number().over(w_lex))
+        .filter(F.col("rk") <= _Q110_K)
+        .select("probe_id", "doc_id", "rk")
+    )
+
+    disc = F.create_map(*[F.lit(x) for kv in _Q110_DISC.items() for x in kv])
+    hits = system.join(truth, ["probe_id", "doc_id"]).select(
+        "probe_id", "rk", disc[F.col("rk")].alias("disc")
+    )
+    per_probe = hits.groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("rk").alias("first_hit_rk"),
+        F.sum("disc").alias("dcg"),
+    )
+    return (
+        probes.select("probe_id")
+        .join(per_probe, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) * F.lit(1000000 // _Q110_K)).alias(
+                "recall_ppm"
+            ),
+            F.coalesce(
+                F.expr("1000000 div first_hit_rk"), F.lit(0)
+            ).alias("mrr_ppm"),
+            F.expr(
+                f"coalesce(CAST(dcg * 1000000 div {_Q110_IDCG} AS BIGINT), 0)"
+            ).alias("ndcg_ppm"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+_Q110_DISC_CASE = " ".join(f"WHEN {r} THEN {d}" for r, d in _Q110_DISC.items())
+
+Q110_SQL = rf"""
+WITH p AS (
+  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+  FROM embeddings WHERE vec_id < {N_PROBES}
+),
+truth AS (
+  SELECT probe_id, vec_id AS doc_id FROM (
+    SELECT p.probe_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY p.probe_id
+             ORDER BY round(list_cosine_similarity(p.pe, CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                      e.vec_id) AS t_rk
+    FROM embeddings e CROSS JOIN p
+    WHERE e.vec_id != p.probe_id
+  ) WHERE t_rk <= {_Q110_K}
+),
+toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+  FROM documents WHERE doc_id IN (SELECT vec_id FROM embeddings)
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+  FROM toks WHERE len(t) >= 3
+),
+inv AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
+system AS (
+  SELECT probe_id, doc_id, rk FROM (
+    SELECT a.doc_id AS probe_id, b.doc_id AS doc_id,
+           row_number() OVER (PARTITION BY a.doc_id
+                              ORDER BY COUNT(*) DESC, b.doc_id) AS rk
+    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+    WHERE a.doc_id < {N_PROBES}
+    GROUP BY a.doc_id, b.doc_id
+  ) WHERE rk <= {_Q110_K}
+),
+hits AS (
+  SELECT s.probe_id, s.rk,
+         CASE s.rk {_Q110_DISC_CASE} END AS disc
+  FROM system s JOIN truth t ON s.probe_id = t.probe_id AND s.doc_id = t.doc_id
+),
+per_probe AS (
+  SELECT probe_id, COUNT(*) AS n_hits, MIN(rk) AS first_hit_rk, SUM(disc) AS dcg
+  FROM hits GROUP BY probe_id
+)
+SELECT p.probe_id,
+       CAST(COALESCE(pp.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(COALESCE(pp.n_hits, 0) * {1000000 // _Q110_K} AS BIGINT) AS recall_ppm,
+       CAST(COALESCE(1000000 // pp.first_hit_rk, 0) AS BIGINT) AS mrr_ppm,
+       CAST(COALESCE(pp.dcg * 1000000 // {_Q110_IDCG}, 0) AS BIGINT) AS ndcg_ppm
+FROM p LEFT JOIN per_probe pp USING (probe_id)
+ORDER BY p.probe_id
+"""
+
+QUERIES["q110_retrieval_eval"] = q110_retrieval_eval
+ORACLES["q110_retrieval_eval"] = Q110_SQL
