@@ -73,10 +73,11 @@ _DEN_C = 10 * (1000 * _M + 1079)
 _S_SCALE = 1 << (_FIELD + 1)  # 2^52: the scaled value of an empty register
 
 
-def _rho(w: Column) -> Column:
-    """Leading-zero rank of the 51-bit field: 52 - bitlen(w); 0 -> 52."""
-    return F.when(w == 0, F.lit(_FIELD + 1)).otherwise(
-        F.lit(_FIELD + 1) - F.length(F.bin(w))
+def _rho(w: Column, field: int = _FIELD) -> Column:
+    """Leading-zero rank of the ``field``-bit word: field+1 - bitlen(w);
+    w = 0 -> field+1. Shared with st13's streaming register builder."""
+    return F.when(w == 0, F.lit(field + 1)).otherwise(
+        F.lit(field + 1) - F.length(F.bin(w))
     )
 
 
@@ -228,3 +229,166 @@ ORDER BY scope
 
 QUERIES = {"q97_hll_distinct": q97_hll_distinct}
 ORACLES = {"q97_hll_distinct": Q97_SQL}
+
+
+# ---------------------------------------------------------------------------
+# Q113 — mergeable log-bucket quantile sketch (the DDSketch shape),
+# pure integer arithmetic, hash-matched.
+#
+# Completes the from-scratch sketch family (q61 Bloom, q95 count-min,
+# q97 HLL, q108 MinHash): quantiles. The q22/q23 tiers give exact and
+# engine-private-approximate percentiles; THIS tier is the production
+# monitoring shape — a DDSketch-style histogram (Masson et al., VLDB
+# 2019) whose buckets are a pure function of the value, so histograms
+# from different partitions/days/tables MERGE by adding counts.
+#
+# DDSketch's gamma-log bucket needs log(); this variant uses base-2
+# log buckets with 4 sub-mantissa bits, entirely integer:
+#
+#   b      = bitlen(v)            (bin() length — the q97 idiom)
+#   sub    = (v >> (b-5)) - 16    (4 bits after the leading 1)
+#   bucket = 16*b + sub           (relative width 2^(b-5)/lo <= 1/16)
+#   lo     = (16+sub) << (b-5),  hi = lo + (1 << (b-5))
+#
+# guaranteeing est/true in [1-1/17, 1+1/17] ~ +/-6% worst case (~3%
+# at midpoint). Quantile lookup is a prefix-sum over the (tiny,
+# bounded: <= 16*63 buckets) histogram with nearest-rank semantics —
+# rank = ceil(q*n) — evaluated per scope and per target quantile.
+#
+# Mergeability is proven the q97 way: per-segment histograms are
+# summed into a '__merged__' scope whose quantile rows must equal the
+# directly-computed '__all__' scope, and the oracle replays both.
+#
+# Scale shape: bucketing is map-side codegen; the shuffle carries
+# (scope, bucket) pairs — bounded by #scopes x ~1000 buckets
+# regardless of data volume; quantile extraction windows run over
+# that dim-scale frame. tests/test_approx_ops.py pins the estimate
+# within the analytic error bound against numpy exact percentiles.
+# ---------------------------------------------------------------------------
+
+_Q113_QS = (250000, 500000, 750000, 900000, 990000)  # target quantiles, ppm
+
+
+def q113_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice").cast("decimal(12,4)") * 100, 0).cast("long")
+    vals = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select(F.col("c_mktsegment").alias("scope"), cents.alias("v"))
+        .filter(F.col("v") >= 16)  # b >= 5; order totals are always >= $1
+    )
+    bucketed = vals.select(
+        "scope",
+        F.expr(
+            "16 * length(bin(v)) + (shiftright(v, length(bin(v)) - 5) - 16)"
+        ).alias("bucket"),
+    )
+    hist_seg = bucketed.groupBy("scope", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    hist_all = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("__all__").alias("scope"), "bucket", "n"
+    )
+    hist_merged = hist_seg.groupBy("bucket").agg(F.sum("n").alias("n")).select(
+        F.lit("__merged__").alias("scope"), "bucket", "n"
+    )
+    hist = hist_seg.unionByName(hist_all).unionByName(hist_merged)
+
+    w_cum = (
+        Window.partitionBy("scope")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("scope")
+    cum = hist.select(
+        "scope",
+        "bucket",
+        "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).alias("n_total"),
+    )
+    qs = spark.range(len(_Q113_QS)).select(
+        F.expr(
+            "element_at(array({}, {}, {}, {}, {}), CAST(id + 1 AS INT))".format(*_Q113_QS)
+        ).alias("q_ppm")
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        .withColumn(
+            "rank", F.expr("(n_total * q_ppm + 999999) div 1000000")
+        )
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy("scope", "q_ppm", "n_total")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return (
+        hit.select(
+            "scope",
+            "q_ppm",
+            F.col("n_total").cast("long").alias("n_total"),
+            F.col("bucket").cast("long").alias("bucket"),
+            F.expr("shiftleft(CAST(16 + bucket % 16 AS BIGINT), CAST(bucket div 16 AS INT) - 5)").alias("lo"),
+        )
+        .withColumn(
+            "hi",
+            F.col("lo") + F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket div 16 AS INT) - 5)"),
+        )
+        .withColumn("est_cents", F.expr("(lo + hi) div 2"))
+        .orderBy("scope", "q_ppm")
+    )
+
+
+_Q113_QLIST = ", ".join(str(q) for q in _Q113_QS)
+
+Q113_SQL = f"""
+WITH vals AS (
+  SELECT c_mktsegment AS scope,
+         CAST(round(CAST(o_totalprice AS DECIMAL(12,4)) * 100, 0) AS BIGINT) AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+bucketed AS (
+  SELECT scope,
+         16 * length(bin(v)) + ((v >> (length(bin(v)) - 5)) - 16) AS bucket
+  FROM vals WHERE v >= 16
+),
+hist AS (
+  SELECT scope, bucket, COUNT(*) AS n FROM bucketed GROUP BY scope, bucket
+  UNION ALL
+  SELECT '__all__' AS scope, bucket, COUNT(*) AS n FROM bucketed GROUP BY bucket
+  UNION ALL
+  SELECT '__merged__' AS scope, bucket, SUM(n) AS n
+  FROM (SELECT scope, bucket, COUNT(*) AS n FROM bucketed GROUP BY scope, bucket)
+  GROUP BY bucket
+),
+cum AS (
+  SELECT scope, bucket, n,
+         SUM(n) OVER (PARTITION BY scope ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(n) OVER (PARTITION BY scope) AS n_total
+  FROM hist
+),
+qs AS (SELECT UNNEST([{_Q113_QLIST}]) AS q_ppm),
+hit AS (
+  SELECT scope, q_ppm, n_total, MIN(bucket) AS bucket
+  FROM cum CROSS JOIN qs
+  WHERE cum >= (n_total * q_ppm + 999999) // 1000000
+  GROUP BY scope, q_ppm, n_total
+)
+SELECT scope,
+       CAST(q_ppm AS INTEGER) AS q_ppm,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST((16 + bucket % 16) << (bucket // 16 - 5) AS BIGINT) AS lo,
+       CAST(((16 + bucket % 16) << (bucket // 16 - 5))
+            + (1::BIGINT << (bucket // 16 - 5)) AS BIGINT) AS hi,
+       CAST((((16 + bucket % 16) << (bucket // 16 - 5)) * 2
+             + (1::BIGINT << (bucket // 16 - 5))) // 2 AS BIGINT) AS est_cents
+FROM hit
+ORDER BY scope, q_ppm
+"""
+
+QUERIES["q113_quantile_sketch"] = q113_quantile_sketch
+ORACLES["q113_quantile_sketch"] = Q113_SQL

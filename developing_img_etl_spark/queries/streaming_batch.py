@@ -1169,3 +1169,146 @@ ORDER BY segment
 
 QUERIES["st12_stream_static_enrich"] = st12_stream_static_enrich
 ORACLES["st12_stream_static_enrich"] = ST12_SQL
+
+
+# ---------------------------------------------------------------------------
+# ST13 — streaming SKETCH maintenance: HLL distinct-count registers
+# kept current per micro-batch, replay-safe BY ALGEBRA.
+#
+# Ties the sketch family (q97) to the streaming tier (st8/st9): a
+# "distinct event ids seen" integrity monitor (duplicate-delivery
+# detection) maintained incrementally — each micro-batch computes its
+# own 256-register HLL file (the q97 primitives at p = 8) and
+# max-merges it into a TxLogFormat-stored register table via one
+# snapshot-isolated overwrite.
+#
+# Unlike st8/st9, NO transaction markers are needed: max-merge is
+# idempotent AND commutative, so a crash-replayed batch is a no-op by
+# algebra, not by bookkeeping — the query proves it by re-applying
+# batch 0 after the drain. The source is deliberately doubled
+# (n_copies = 2): ~2x duplicate delivery leaves every register — and
+# therefore the estimate — EXACTLY as a single copy would, which the
+# oracle certifies by rebuilding the registers from the single-copy
+# events table in SQL and matching bit-for-bit.
+#
+# Scale shape: per-batch register extraction is map-side codegen +
+# one 256-key agg; the stored table is 256 rows regardless of stream
+# volume; the merge reads/writes kilobytes per batch.
+# ---------------------------------------------------------------------------
+
+_ST13_P = 8
+_ST13_M = 1 << _ST13_P  # 256 registers
+_ST13_FIELD = 60 - _ST13_P  # 52-bit rho field; rho in 1..53
+_ST13_NUM = 7213 * _ST13_M**3 * 2 ** (_ST13_FIELD + 1)
+_ST13_DEN = 10 * (1000 * _ST13_M + 1079)
+_ST13_SCALE = 1 << (_ST13_FIELD + 1)
+
+
+def _st13_registers(df: DataFrame) -> DataFrame:
+    from .classify import md5_prefix_int
+    from .sketches import _rho
+
+    h = md5_prefix_int(F.col("event_id").cast("string"), 15)
+    return (
+        df.select(h.alias("h"))
+        .select(
+            (F.col("h") % _ST13_M).alias("idx"),
+            _rho(F.expr(f"h div {_ST13_M}"), _ST13_FIELD).alias("rho"),
+        )
+        .groupBy("idx")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+
+
+def st13_streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sinks.txlog import TxLogFormat
+
+    work = tempfile.mkdtemp(prefix="st13_")
+    src, table, ckpt = f"{work}/src", f"{work}/table", f"{work}/ckpt"
+    _link_events_into(sf_dir, src, n_copies=2)
+    fmt = TxLogFormat()
+
+    def merge_registers(batch_df: DataFrame, batch_id: int) -> None:
+        regs = _st13_registers(batch_df)
+        try:
+            current = fmt.read(batch_df.sparkSession, table)
+        except Exception:
+            current = None
+        if current is not None:
+            regs = current.unionByName(regs).groupBy("idx").agg(
+                F.max("m_reg").alias("m_reg")
+            )
+        fmt.overwrite(regs, table)
+
+    stream = _raw_events_stream(spark, sf_dir, src, max_files_per_trigger=1)
+    with _stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_registers)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # crash-replay: batch 0 again — a no-op because max-merge is
+    # idempotent (the registers, and so the hash, must not move)
+    merge_registers(spark.read.parquet(src).limit(100), 0)
+
+    regs = fmt.read(spark, table)
+    return (
+        regs.agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {_ST13_FIELD + 1} - m_reg)")
+            ).alias("s_present"),
+        )
+        .select(
+            (F.lit(_ST13_M) - F.col("n_present")).cast("long").alias(
+                "n_zero_registers"
+            ),
+            (
+                F.col("s_present")
+                + (F.lit(_ST13_M) - F.col("n_present")) * F.lit(_ST13_SCALE)
+            ).cast("long").alias("s_scaled"),
+        )
+        .withColumn(
+            "hll_estimate",
+            F.expr(
+                f"CAST('{_ST13_NUM}' AS DECIMAL(38,0)) div "
+                f"(CAST({_ST13_DEN} AS DECIMAL(38,0)) * CAST(s_scaled AS DECIMAL(38,0)))"
+            ).cast("long"),
+        )
+    )
+
+
+from .classify import sql_md5_prefix_int as _sql_md5p13  # noqa: E402
+
+ST13_SQL = f"""
+WITH hashes AS (
+  SELECT {_sql_md5p13(15)} AS hv
+  FROM (SELECT md5(CAST(event_id AS VARCHAR)) AS h FROM events)
+),
+rho AS (
+  SELECT hv % {_ST13_M} AS idx,
+         CASE WHEN hv // {_ST13_M} = 0 THEN {_ST13_FIELD + 1}
+              ELSE {_ST13_FIELD + 1} - length(bin(hv // {_ST13_M})) END AS rho
+  FROM hashes
+),
+regs AS (SELECT idx, MAX(rho) AS m_reg FROM rho GROUP BY idx),
+est AS (
+  SELECT CAST({_ST13_M} - COUNT(*) AS BIGINT) AS n_zero_registers,
+         CAST(SUM(1::BIGINT << ({_ST13_FIELD + 1} - m_reg))
+              + ({_ST13_M} - COUNT(*)) * {_ST13_SCALE}::BIGINT AS BIGINT) AS s_scaled
+  FROM regs
+)
+SELECT n_zero_registers, s_scaled,
+       CAST(CAST('{_ST13_NUM}' AS HUGEINT)
+            // ({_ST13_DEN}::HUGEINT * s_scaled::HUGEINT) AS BIGINT) AS hll_estimate
+FROM est
+"""
+
+QUERIES["st13_streaming_hll_registers"] = st13_streaming_hll_registers
+ORACLES["st13_streaming_hll_registers"] = ST13_SQL

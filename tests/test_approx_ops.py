@@ -235,3 +235,29 @@ def test_hll_estimate_within_tolerance(spark, sf_dir):
         assert rel < 0.15, (scope, r)
     a, m = rows["__all__"], rows["__merged__"]
     assert (a["s_scaled"], a["hll_estimate"]) == (m["s_scaled"], m["hll_estimate"])
+
+
+def test_quantile_sketch_within_error_bound(spark, sf_dir):
+    """q113's log-bucket estimate lands within the analytic +/-1/17
+    relative-error bound of the true nearest-rank percentile, and the
+    summed per-segment histograms reproduce the direct global rows."""
+    import numpy as np
+
+    from developing_img_etl_spark.queries.sketches import q113_quantile_sketch
+
+    rows = q113_quantile_sketch(spark, sf_dir).collect()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = np.sort(
+        np.round(orders.toPandas()["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    )
+    n = len(cents)
+    for r in rows:
+        if r["scope"] != "__all__":
+            continue
+        rank = -(-n * r["q_ppm"] // 1000000)  # ceil
+        true = int(cents[rank - 1])
+        assert r["lo"] <= true <= r["hi"], (r, true)
+        assert abs(r["est_cents"] - true) / true <= 1 / 17 + 1e-9, (r, true)
+    allr = {r["q_ppm"]: (r["bucket"], r["n_total"]) for r in rows if r["scope"] == "__all__"}
+    mrg = {r["q_ppm"]: (r["bucket"], r["n_total"]) for r in rows if r["scope"] == "__merged__"}
+    assert allr == mrg and len(allr) == 5
