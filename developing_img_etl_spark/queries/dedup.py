@@ -789,12 +789,47 @@ ORACLES["q103_label_propagation"] = _q103_sql()
 _Q108_K = 8
 
 
+def _q108_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs at exact Jaccard > 0.2 off the shared index."""
+    sh = shingle_index(spark, sf_dir)
+    a = sh.select(
+        "source", "s", F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")
+    )
+    b = sh.select(
+        "source", "s", F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        a.join(b, ["source", "s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("source", "id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .withColumn(
+            "exact_ppm",
+            F.expr("n_common * 1000000 div (n_a + n_b - n_common)"),
+        )
+        .filter(F.col("exact_ppm") > 200000)
+    )
+
+
+def _q108_cand_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _q108_pairs(spark, sf_dir)
+    return (
+        p.select(F.col("id_a").alias("doc_id"))
+        .unionByName(p.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+
+
 def q108_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .classify import md5_prefix_int
 
     sh = shingle_index(spark, sf_dir)
+    # signatures ONLY for documents that appear in a candidate pair —
+    # the audit never reads the others, so the corpus-wide 8x md5 work
+    # is skipped (review pass 10); cand_ids is id-only and tiny.
     sigs = (
-        sh.select(
+        sh.join(F.broadcast(_q108_cand_ids(spark, sf_dir)), "doc_id", "leftsemi")
+        .select(
             "doc_id",
             "s",
             F.explode(F.sequence(F.lit(0), F.lit(_Q108_K - 1))).alias("i"),
@@ -809,23 +844,7 @@ def q108_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "i")
         .agg(F.min("hv").alias("mh"))
     )
-    a = sh.select(
-        "source", "s", F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")
-    )
-    b = sh.select(
-        "source", "s", F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")
-    )
-    pairs = (
-        a.join(b, ["source", "s"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("source", "id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .withColumn(
-            "exact_ppm",
-            F.expr("n_common * 1000000 div (n_a + n_b - n_common)"),
-        )
-        .filter(F.col("exact_ppm") > 200000)
-    )
+    pairs = _q108_pairs(spark, sf_dir)
     sa = sigs.select(F.col("doc_id").alias("id_a"), "i", F.col("mh").alias("mh_a"))
     sb = sigs.select(F.col("doc_id").alias("id_b"), "i", F.col("mh").alias("mh_b"))
     matched = (
@@ -872,14 +891,6 @@ sh AS (
 inv AS (
   SELECT doc_id, source, len(s) AS n_sh, UNNEST(s) AS shingle FROM sh
 ),
-hashes AS (
-  SELECT doc_id, i, {_sql_md5p(15)} AS hv
-  FROM (SELECT doc_id, i, md5(CAST(i AS VARCHAR) || ':' || shingle) AS h
-        FROM inv, (SELECT UNNEST(range(0, {_Q108_K})) AS i))
-),
-sigs AS (
-  SELECT doc_id, i, MIN(hv) AS mh FROM hashes GROUP BY doc_id, i
-),
 pairs AS (
   SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
          a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_common
@@ -892,6 +903,18 @@ cand AS (
          n_common * 1000000 // (n_a + n_b - n_common) AS exact_ppm
   FROM pairs
   WHERE n_common * 1000000 // (n_a + n_b - n_common) > 200000
+),
+cand_ids AS (
+  SELECT id_a AS doc_id FROM cand UNION SELECT id_b FROM cand
+),
+hashes AS (
+  SELECT doc_id, i, {_sql_md5p(15)} AS hv
+  FROM (SELECT doc_id, i, md5(CAST(i AS VARCHAR) || ':' || shingle) AS h
+        FROM inv, (SELECT UNNEST(range(0, {_Q108_K})) AS i)
+        WHERE doc_id IN (SELECT doc_id FROM cand_ids))
+),
+sigs AS (
+  SELECT doc_id, i, MIN(hv) AS mh FROM hashes GROUP BY doc_id, i
 ),
 matched AS (
   SELECT c.source, c.id_a, c.id_b, c.n_common, c.exact_ppm,

@@ -399,19 +399,22 @@ _RRF_K = 60
 _RRF_TOP = 5
 
 
-def q93_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ._shingle import shingle_index
 
-    emb = load(spark, sf_dir, "embeddings")
+def _vector_ranking(emb: DataFrame) -> DataFrame:
+    """Exact-cosine ranking of every candidate per probe — the dense
+    leg shared by q93 (RRF fusion) and q110 (evaluation ground truth):
+    (probe_id, doc_id, vec_rk). q13's broadcast-probe discipline."""
     cand = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
     probes = cand.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("probe_emb"),
         F.col("nrm").alias("probe_nrm"),
     )
-    sim = dot(F.col("probe_emb"), F.col("embedding")) / (F.col("probe_nrm") * F.col("nrm"))
+    sim = dot(F.col("probe_emb"), F.col("embedding")) / (
+        F.col("probe_nrm") * F.col("nrm")
+    )
     w_vec = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "vec_id")
-    vec_rk = (
+    return (
         cand.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select("probe_id", "vec_id", F.round(sim, 6).alias("sim"))
@@ -419,22 +422,33 @@ def q93_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", F.col("vec_id").alias("doc_id"), "vec_rk")
     )
 
-    # lexical leg: restrict the shared index to the embedding universe
+
+def _lexical_ranking(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
+    """Shingle-overlap ranking per probe (the sparse leg of q93/q110):
+    (probe_id, doc_id, lex_rk), restricted to the embedding universe,
+    riding the shared persisted shingle index."""
+    from ._shingle import shingle_index
+
     ids = emb.select(F.col("vec_id").alias("doc_id"))
     sh = shingle_index(spark, sf_dir).join(F.broadcast(ids), "doc_id", "leftsemi")
     a = sh.filter(F.col("doc_id") < N_PROBES).select(
         F.col("doc_id").alias("probe_id"), "s"
     )
-    overlap = (
+    w_lex = Window.partitionBy("probe_id").orderBy(F.desc("n_shared"), "doc_id")
+    return (
         a.join(sh.select("doc_id", "s"), "s")
         .filter(F.col("doc_id") != F.col("probe_id"))
         .groupBy("probe_id", "doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
+        .withColumn("lex_rk", F.row_number().over(w_lex))
+        .select("probe_id", "doc_id", "lex_rk")
     )
-    w_lex = Window.partitionBy("probe_id").orderBy(F.desc("n_shared"), "doc_id")
-    lex_rk = overlap.withColumn("lex_rk", F.row_number().over(w_lex)).select(
-        "probe_id", "doc_id", "lex_rk"
-    )
+
+
+def q93_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    vec_rk = _vector_ranking(emb)
+    lex_rk = _lexical_ranking(spark, sf_dir, emb)
 
     fused = (
         vec_rk.join(lex_rk, ["probe_id", "doc_id"], "left")
@@ -816,42 +830,19 @@ _Q110_IDCG = sum(_Q110_DISC.values())
 
 
 def q110_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ._shingle import shingle_index
-
     emb = load(spark, sf_dir, "embeddings")
-    cand = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-    probes = cand.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("probe_emb"),
-        F.col("nrm").alias("probe_nrm"),
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id")
     )
-    sim = dot(F.col("probe_emb"), F.col("embedding")) / (
-        F.col("probe_nrm") * F.col("nrm")
-    )
-    w_vec = Window.partitionBy("probe_id").orderBy(F.desc("sim"), "vec_id")
     truth = (
-        cand.crossJoin(F.broadcast(probes))
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id", F.round(sim, 6).alias("sim"))
-        .withColumn("t_rk", F.row_number().over(w_vec))
-        .filter(F.col("t_rk") <= _Q110_K)
-        .select("probe_id", F.col("vec_id").alias("doc_id"))
+        _vector_ranking(emb)
+        .filter(F.col("vec_rk") <= _Q110_K)
+        .select("probe_id", "doc_id")
     )
-
-    ids = emb.select(F.col("vec_id").alias("doc_id"))
-    sh = shingle_index(spark, sf_dir).join(F.broadcast(ids), "doc_id", "leftsemi")
-    a = sh.filter(F.col("doc_id") < N_PROBES).select(
-        F.col("doc_id").alias("probe_id"), "s"
-    )
-    w_lex = Window.partitionBy("probe_id").orderBy(F.desc("n_shared"), "doc_id")
     system = (
-        a.join(sh.select("doc_id", "s"), "s")
-        .filter(F.col("doc_id") != F.col("probe_id"))
-        .groupBy("probe_id", "doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .withColumn("rk", F.row_number().over(w_lex))
-        .filter(F.col("rk") <= _Q110_K)
-        .select("probe_id", "doc_id", "rk")
+        _lexical_ranking(spark, sf_dir, emb)
+        .filter(F.col("lex_rk") <= _Q110_K)
+        .select("probe_id", "doc_id", F.col("lex_rk").alias("rk"))
     )
 
     disc = F.create_map(*[F.lit(x) for kv in _Q110_DISC.items() for x in kv])
@@ -864,8 +855,7 @@ def q110_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("disc").alias("dcg"),
     )
     return (
-        probes.select("probe_id")
-        .join(per_probe, "probe_id", "left")
+        probes.join(per_probe, "probe_id", "left")
         .select(
             "probe_id",
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),

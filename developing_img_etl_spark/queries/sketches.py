@@ -81,6 +81,52 @@ def _rho(w: Column, field: int = _FIELD) -> Column:
     )
 
 
+def hll_params(p: int) -> tuple[int, int, int, int, int]:
+    """(m, field, num, den, scale) for a 60-bit-hash HLL at precision
+    ``p`` — the ONE home of the integer estimator constants (q97 at
+    p = 9, st13 at p = 8): est = num DIV (den * s_scaled)."""
+    m = 1 << p
+    field = 60 - p
+    scale = 1 << (field + 1)
+    return m, field, 7213 * m**3 * scale, 10 * (1000 * m + 1079), scale
+
+
+def hll_estimate_frame(regs: DataFrame, p: int, *group_cols: str) -> DataFrame:
+    """Evaluate the integer HLL estimator over a register frame
+    ``(…group_cols, idx, m_reg)`` → ``(…group_cols, n_zero_registers,
+    s_scaled, hll_estimate)`` — shared by q97 and st13 so an estimator
+    correction can never be applied to one consumer only."""
+    m, field, num, den, scale = hll_params(p)
+    agged = (
+        regs.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {field + 1} - m_reg)")
+            ).alias("s_present"),
+        )
+        if group_cols
+        else regs.agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {field + 1} - m_reg)")
+            ).alias("s_present"),
+        )
+    )
+    return agged.select(
+        *group_cols,
+        (F.lit(m) - F.col("n_present")).cast("long").alias("n_zero_registers"),
+        (F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(scale))
+        .cast("long")
+        .alias("s_scaled"),
+    ).withColumn(
+        "hll_estimate",
+        F.expr(
+            f"CAST('{num}' AS DECIMAL(38,0)) div "
+            f"(CAST({den} AS DECIMAL(38,0)) * CAST(s_scaled AS DECIMAL(38,0)))"
+        ).cast("long"),
+    )
+
+
 def q97_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     sh = shingle_index(spark, sf_dir).select("doc_id", "s")
@@ -107,30 +153,7 @@ def q97_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         regs_merged
     )
 
-    est = (
-        regs.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_present"),
-            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_FIELD + 1} - m_reg)")).alias(
-                "s_present"
-            ),
-        )
-        .select(
-            F.col("lang").alias("scope"),
-            (F.lit(_M) - F.col("n_present")).cast("long").alias("n_zero_registers"),
-            (
-                F.col("s_present")
-                + (F.lit(_M) - F.col("n_present")) * F.lit(_S_SCALE)
-            ).cast("long").alias("s_scaled"),
-        )
-        .withColumn(
-            "hll_estimate",
-            F.expr(
-                f"CAST('{_NUM}' AS DECIMAL(38,0)) div "
-                f"(CAST({_DEN_C} AS DECIMAL(38,0)) * CAST(s_scaled AS DECIMAL(38,0)))"
-            ).cast("long"),
-        )
-    )
+    est = hll_estimate_frame(regs, _P, "lang").withColumnRenamed("lang", "scope")
 
     exact_lang = tagged.groupBy("lang").agg(
         F.countDistinct("s").alias("exact_distinct")
@@ -286,8 +309,16 @@ def q113_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "16 * length(bin(v)) + (shiftright(v, length(bin(v)) - 5) - 16)"
         ).alias("bucket"),
     )
-    hist_seg = bucketed.groupBy("scope", "bucket").agg(
-        F.count(F.lit(1)).alias("n")
+    # hist_seg is the DIM-SCALE histogram (scopes x ~1000 buckets);
+    # localCheckpoint pins those few rows so the '__merged__' branch
+    # derives from them without re-paying the fact scan+join. '__all__'
+    # deliberately re-aggregates from the base — the independent direct
+    # path the mergeability proof compares against (2 fact scans total,
+    # not 3).
+    hist_seg = (
+        bucketed.groupBy("scope", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     hist_all = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).select(
         F.lit("__all__").alias("scope"), "bucket", "n"
@@ -310,13 +341,12 @@ def q113_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(w_cum).alias("cum"),
         F.sum("n").over(w_tot).alias("n_total"),
     )
-    qs = spark.range(len(_Q113_QS)).select(
-        F.expr(
-            "element_at(array({}, {}, {}, {}, {}), CAST(id + 1 AS INT))".format(*_Q113_QS)
-        ).alias("q_ppm")
-    )
+    # the 5 target quantiles attach as a per-row literal-array explode —
+    # pure projection, no join operator in the plan at all
     hit = (
-        cum.crossJoin(F.broadcast(qs))
+        cum.withColumn(
+            "q_ppm", F.explode(F.array(*[F.lit(q) for q in _Q113_QS]))
+        )
         .withColumn(
             "rank", F.expr("(n_total * q_ppm + 999999) div 1000000")
         )

@@ -1197,11 +1197,11 @@ ORACLES["st12_stream_static_enrich"] = ST12_SQL
 # ---------------------------------------------------------------------------
 
 _ST13_P = 8
-_ST13_M = 1 << _ST13_P  # 256 registers
-_ST13_FIELD = 60 - _ST13_P  # 52-bit rho field; rho in 1..53
-_ST13_NUM = 7213 * _ST13_M**3 * 2 ** (_ST13_FIELD + 1)
-_ST13_DEN = 10 * (1000 * _ST13_M + 1079)
-_ST13_SCALE = 1 << (_ST13_FIELD + 1)
+
+# estimator constants live in ONE place — sketches.hll_params (q97's)
+from .sketches import hll_params as _hll_params  # noqa: E402
+
+_ST13_M, _ST13_FIELD, _ST13_NUM, _ST13_DEN, _ST13_SCALE = _hll_params(_ST13_P)
 
 
 def _st13_registers(df: DataFrame) -> DataFrame:
@@ -1234,8 +1234,8 @@ def st13_streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         regs = _st13_registers(batch_df)
         try:
             current = fmt.read(batch_df.sparkSession, table)
-        except Exception:
-            current = None
+        except FileNotFoundError:  # first batch only — anything else
+            current = None  # must fail loudly, not reset the registers
         if current is not None:
             regs = current.unionByName(regs).groupBy("idx").agg(
                 F.max("m_reg").alias("m_reg")
@@ -1253,35 +1253,14 @@ def st13_streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(300)
 
-    # crash-replay: batch 0 again — a no-op because max-merge is
+    # crash-replay: the ACTUAL first staged file (= batch 0 under
+    # maxFilesPerTrigger=1) again — a no-op because max-merge is
     # idempotent (the registers, and so the hash, must not move)
-    merge_registers(spark.read.parquet(src).limit(100), 0)
+    merge_registers(spark.read.parquet(f"{src}/00-events.parquet"), 0)
 
-    regs = fmt.read(spark, table)
-    return (
-        regs.agg(
-            F.count(F.lit(1)).alias("n_present"),
-            F.sum(
-                F.expr(f"shiftleft(CAST(1 AS BIGINT), {_ST13_FIELD + 1} - m_reg)")
-            ).alias("s_present"),
-        )
-        .select(
-            (F.lit(_ST13_M) - F.col("n_present")).cast("long").alias(
-                "n_zero_registers"
-            ),
-            (
-                F.col("s_present")
-                + (F.lit(_ST13_M) - F.col("n_present")) * F.lit(_ST13_SCALE)
-            ).cast("long").alias("s_scaled"),
-        )
-        .withColumn(
-            "hll_estimate",
-            F.expr(
-                f"CAST('{_ST13_NUM}' AS DECIMAL(38,0)) div "
-                f"(CAST({_ST13_DEN} AS DECIMAL(38,0)) * CAST(s_scaled AS DECIMAL(38,0)))"
-            ).cast("long"),
-        )
-    )
+    from .sketches import hll_estimate_frame
+
+    return hll_estimate_frame(fmt.read(spark, table), _ST13_P)
 
 
 from .classify import sql_md5_prefix_int as _sql_md5p13  # noqa: E402

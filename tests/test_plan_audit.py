@@ -47,6 +47,16 @@ BNLJ_ALLOWED = {
     # q96: K-row medoid set broadcast against every vector (the q13
     # tiny-probe-set cross — assignment IS the algorithm)
     "q96_semdedup",
+    # q110: the q13/q93 tiny-probe-set broadcast cross (ground truth)
+    "q110_retrieval_eval",
+    # 1-row aggregate scalar crosses (structurally verified below):
+    # q98 distinct-bigram total, q104 corpus total, q105 day bounds,
+    # q106 observed total, q107 max doc id
+    "q98_kneser_ney_bigrams",
+    "q104_stratified_quota_sample",
+    "q105_sliding_distinct_users",
+    "q106_benford_audit",
+    "q107_vocab_growth",
 }
 
 # no exemptions today: every declared query ships ids through hash
@@ -117,6 +127,11 @@ SCALAR_BNLJ = {
     "q49_jsonl_roundtrip",
     "q91_csv_roundtrip",
     "q92_temperature_mixing",
+    "q98_kneser_ney_bigrams",
+    "q104_stratified_quota_sample",
+    "q105_sliding_distinct_users",
+    "q106_benford_audit",
+    "q107_vocab_growth",
 }
 
 
