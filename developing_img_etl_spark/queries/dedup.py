@@ -664,9 +664,16 @@ def q103_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_common") >= _Q103_MIN_COMMON)
         .select("id_a", "id_b")
     )
-    edges = half.unionByName(
-        half.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # the edge list is consumed by every round — pin the id-pairs once
+    # (kilobytes) so the inverted-index self-join never re-runs (the
+    # q30/q21 iterative discipline)
+    edges = (
+        half.unionByName(
+            half.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .localCheckpoint(eager=False)
+    )
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
     lab = docs.filter(F.col("doc_id") % 11 == 0).select(
@@ -688,7 +695,9 @@ def q103_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") == 1)
             .select("doc_id", "label", F.lit(r).alias("round_assigned"))
         )
-        lab = lab.unionByName(new)
+        # pin each round's label table: the next round's joins and the
+        # final union otherwise recompute every prior round's lineage
+        lab = lab.unionByName(new).localCheckpoint(eager=False)
     return (
         lab.select(
             "doc_id",
@@ -811,24 +820,23 @@ def _q108_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q108_cand_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _q108_pairs(spark, sf_dir)
-    return (
-        p.select(F.col("id_a").alias("doc_id"))
-        .unionByName(p.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-
-
 def q108_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .classify import md5_prefix_int
 
     sh = shingle_index(spark, sf_dir)
+    # candidate pairs computed ONCE and pinned (id-only, tiny): both the
+    # signature semi-join and the audit read this frame
+    pairs = _q108_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
     # signatures ONLY for documents that appear in a candidate pair —
     # the audit never reads the others, so the corpus-wide 8x md5 work
     # is skipped (review pass 10); cand_ids is id-only and tiny.
     sigs = (
-        sh.join(F.broadcast(_q108_cand_ids(spark, sf_dir)), "doc_id", "leftsemi")
+        sh.join(F.broadcast(cand_ids), "doc_id", "leftsemi")
         .select(
             "doc_id",
             "s",
@@ -844,7 +852,6 @@ def q108_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "i")
         .agg(F.min("hv").alias("mh"))
     )
-    pairs = _q108_pairs(spark, sf_dir)
     sa = sigs.select(F.col("doc_id").alias("id_a"), "i", F.col("mh").alias("mh_a"))
     sb = sigs.select(F.col("doc_id").alias("id_b"), "i", F.col("mh").alias("mh_b"))
     matched = (

@@ -130,16 +130,24 @@ def hll_estimate_frame(regs: DataFrame, p: int, *group_cols: str) -> DataFrame:
 def q97_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     sh = shingle_index(spark, sf_dir).select("doc_id", "s")
-    tagged = sh.join(docs, "doc_id").select(
-        "lang",
-        "s",
-        md5_prefix_int(F.col("s"), 15).alias("h"),
-    )
-    row = tagged.select(
-        "lang",
-        "s",
-        (F.col("h") % _M).alias("idx"),
-        _rho(F.expr(f"h div {_M}")).alias("rho"),
+    # ONE (lang, shingle) dedup feeds registers AND the exact audit —
+    # without the pin, the join + md5 over the full index would re-run
+    # for each of the four aggregation branches below. Registers are
+    # insensitive to the dedup (max of identical rho's); the exact
+    # count requires it anyway. In deployment this is a staged frame
+    # like _shingle.py itself.
+    row = (
+        sh.join(docs, "doc_id")
+        .select("lang", "s")
+        .distinct()
+        .select("lang", "s", md5_prefix_int(F.col("s"), 15).alias("h"))
+        .select(
+            "lang",
+            "s",
+            (F.col("h") % _M).alias("idx"),
+            _rho(F.expr(f"h div {_M}")).alias("rho"),
+        )
+        .localCheckpoint(eager=False)
     )
 
     regs_lang = row.groupBy("lang", "idx").agg(F.max("rho").alias("m_reg"))
@@ -155,10 +163,10 @@ def q97_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     est = hll_estimate_frame(regs, _P, "lang").withColumnRenamed("lang", "scope")
 
-    exact_lang = tagged.groupBy("lang").agg(
+    exact_lang = row.groupBy("lang").agg(
         F.countDistinct("s").alias("exact_distinct")
     )
-    exact_all = tagged.agg(F.countDistinct("s").alias("exact_distinct"))
+    exact_all = row.agg(F.countDistinct("s").alias("exact_distinct"))
     exact = exact_lang.unionByName(
         exact_all.select(F.lit("__all__").alias("lang"), "exact_distinct")
     ).unionByName(
