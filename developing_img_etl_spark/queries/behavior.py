@@ -697,3 +697,214 @@ ORDER BY from_type, to_type
 
 QUERIES["q112_markov_transitions"] = q112_markov_transitions
 ORACLES["q112_markov_transitions"] = Q112_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q114 — day-of-week seasonality indices (multiplicative, exact ppm).
+#
+# Completes the time-series toolkit (q102 anomaly test, q109 OLS
+# trend, q81 gap repair): the classical-decomposition seasonal
+# component — each weekday's revenue index relative to the segment's
+# overall daily mean, the multiplicative seasonal factor a forecaster
+# divides out before fitting trend. Index > 1e6 = that weekday runs
+# hot for the segment.
+#
+# Exactness: index = mean_dow / mean_all as the cross-multiplied
+# integer ratio (sum_dow * n_all * 1e6) DIV (n_dow * sum_all) — no
+# division until the final truncating DIV, DECIMAL(38,0)/HUGEINT so
+# warehouse-scale cents can't overflow. Day-of-week is epoch-day
+# arithmetic ((d + 4) % 7: 1970-01-01 was a Thursday) rather than an
+# engine date-part — both engines share the integer definition and
+# locale can't leak in.
+#
+# Scale shape: one (segment, day) hash agg off the scan, a 7-row
+# per-segment agg, one window pair for segment totals. Dim-scale
+# everywhere after the first agg.
+# ---------------------------------------------------------------------------
+
+
+def q114_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .classify import epoch_day
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    daily = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            epoch_day(F.col("o_orderdate")).alias("d"),
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,4)")) * 100, 0)
+            .cast("long")
+            .alias("cents")
+        )
+        .withColumn("dow", (F.col("d") + 4) % 7)
+    )
+    per_dow = daily.groupBy("segment", "dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sum_cents"),
+    )
+    w_seg = Window.partitionBy("segment")
+    return (
+        per_dow.withColumn("n_all", F.sum("n_days").over(w_seg))
+        .withColumn("sum_all", F.sum("sum_cents").over(w_seg))
+        .select(
+            "segment",
+            F.col("dow").cast("long").alias("dow"),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+            F.expr(
+                "CAST(sum_cents * n_all * 1000000 div (CAST(n_days AS DECIMAL(38,0)) * sum_all) AS BIGINT)"
+            ).alias("seasonal_index_ppm"),
+        )
+        .orderBy("segment", "dow")
+    )
+
+
+Q114_SQL = """
+WITH daily AS (
+  SELECT c_mktsegment AS segment,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,4))) * 100, 0) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+per_dow AS (
+  SELECT segment, (d + 4) % 7 AS dow,
+         COUNT(*) AS n_days,
+         SUM(CAST(cents AS HUGEINT)) AS sum_cents
+  FROM daily GROUP BY 1, 2
+),
+tot AS (
+  SELECT *, SUM(n_days) OVER (PARTITION BY segment) AS n_all,
+         SUM(sum_cents) OVER (PARTITION BY segment) AS sum_all
+  FROM per_dow
+)
+SELECT segment,
+       CAST(dow AS BIGINT) AS dow,
+       CAST(n_days AS BIGINT) AS n_days,
+       CAST(sum_cents AS BIGINT) AS sum_cents,
+       CAST(sum_cents * n_all * 1000000 // (CAST(n_days AS HUGEINT) * sum_all) AS BIGINT) AS seasonal_index_ppm
+FROM tot
+ORDER BY segment, dow
+"""
+
+QUERIES["q114_weekday_seasonality"] = q114_weekday_seasonality
+ORACLES["q114_weekday_seasonality"] = Q114_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q116 — robust outliers via median absolute deviation (MAD).
+#
+# q102's z-test assumes the trailing window is clean; the ROBUST
+# variant — Hampel's rule, |x - median| > 3 * 1.4826 * MAD — survives
+# up to 50% contamination and is the standard screen when the monitor
+# itself must not be poisoned by the anomalies it hunts. Per segment:
+# the median daily revenue, the MAD around it, and the flagged days.
+#
+# Exactness without FP medians: every median of BIGINTs is either an
+# observed value or the midpoint of two, so DOUBLED medians (2*median
+# = lower + upper) are exact integers on both engines — medians are
+# carried as med2/mad2 and the Hampel inequality cross-multiplies to
+# pure integers: 10000 * 2 * |x - med2/2| > 3 * 14826 * mad2
+# <=> 10000 * absdev2 > 44478 * mad2x2 (the 2s cancel). No float
+# ever compared.
+#
+# Scale shape: one (segment, day) agg, per-segment exact medians
+# (percentile over the dim-scale daily frame — day counts per
+# segment, not raw orders), one broadcast-back join, integer flags.
+# ---------------------------------------------------------------------------
+
+
+def q116_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    daily = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,4)")) * 100, 0)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    med = daily.groupBy("segment").agg(
+        F.expr("CAST(round(percentile(cents, 0.5) * 2, 0) AS BIGINT)").alias("med2")
+    )
+    dev = daily.join(F.broadcast(med), "segment").withColumn(
+        "absdev2", F.abs(F.expr("2 * cents - med2"))
+    )
+    mad = dev.groupBy("segment").agg(
+        F.expr("CAST(round(percentile(absdev2, 0.5), 0) AS BIGINT)").alias("mad2x2")
+    )
+    flagged = (
+        dev.join(F.broadcast(mad), "segment")
+        .withColumn(
+            "is_outlier",
+            F.expr("10000 * absdev2 > 44478 * mad2x2"),
+        )
+    )
+    return (
+        flagged.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.max("med2").alias("med2"),
+            F.max("mad2x2").alias("mad2x2"),
+            F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).alias("n_outliers"),
+            F.max(F.when(F.col("is_outlier"), F.col("cents"))).alias(
+                "max_outlier_cents"
+            ),
+        )
+        .select(
+            "segment",
+            "n_days",
+            "med2",
+            "mad2x2",
+            F.col("n_outliers").cast("long").alias("n_outliers"),
+            "max_outlier_cents",
+        )
+        .orderBy("segment")
+    )
+
+
+Q116_SQL = """
+WITH daily AS (
+  SELECT c_mktsegment AS segment, CAST(o_orderdate AS DATE) AS day,
+         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,4))) * 100, 0) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+med AS (
+  SELECT segment, CAST(round(quantile_cont(cents, 0.5) * 2, 0) AS BIGINT) AS med2
+  FROM daily GROUP BY segment
+),
+dev AS (
+  SELECT d.*, m.med2, abs(2 * d.cents - m.med2) AS absdev2
+  FROM daily d JOIN med m USING (segment)
+),
+mad AS (
+  SELECT segment, CAST(round(quantile_cont(absdev2, 0.5), 0) AS BIGINT) AS mad2x2
+  FROM dev GROUP BY segment
+),
+flagged AS (
+  SELECT dev.*, mad.mad2x2,
+         10000 * absdev2 > 44478 * mad.mad2x2 AS is_outlier
+  FROM dev JOIN mad USING (segment)
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(MAX(med2) AS BIGINT) AS med2,
+       CAST(MAX(mad2x2) AS BIGINT) AS mad2x2,
+       CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       MAX(CASE WHEN is_outlier THEN cents END) AS max_outlier_cents
+FROM flagged
+GROUP BY segment
+ORDER BY segment
+"""
+
+QUERIES["q116_mad_outliers"] = q116_mad_outliers
+ORACLES["q116_mad_outliers"] = Q116_SQL

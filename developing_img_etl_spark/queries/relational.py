@@ -1220,3 +1220,95 @@ ORDER BY region, nation, segment
 
 QUERIES["q111_ratio_to_parent"] = q111_ratio_to_parent
 ORACLES["q111_ratio_to_parent"] = Q111_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q115 — 2-D skyline (Pareto frontier) via the sort + running-max
+# rewrite.
+#
+# The classic multi-criteria operator (Börzsönyi et al., ICDE 2001:
+# "The Skyline Operator"): per segment, the orders not DOMINATED on
+# (cheaper price, more recent date) — i.e. the Pareto frontier of the
+# cost/recency trade-off. The naive formulation is a quadratic
+# NOT-EXISTS self-join; the 2-D scale shape is one sort: order by
+# (price asc, date desc) and keep a row iff its date strictly exceeds
+# the running max date over all preceding (= no cheaper-or-equal
+# order is at least as recent). One window pass, distributed by
+# segment; duplicates of a (price, date) coordinate keep exactly one
+# deterministic representative (smallest orderkey).
+#
+# Both engines run the identical window formulation — the hash-match
+# certifies frame semantics (rows unbounded preceding to 1 preceding,
+# three-key total order) across engines; all values are integer
+# cents/epoch-days.
+# ---------------------------------------------------------------------------
+
+
+def q115_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .classify import epoch_day
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    pts = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice").cast("decimal(12,4)") * 100, 0)
+        .cast("long")
+        .alias("price_cents"),
+        epoch_day(F.col("o_orderdate")).alias("day"),
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy(F.asc("price_cents"), F.desc("day"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = (
+        pts.withColumn("best_day_before", F.max("day").over(w))
+        .filter(
+            F.col("best_day_before").isNull()
+            | (F.col("day") > F.col("best_day_before"))
+        )
+    )
+    w_rk = Window.partitionBy("segment").orderBy("price_cents", "o_orderkey")
+    return (
+        sky.withColumn("sky_rank", F.row_number().over(w_rk))
+        .select(
+            "segment",
+            F.col("sky_rank").cast("long").alias("sky_rank"),
+            "o_orderkey",
+            "price_cents",
+            F.col("day").cast("long").alias("day"),
+        )
+        .orderBy("segment", "sky_rank")
+    )
+
+
+Q115_SQL = """
+WITH pts AS (
+  SELECT c_mktsegment AS segment, o_orderkey,
+         CAST(round(CAST(o_totalprice AS DECIMAL(12,4)) * 100, 0) AS BIGINT) AS price_cents,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+flagged AS (
+  SELECT *,
+         MAX(day) OVER (PARTITION BY segment
+                        ORDER BY price_cents ASC, day DESC, o_orderkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_day_before
+  FROM pts
+),
+sky AS (
+  SELECT * FROM flagged
+  WHERE best_day_before IS NULL OR day > best_day_before
+)
+SELECT segment,
+       CAST(row_number() OVER (PARTITION BY segment ORDER BY price_cents, o_orderkey) AS BIGINT) AS sky_rank,
+       o_orderkey,
+       price_cents,
+       CAST(day AS BIGINT) AS day
+FROM sky
+ORDER BY segment, sky_rank
+"""
+
+QUERIES["q115_skyline"] = q115_skyline
+ORACLES["q115_skyline"] = Q115_SQL
