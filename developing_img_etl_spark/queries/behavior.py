@@ -293,21 +293,49 @@ ORACLES["q86_capped_sessions"] = Q86_SQL
 # ---------------------------------------------------------------------------
 
 
-def q102_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _daily_revenue(spark: SparkSession, sf_dir: str, *, epoch_days: bool = False) -> DataFrame:
+    """(segment, day|d, cents): per-segment daily revenue in exact
+    integer cents — the shared base of the time-series family (q102
+    z-test, q109 OLS trend, q114 seasonality, q116 MAD). One Spark
+    home; _sql_daily is its one SQL mirror. ``epoch_days`` selects an
+    integer epoch-day column ``d`` instead of a DATE column ``day``."""
+    from .classify import epoch_day
+
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
-    daily = (
+    day = (
+        epoch_day(F.col("o_orderdate")).alias("d")
+        if epoch_days
+        else F.to_date("o_orderdate").alias("day")
+    )
+    return (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy(
-            F.col("c_mktsegment").alias("segment"),
-            F.to_date("o_orderdate").alias("day"),
-        )
+        .groupBy(F.col("c_mktsegment").alias("segment"), day)
         .agg(
             F.round(F.sum(F.col("o_totalprice").cast("decimal(12,4)")) * 100, 0)
             .cast("long")
             .alias("cents")
         )
     )
+
+
+def _sql_daily(*, epoch_days: bool = False) -> str:
+    """DuckDB mirror of _daily_revenue (a CTE body)."""
+    day = (
+        "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d"
+        if epoch_days
+        else "CAST(o_orderdate AS DATE) AS day"
+    )
+    return f"""
+  SELECT c_mktsegment AS segment, {day},
+         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,4))) * 100, 0) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+"""
+
+
+def q102_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily_revenue(spark, sf_dir)
     w = (
         Window.partitionBy("segment")
         .orderBy("day")
@@ -371,13 +399,8 @@ def q102_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q102_SQL = """
-WITH daily AS (
-  SELECT c_mktsegment AS segment, CAST(o_orderdate AS DATE) AS day,
-         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,4))) * 100, 0) AS BIGINT) AS cents
-  FROM orders JOIN customer ON o_custkey = c_custkey
-  GROUP BY 1, 2
-),
+Q102_SQL = f"""
+WITH daily AS ({_sql_daily()}),
 stats AS (
   SELECT segment, day, cents,
          COUNT(cents) OVER w AS n,
@@ -522,21 +545,8 @@ ORACLES["q105_sliding_distinct_users"] = Q105_SQL
 
 
 def q109_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .classify import epoch_day
-
-    orders = load(spark, sf_dir, "orders")
-    cust = load(spark, sf_dir, "customer")
-    daily = (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy(
-            F.col("c_mktsegment").alias("segment"),
-            epoch_day(F.col("o_orderdate")).alias("d"),
-        )
-        .agg(
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,4)")) * 100, 0)
-            .cast("long")
-            .alias("y")
-        )
+    daily = _daily_revenue(spark, sf_dir, epoch_days=True).withColumnRenamed(
+        "cents", "y"
     )
     moments = (
         daily.groupBy("segment")
@@ -580,14 +590,8 @@ def q109_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q109_SQL = """
-WITH daily AS (
-  SELECT c_mktsegment AS segment,
-         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
-         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,4))) * 100, 0) AS BIGINT) AS y
-  FROM orders JOIN customer ON o_custkey = c_custkey
-  GROUP BY 1, 2
-),
+Q109_SQL = f"""
+WITH daily AS ({_sql_daily(epoch_days=True).replace('AS cents', 'AS y')}),
 moments AS (
   SELECT segment,
          COUNT(*) AS n, MIN(d) AS x0,
@@ -724,22 +728,8 @@ ORACLES["q112_markov_transitions"] = Q112_SQL
 
 
 def q114_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .classify import epoch_day
-
-    orders = load(spark, sf_dir, "orders")
-    cust = load(spark, sf_dir, "customer")
-    daily = (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy(
-            F.col("c_mktsegment").alias("segment"),
-            epoch_day(F.col("o_orderdate")).alias("d"),
-        )
-        .agg(
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,4)")) * 100, 0)
-            .cast("long")
-            .alias("cents")
-        )
-        .withColumn("dow", (F.col("d") + 4) % 7)
+    daily = _daily_revenue(spark, sf_dir, epoch_days=True).withColumn(
+        "dow", (F.col("d") + 4) % 7
     )
     per_dow = daily.groupBy("segment", "dow").agg(
         F.count(F.lit(1)).alias("n_days"),
@@ -762,14 +752,8 @@ def q114_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q114_SQL = """
-WITH daily AS (
-  SELECT c_mktsegment AS segment,
-         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
-         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,4))) * 100, 0) AS BIGINT) AS cents
-  FROM orders JOIN customer ON o_custkey = c_custkey
-  GROUP BY 1, 2
-),
+Q114_SQL = f"""
+WITH daily AS ({_sql_daily(epoch_days=True)}),
 per_dow AS (
   SELECT segment, (d + 4) % 7 AS dow,
          COUNT(*) AS n_days,
@@ -818,20 +802,7 @@ ORACLES["q114_weekday_seasonality"] = Q114_SQL
 
 
 def q116_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
-    cust = load(spark, sf_dir, "customer")
-    daily = (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy(
-            F.col("c_mktsegment").alias("segment"),
-            F.to_date("o_orderdate").alias("day"),
-        )
-        .agg(
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,4)")) * 100, 0)
-            .cast("long")
-            .alias("cents")
-        )
-    )
+    daily = _daily_revenue(spark, sf_dir)
     med = daily.groupBy("segment").agg(
         F.expr("CAST(round(percentile(cents, 0.5) * 2, 0) AS BIGINT)").alias("med2")
     )
@@ -871,13 +842,8 @@ def q116_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q116_SQL = """
-WITH daily AS (
-  SELECT c_mktsegment AS segment, CAST(o_orderdate AS DATE) AS day,
-         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,4))) * 100, 0) AS BIGINT) AS cents
-  FROM orders JOIN customer ON o_custkey = c_custkey
-  GROUP BY 1, 2
-),
+Q116_SQL = f"""
+WITH daily AS ({_sql_daily()}),
 med AS (
   SELECT segment, CAST(round(quantile_cont(cents, 0.5) * 2, 0) AS BIGINT) AS med2
   FROM daily GROUP BY segment
