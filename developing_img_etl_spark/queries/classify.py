@@ -154,6 +154,26 @@ QUERIES = {"q77_quality_classifier": q77_quality_classifier}
 ORACLES = {"q77_quality_classifier": Q77_SQL}
 
 
+def log_bucket_expr(v: str) -> str:
+    """Spark SQL form of the q113 base-2 log bucket of a positive
+    integer expression ``v`` (must be >= 16 so bitlen >= 5):
+
+        16*bitlen(v) + 4 sub-mantissa bits  ~  16*log2(v) + 16
+
+    A monotone, exactly-integer stand-in for 16*log2(v) shared by q113
+    (DDSketch-style histogram buckets), q117 (token surprisal) and
+    q118 (importance log-ratios) — no floating-point log anywhere, so
+    both engines agree bit-for-bit. sql_log_bucket_expr is the one
+    DuckDB mirror."""
+    return f"16 * length(bin({v})) + (shiftright({v}, length(bin({v})) - 5) - 16)"
+
+
+def sql_log_bucket_expr(v: str) -> str:
+    """DuckDB mirror of log_bucket_expr (same arithmetic, >> for
+    shiftright)."""
+    return f"16 * length(bin({v})) + (({v} >> (length(bin({v})) - 5)) - 16)"
+
+
 def epoch_day(col: Column) -> Column:
     """Days since 1970-01-01 of a timestamp/date column — the single
     Spark-side home of the cross-engine epoch-day idiom (q99, q105);

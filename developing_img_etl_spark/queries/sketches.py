@@ -62,7 +62,12 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ._shingle import shingle_index
-from .classify import md5_prefix_int, sql_md5_prefix_int
+from .classify import (
+    log_bucket_expr,
+    md5_prefix_int,
+    sql_log_bucket_expr,
+    sql_md5_prefix_int,
+)
 
 _P = 9
 _M = 1 << _P  # 512 registers
@@ -313,9 +318,7 @@ def q113_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bucketed = vals.select(
         "scope",
-        F.expr(
-            "16 * length(bin(v)) + (shiftright(v, length(bin(v)) - 5) - 16)"
-        ).alias("bucket"),
+        F.expr(log_bucket_expr("v")).alias("bucket"),
     )
     # hist_seg is the DIM-SCALE histogram (scopes x ~1000 buckets);
     # localCheckpoint pins those few rows so the '__merged__' branch
@@ -389,7 +392,7 @@ WITH vals AS (
 ),
 bucketed AS (
   SELECT scope,
-         16 * length(bin(v)) + ((v >> (length(bin(v)) - 5)) - 16) AS bucket
+         {sql_log_bucket_expr('v')} AS bucket
   FROM vals WHERE v >= 16
 ),
 hist AS (

@@ -1164,3 +1164,142 @@ ORDER BY decile
 
 QUERIES["q107_vocab_growth"] = q107_vocab_growth
 ORACLES["q107_vocab_growth"] = Q107_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q117 — CCNet-style perplexity bucketing (head / middle / tail).
+#
+# CCNet (Wenzek et al. 2020) scores every document's per-token
+# cross-entropy under a language model and splits the corpus into
+# head/middle/tail perplexity terciles — THE standard quality gate in
+# CommonCrawl-scale curation (the reference's per-row quality fields,
+# `/root/reference/test.py:94-118`, are the single-node ancestor).
+# Here the LM is the corpus's own unigram model, and the whole filter
+# runs in exact integer arithmetic so the DuckDB oracle hash-matches:
+#
+#   surprisal(w)  = L((N*16) DIV cnt(w))      L = the q113 log bucket,
+#                                             ~ 16*log2(N/cnt) + const
+#   ce_x16(doc)   = sum(surprisal) DIV n_toks (per-token cross-entropy
+#                                              in 1/16-log2 units)
+#   cut1, cut2    = exact tercile boundaries of ce_x16 over scored docs
+#   bucket        = head (ce <= cut1) / middle (<= cut2) / tail
+#
+# The tercile cutoffs are NOT a global sort: ce_x16 lives in a small
+# bounded integer domain (16*bitlen <= ~1000 values), so the cutoff is
+# a prefix-sum over a <=1000-row histogram — the q113 nearest-rank
+# trick. Ties share a bucket (deterministic on both engines, unlike
+# ntile under ties).
+#
+# Scale shape: one scan -> explode -> token-keyed count agg (shuffle
+# keys are vocabulary terms), one token-keyed join back (AQE skew-join
+# handles hot words), one doc-keyed agg, then dim-scale histogram work;
+# the corpus-total and cutoffs attach as audited 1-row broadcast
+# scalars (the q75/q98 discipline). Nothing is data-proportional
+# beyond the two hash aggs and one join.
+# ---------------------------------------------------------------------------
+
+
+def q117_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .classify import log_bucket_expr
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_corpus"))  # 1-row scalar
+    per_doc = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.expr(log_bucket_expr("(n_corpus * 16) DIV cnt")).alias("s_x16"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_toks"), F.sum("s_x16").alias("sum_s"))
+        .withColumn("ce_x16", F.expr("sum_s DIV n_toks"))
+    )
+    # exact tercile cutoffs from the bounded-domain histogram (q113)
+    w_cum = Window.orderBy("ce_x16").rowsBetween(Window.unboundedPreceding, 0)
+    hist = (
+        per_doc.groupBy("ce_x16")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "ce_x16",
+            F.sum("n").over(w_cum).alias("cum"),
+            F.sum("n").over(Window.partitionBy()).alias("n_docs"),
+        )
+    )
+    cuts = hist.agg(
+        F.min(F.when(F.expr("cum >= (n_docs + 2) DIV 3"), F.col("ce_x16"))).alias(
+            "cut1"
+        ),
+        F.min(
+            F.when(F.expr("cum >= (2 * n_docs + 2) DIV 3"), F.col("ce_x16"))
+        ).alias("cut2"),
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(per_doc.select("doc_id", "n_toks", "ce_x16"), "doc_id", "left")
+        .crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_toks", F.lit(0)).alias("n_toks"),
+            F.coalesce("ce_x16", F.lit(0)).alias("ce_x16"),
+            F.when(F.col("n_toks").isNull(), "empty")
+            .when(F.col("ce_x16") <= F.col("cut1"), "head")
+            .when(F.col("ce_x16") <= F.col("cut2"), "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+from .classify import sql_log_bucket_expr as _sql_logb  # noqa: E402
+
+Q117_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, UNNEST(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+total AS (SELECT COUNT(*) AS n_corpus FROM toks),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_toks, SUM(s_x16) AS sum_s,
+         SUM(s_x16) // COUNT(*) AS ce_x16
+  FROM (
+    SELECT t.doc_id, {_sql_logb('v')} AS s_x16
+    FROM (SELECT t.doc_id, (total.n_corpus * 16) // c.cnt AS v
+          FROM toks t JOIN counts c USING (tok) CROSS JOIN total) t
+  ) GROUP BY doc_id
+),
+hist AS (
+  SELECT ce_x16,
+         SUM(COUNT(*)) OVER (ORDER BY ce_x16 ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(COUNT(*)) OVER () AS n_docs
+  FROM per_doc GROUP BY ce_x16
+),
+cuts AS (
+  SELECT MIN(CASE WHEN cum >= (n_docs + 2) // 3 THEN ce_x16 END) AS cut1,
+         MIN(CASE WHEN cum >= (2 * n_docs + 2) // 3 THEN ce_x16 END) AS cut2
+  FROM hist
+)
+SELECT d.doc_id, d.lang,
+       CAST(COALESCE(p.n_toks, 0) AS BIGINT) AS n_toks,
+       CAST(COALESCE(p.ce_x16, 0) AS BIGINT) AS ce_x16,
+       CASE WHEN p.n_toks IS NULL THEN 'empty'
+            WHEN p.ce_x16 <= cuts.cut1 THEN 'head'
+            WHEN p.ce_x16 <= cuts.cut2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM documents d LEFT JOIN per_doc p USING (doc_id) CROSS JOIN cuts
+ORDER BY d.doc_id
+"""
+
+QUERIES["q117_perplexity_buckets"] = q117_perplexity_buckets
+ORACLES["q117_perplexity_buckets"] = Q117_SQL
