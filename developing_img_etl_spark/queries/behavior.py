@@ -279,9 +279,17 @@ ORACLES["q86_capped_sessions"] = Q86_SQL
 # ranking that needs no sqrt either: sev_ppm = lhs * 1e6 DIV rhs,
 # SATURATED at 10^15 ppm so a near-degenerate window variance (rhs
 # of a few units under a large spike) can't push the quotient past
-# BIGINT on either engine — Spark's integral divide nulls past 2^63
-# (coalesced to the cap = the same clamp), DuckDB clamps the exact
-# HUGEINT quotient.
+# BIGINT on either engine. Saturation is detected BEFORE dividing
+# (ADVICE r4: Spark's IntegralDivide on decimals silently WRAPS past
+# 2^63 rather than nulling, so a coalesce-after-divide clamp never
+# fires): saturated <=> floor(lhs / 1e9) >= rhs, computed exactly in
+# DECIMAL via the remainder trick (lhs - lhs % 1e9) / 1e9 — an exact
+# integer <= 1e29, representable in DECIMAL(38,6), no overflow. The
+# division runs only in the unsaturated branch, where the quotient
+# < 1e15 fits BIGINT by construction; lhs * 1e6 there is exact for
+# lhs <= 1e32, i.e. |n*x - S1| <= 1e16 cents — a $100-trillion daily
+# deviation, two orders of magnitude past 100 TB TPC-H. The DuckDB
+# mirror shares the same CASE structure with HUGEINT floor-division.
 # Squares of cent sums reach ~10^22 at warehouse scale, so the
 # comparison runs in DECIMAL(38,0) on both engines — overflow-free up
 # to ~10^19 cents per window.
@@ -374,8 +382,10 @@ def q102_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("rhs") <= 0, F.lit(None).cast("long"))
         .otherwise(
             F.expr(
-                "least(coalesce(CAST(lhs * 1000000 div rhs AS BIGINT),"
-                " 1000000000000000), 1000000000000000)"
+                "CASE WHEN CAST((lhs - lhs % 1000000000) / 1000000000"
+                " AS DECIMAL(38,0)) >= rhs"
+                " THEN CAST(1000000000000000 AS BIGINT)"
+                " ELSE CAST(lhs * 1000000 div rhs AS BIGINT) END"
             )
         )
         .alias("sev_ppm"),
@@ -419,12 +429,14 @@ ranked AS (
   SELECT segment, day, cents, window_n,
          CASE WHEN rhs <= 0 THEN lhs > 0 ELSE lhs > rhs END AS is_anomaly,
          CASE WHEN rhs <= 0 THEN NULL
-              ELSE CAST(least(CAST(lhs AS HUGEINT) * 1000000 // CAST(rhs AS HUGEINT),
-                          1000000000000000) AS BIGINT) END AS sev_ppm,
+              WHEN CAST(lhs AS HUGEINT) // 1000000000 >= CAST(rhs AS HUGEINT)
+              THEN CAST(1000000000000000 AS BIGINT)
+              ELSE CAST(CAST(lhs AS HUGEINT) * 1000000 // CAST(rhs AS HUGEINT) AS BIGINT) END AS sev_ppm,
          row_number() OVER (PARTITION BY segment
                             ORDER BY (CASE WHEN rhs <= 0 THEN NULL
-                                           ELSE CAST(least(CAST(lhs AS HUGEINT) * 1000000 // CAST(rhs AS HUGEINT),
-                                               1000000000000000) AS BIGINT) END) DESC NULLS LAST,
+                                           WHEN CAST(lhs AS HUGEINT) // 1000000000 >= CAST(rhs AS HUGEINT)
+                                           THEN CAST(1000000000000000 AS BIGINT)
+                                           ELSE CAST(CAST(lhs AS HUGEINT) * 1000000 // CAST(rhs AS HUGEINT) AS BIGINT) END) DESC NULLS LAST,
                                      day) AS rk
   FROM scored
 )
@@ -793,7 +805,11 @@ ORACLES["q114_weekday_seasonality"] = Q114_SQL
 # carried as med2/mad2 and the Hampel inequality cross-multiplies to
 # pure integers: 10000 * 2 * |x - med2/2| > 3 * 14826 * mad2
 # <=> 10000 * absdev2 > 44478 * mad2x2 (the 2s cancel). No float
-# ever compared.
+# ever compared — med2/mad2x2 are computed RANK-EXACTLY (ADVICE r4):
+# lower + upper nearest-rank values via row_number, ranks (n+1) DIV 2
+# and (n+2) DIV 2, summed as integers. The earlier percentile()*2
+# formulation routed through DOUBLE and was exact only below ~2^53;
+# this one is exact over the full BIGINT domain on both engines.
 #
 # Scale shape: one (segment, day) agg, per-segment exact medians
 # (percentile over the dim-scale daily frame — day counts per
@@ -801,17 +817,40 @@ ORACLES["q114_weekday_seasonality"] = Q114_SQL
 # ---------------------------------------------------------------------------
 
 
+def _doubled_median(df: DataFrame, val_col: str, out_col: str) -> DataFrame:
+    """(segment, out_col): exact integer doubled median of ``val_col``
+    per segment — lower + upper nearest-rank values at 1-indexed ranks
+    (n+1) DIV 2 and (n+2) DIV 2 (equal for odd n, so the single middle
+    value counts twice). Pure integer path: one per-segment sort window
+    over the dim-scale daily frame, never a DOUBLE."""
+    w = Window.partitionBy("segment").orderBy(val_col)
+    wall = Window.partitionBy("segment")
+    ranked = df.select(
+        "segment",
+        F.col(val_col),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    return (
+        ranked.filter(F.expr("rn = (n + 1) DIV 2 OR rn = (n + 2) DIV 2"))
+        .groupBy("segment")
+        .agg(
+            F.expr(
+                f"CAST(sum(CASE WHEN rn = (n + 1) DIV 2 THEN {val_col} ELSE 0 END)"
+                f" + sum(CASE WHEN rn = (n + 2) DIV 2 THEN {val_col} ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias(out_col)
+        )
+    )
+
+
 def q116_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily_revenue(spark, sf_dir)
-    med = daily.groupBy("segment").agg(
-        F.expr("CAST(round(percentile(cents, 0.5) * 2, 0) AS BIGINT)").alias("med2")
-    )
+    med = _doubled_median(daily, "cents", "med2")
     dev = daily.join(F.broadcast(med), "segment").withColumn(
         "absdev2", F.abs(F.expr("2 * cents - med2"))
     )
-    mad = dev.groupBy("segment").agg(
-        F.expr("CAST(round(percentile(absdev2, 0.5), 0) AS BIGINT)").alias("mad2x2")
-    )
+    mad = _doubled_median(dev, "absdev2", "mad2x2")
     flagged = (
         dev.join(F.broadcast(mad), "segment")
         .withColumn(
@@ -845,16 +884,28 @@ def q116_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q116_SQL = f"""
 WITH daily AS ({_sql_daily()}),
 med AS (
-  SELECT segment, CAST(round(quantile_cont(cents, 0.5) * 2, 0) AS BIGINT) AS med2
-  FROM daily GROUP BY segment
+  SELECT segment,
+         CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN cents ELSE 0 END)
+            + SUM(CASE WHEN rn = (n + 2) // 2 THEN cents ELSE 0 END) AS BIGINT) AS med2
+  FROM (SELECT segment, cents,
+               row_number() OVER (PARTITION BY segment ORDER BY cents) AS rn,
+               COUNT(*) OVER (PARTITION BY segment) AS n
+        FROM daily)
+  GROUP BY segment
 ),
 dev AS (
   SELECT d.*, m.med2, abs(2 * d.cents - m.med2) AS absdev2
   FROM daily d JOIN med m USING (segment)
 ),
 mad AS (
-  SELECT segment, CAST(round(quantile_cont(absdev2, 0.5), 0) AS BIGINT) AS mad2x2
-  FROM dev GROUP BY segment
+  SELECT segment,
+         CAST(SUM(CASE WHEN rn = (n + 1) // 2 THEN absdev2 ELSE 0 END)
+            + SUM(CASE WHEN rn = (n + 2) // 2 THEN absdev2 ELSE 0 END) AS BIGINT) AS mad2x2
+  FROM (SELECT segment, absdev2,
+               row_number() OVER (PARTITION BY segment ORDER BY absdev2) AS rn,
+               COUNT(*) OVER (PARTITION BY segment) AS n
+        FROM dev)
+  GROUP BY segment
 ),
 flagged AS (
   SELECT dev.*, mad.mad2x2,

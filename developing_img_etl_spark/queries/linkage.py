@@ -80,7 +80,10 @@ def q101_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.col(c).alias(f"{prefix}_{c}") for c in df.columns],
             F.col("nat").alias("b_nat"),
             F.expr("right(name, 1)").alias("b_last"),
-            F.expr("CAST(regexp_extract(name, '([0-9]+)$', 1) AS BIGINT)").alias(
+            # try_cast mirrors the oracle's TRY_CAST: a name without
+            # trailing digits degrades to NULL instead of throwing
+            # CAST_INVALID_INPUT under ANSI mode (ADVICE r4)
+            F.expr("TRY_CAST(regexp_extract(name, '([0-9]+)$', 1) AS BIGINT)").alias(
                 f"{prefix}_num"
             ),
         )

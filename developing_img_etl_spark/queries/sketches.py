@@ -51,11 +51,20 @@ to make the estimator's error measurable in the result itself (a
 deployment doing pure estimation would drop it and shuffle only
 registers).
 
-Accuracy: sigma = 1.04/sqrt(512) ~= 4.6%; tests/test_approx_ops.py
-pins every scope within 15% of exact at sf0.001.
+Accuracy: sigma = 1.04/sqrt(512) ~= 4.6%, now guaranteed across
+scales: the small-range (linear counting) branch — raw estimate
+<= 5m/2 with zero registers present -> round(m*ln(m/V)) from a frozen
+integer lookup shared by both engines (hll_lc_table) — removes the
+raw estimator's low-fill bias (ADVICE r4). The large-range correction
+is intentionally omitted: it compensates 32-bit hash collisions and
+this sketch hashes into 60 bits. tests/test_approx_ops.py pins every
+scope within 15% of exact at sf0.001 and exercises the LC branch
+directly.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -96,6 +105,34 @@ def hll_params(p: int) -> tuple[int, int, int, int, int]:
     return m, field, 7213 * m**3 * scale, 10 * (1000 * m + 1079), scale
 
 
+def hll_lc_table(p: int) -> list[int]:
+    """Frozen small-range (linear counting) lookup: entry V (1-indexed,
+    V = number of zero registers) = round(m * ln(m / V)) — the standard
+    HLL correction for low register fill (Flajolet et al. 2007 §4;
+    ADVICE r4). Computed ONCE here in driver Python and embedded as
+    integer literals in BOTH engines' expressions, so a libm rounding
+    difference can never split the hash-match. Entry V = m maps to 0
+    (empty sketch → zero distinct). The large-range correction is
+    intentionally absent: it exists to undo 32-bit hash collisions and
+    this sketch hashes into 60 bits — the collision regime (~2^60)
+    is unreachable."""
+    m = 1 << p
+    return [round(m * math.log(m / v)) for v in range(1, m + 1)]
+
+
+def sql_hll_estimate_case(p: int, *, raw: str = "raw_est", v: str = "n_zero_registers") -> str:
+    """The DuckDB-side CASE applying the linear-counting branch to a
+    precomputed raw estimate column — mirrors hll_estimate_frame's
+    Spark expression, same frozen table, same 5m/2 threshold."""
+    m = 1 << p
+    table = ",".join(map(str, hll_lc_table(p)))
+    return (
+        f"CASE WHEN {v} > 0 AND {raw} <= {5 * m // 2}"
+        f" THEN ([{table}])[CAST({v} AS INT)]"
+        f" ELSE {raw} END"
+    )
+
+
 def hll_estimate_frame(regs: DataFrame, p: int, *group_cols: str) -> DataFrame:
     """Evaluate the integer HLL estimator over a register frame
     ``(…group_cols, idx, m_reg)`` → ``(…group_cols, n_zero_registers,
@@ -117,18 +154,34 @@ def hll_estimate_frame(regs: DataFrame, p: int, *group_cols: str) -> DataFrame:
             ).alias("s_present"),
         )
     )
-    return agged.select(
-        *group_cols,
-        (F.lit(m) - F.col("n_present")).cast("long").alias("n_zero_registers"),
-        (F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(scale))
-        .cast("long")
-        .alias("s_scaled"),
-    ).withColumn(
-        "hll_estimate",
-        F.expr(
-            f"CAST('{num}' AS DECIMAL(38,0)) div "
-            f"(CAST({den} AS DECIMAL(38,0)) * CAST(s_scaled AS DECIMAL(38,0)))"
-        ).cast("long"),
+    lc = ",".join(map(str, hll_lc_table(p)))
+    return (
+        agged.select(
+            *group_cols,
+            (F.lit(m) - F.col("n_present")).cast("long").alias("n_zero_registers"),
+            (F.col("s_present") + (F.lit(m) - F.col("n_present")) * F.lit(scale))
+            .cast("long")
+            .alias("s_scaled"),
+        )
+        .withColumn(
+            "raw_est",
+            F.expr(
+                f"CAST('{num}' AS DECIMAL(38,0)) div "
+                f"(CAST({den} AS DECIMAL(38,0)) * CAST(s_scaled AS DECIMAL(38,0)))"
+            ).cast("long"),
+        )
+        # small-range correction: below 5m/2 with zero registers
+        # present, the raw estimator is biased — switch to the frozen
+        # linear-counting table (integer-exact on both engines)
+        .withColumn(
+            "hll_estimate",
+            F.expr(
+                f"CASE WHEN n_zero_registers > 0 AND raw_est <= {5 * m // 2}"
+                f" THEN element_at(array({lc}), CAST(n_zero_registers AS INT))"
+                " ELSE raw_est END"
+            ).cast("long"),
+        )
+        .drop("raw_est")
     )
 
 
@@ -250,15 +303,21 @@ exact AS (
 final AS (
   SELECT e.scope, e.n_zero_registers, e.s_scaled,
          CAST(CAST('{_NUM}' AS HUGEINT)
-              // ({_DEN_C}::HUGEINT * e.s_scaled::HUGEINT) AS BIGINT) AS hll_estimate,
+              // ({_DEN_C}::HUGEINT * e.s_scaled::HUGEINT) AS BIGINT) AS raw_est,
          x.exact_distinct
   FROM est e JOIN exact x USING (scope)
+),
+corrected AS (
+  SELECT scope, n_zero_registers, s_scaled,
+         CAST({sql_hll_estimate_case(_P)} AS BIGINT) AS hll_estimate,
+         exact_distinct
+  FROM final
 )
 SELECT scope, n_zero_registers, s_scaled, hll_estimate,
        CAST(exact_distinct AS BIGINT) AS exact_distinct,
        CAST(CAST(abs(hll_estimate - exact_distinct) AS HUGEINT)
             * 1000000 // exact_distinct AS BIGINT) AS err_ppm
-FROM final
+FROM corrected
 ORDER BY scope
 """
 

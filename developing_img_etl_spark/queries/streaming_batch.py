@@ -1284,10 +1284,18 @@ est AS (
   FROM regs
 )
 SELECT n_zero_registers, s_scaled,
-       CAST(CAST('{_ST13_NUM}' AS HUGEINT)
-            // ({_ST13_DEN}::HUGEINT * s_scaled::HUGEINT) AS BIGINT) AS hll_estimate
-FROM est
+       CAST({{LC13}} AS BIGINT) AS hll_estimate
+FROM (
+  SELECT n_zero_registers, s_scaled,
+         CAST(CAST('{_ST13_NUM}' AS HUGEINT)
+              // ({_ST13_DEN}::HUGEINT * s_scaled::HUGEINT) AS BIGINT) AS raw_est
+  FROM est
+)
 """
+
+from .sketches import sql_hll_estimate_case as _sql_hll_case13  # noqa: E402
+
+ST13_SQL = ST13_SQL.replace("{LC13}", _sql_hll_case13(_ST13_P))
 
 QUERIES["st13_streaming_hll_registers"] = st13_streaming_hll_registers
 ORACLES["st13_streaming_hll_registers"] = ST13_SQL

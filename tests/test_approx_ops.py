@@ -237,6 +237,40 @@ def test_hll_estimate_within_tolerance(spark, sf_dir):
     assert (a["s_scaled"], a["hll_estimate"]) == (m["s_scaled"], m["hll_estimate"])
 
 
+def test_hll_linear_counting_branch(spark):
+    """The small-range correction (ADVICE r4): at 50 true distinct vs
+    m = 512 registers the raw estimator is biased low-fill; the
+    estimate must come from the frozen lookup (round(m*ln(m/V))) and
+    land within 15% — the raw estimator alone misses this bound at low
+    fill. Also pins the empty-sketch edge (V = m -> estimate 0 via the
+    table's last entry)."""
+    from pyspark.sql import functions as F
+
+    from developing_img_etl_spark.queries.classify import md5_prefix_int
+    from developing_img_etl_spark.queries.sketches import (
+        _M,
+        _P,
+        _rho,
+        hll_estimate_frame,
+        hll_lc_table,
+    )
+
+    n_true = 50
+    regs = (
+        spark.range(n_true)
+        .select(md5_prefix_int(F.col("id").cast("string"), 15).alias("h"))
+        .select((F.col("h") % _M).alias("idx"), _rho(F.expr(f"h div {_M}")).alias("rho"))
+        .groupBy("idx")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+    r = hll_estimate_frame(regs, _P).collect()[0]
+    v = r["n_zero_registers"]
+    assert v > 0
+    assert r["hll_estimate"] == hll_lc_table(_P)[v - 1]  # LC branch fired
+    assert abs(r["hll_estimate"] - n_true) / n_true < 0.15
+    assert hll_lc_table(_P)[_M - 1] == 0  # empty sketch -> 0
+
+
 def test_quantile_sketch_within_error_bound(spark, sf_dir):
     """q113's log-bucket estimate lands within the analytic +/-1/17
     relative-error bound of the true nearest-rank percentile, and the

@@ -57,6 +57,9 @@ BNLJ_ALLOWED = {
     "q105_sliding_distinct_users",
     "q106_benford_audit",
     "q107_vocab_growth",
+    # q117: two 1-row scalar crosses — corpus token total n_corpus,
+    # and the (cut1, cut2) tercile-cutoff aggregate
+    "q117_perplexity_buckets",
 }
 
 # no exemptions today: every declared query ships ids through hash
@@ -132,6 +135,7 @@ SCALAR_BNLJ = {
     "q105_sliding_distinct_users",
     "q106_benford_audit",
     "q107_vocab_growth",
+    "q117_perplexity_buckets",
 }
 
 
