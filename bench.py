@@ -73,17 +73,33 @@ def main() -> int:
                 break
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_queries_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    full = {
+        "metric": "declared_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    # The round driver stores only the LAST 2000 chars of stdout, so a
+    # full 161-query JSON line loses its head and parses as null
+    # (BENCH_r3/r4). Ship the full map to BENCH_LOCAL.json in-repo and
+    # print a compact line that always fits the driver's tail capture:
+    # totals + the slowest queries, trimmed until the line is < 1900
+    # chars.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as f:
+        json.dump(full, f)
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    compact = dict(full)
+    compact["n_queries"] = len(timings)
+    compact["queries_full"] = "BENCH_LOCAL.json"
+    while True:
+        compact["queries"] = dict(slowest)
+        line = json.dumps(compact)
+        if len(line) < 1900 or not slowest:
+            break
+        slowest = slowest[: max(len(slowest) - 10, 0)]
+    print(line)
     return 0
 
 

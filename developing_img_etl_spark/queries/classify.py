@@ -32,7 +32,7 @@ scan-bound, exactly like serving a real hashed linear model.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -172,6 +172,33 @@ def sql_log_bucket_expr(v: str) -> str:
     """DuckDB mirror of log_bucket_expr (same arithmetic, >> for
     shiftright)."""
     return f"16 * length(bin({v})) + (({v} >> (length(bin({v})) - 5)) - 16)"
+
+
+def cumulate_histogram(hist: DataFrame, key: str, *parts: str, n: str = "n") -> DataFrame:
+    """Append running totals to a bounded-domain histogram frame
+    ``(…parts, key, n)`` → adds ``cum`` (inclusive running count in
+    ``key`` order within ``parts``), ``n_total`` (partition total) and
+    ``base`` (exclusive running count = cum - n).
+
+    The ONE home of the cumulative-histogram/threshold machinery
+    shared by q67 (distributed NTILE deciles), q113 (quantile-sketch
+    rank lookup) and q117 (perplexity tercile cutoffs) — VERDICT r4
+    #8. Scale shape: the input is already the aggregated histogram
+    (|distinct keys| rows, bounded by the key domain — NEVER the
+    corpus), so these windows sort kilobytes regardless of data
+    volume; the one data-sized hash agg happens upstream at each call
+    site."""
+    w_cum = (
+        Window.partitionBy(*parts).orderBy(key).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*parts)
+    return hist.select(
+        *parts,
+        key,
+        n,
+        F.sum(n).over(w_cum).alias("cum"),
+        F.sum(n).over(w_tot).alias("n_total"),
+    ).withColumn("base", F.col("cum") - F.col(n))
 
 
 def epoch_day(col: Column) -> Column:

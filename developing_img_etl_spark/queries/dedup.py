@@ -225,25 +225,77 @@ ORACLES["q27_decontamination"] = Q27_SQL
 # inverted-index shape); clusters via min-label propagation with pointer
 # jumping (operators/cluster.py). Oracle = WITH RECURSIVE min-reachable.
 # ---------------------------------------------------------------------------
+
+# Document-frequency cap on pair-generating shingles (VERDICT r4 #4):
+# the inverted-index self-join does df^2 work per (source, shingle)
+# posting list, so ONE hot shingle at 100 TB could go quadratic. A
+# shingle shared by more than _PAIR_DF_CAP docs within a source is
+# dropped from PAIR GENERATION (the standard stop-shingle /
+# posting-list cap used by production MinHash dedup) — bounding any
+# shingle's pair fanout at 64^2 = 4096. The cap is mirrored verbatim
+# in every consumer's DuckDB oracle, and at the tested SFs it is a
+# pure guard: measured max per-(source, shingle) df is 3 / 6 / 17 at
+# sf0.01 / 0.1 / 1, so no edge changes below the 100 TB regime it
+# protects. df >= 2 additionally prunes singleton shingles, which can
+# never form a pair (pure optimization, no semantic change).
+_PAIR_DF_CAP = 64
+
+
+def _capped_pair_edges(sh: DataFrame, min_common: int) -> DataFrame:
+    """(id_a, id_b) near-dup edges: within-source pairs sharing >=
+    ``min_common`` distinct shingles, generated only through shingles
+    whose per-source document frequency is in [2, _PAIR_DF_CAP]. The
+    ONE edge home shared by q30 / q74 / q103 so the skew guard can
+    never drift between consumers."""
+    keep = (
+        sh.groupBy("source", "s")
+        .agg(F.count(F.lit(1)).alias("pair_df"))
+        .filter((F.col("pair_df") >= 2) & (F.col("pair_df") <= _PAIR_DF_CAP))
+        .select("source", "s")
+    )
+    idx = sh.select("source", "s", "doc_id").join(keep, ["source", "s"])
+    a = idx.select("source", "s", F.col("doc_id").alias("id_a"))
+    b = idx.select("source", "s", F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, ["source", "s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+        .select("id_a", "id_b")
+    )
+
+
+def _sql_capped_pairs(min_common: int, out: str = "pairs") -> str:
+    """DuckDB mirror of _capped_pair_edges as CTE text (assumes an
+    ``inv(doc_id, source, shingle)`` CTE upstream)."""
+    return f"""inv_df AS (
+  SELECT source, shingle FROM inv GROUP BY source, shingle
+  HAVING COUNT(*) BETWEEN 2 AND {_PAIR_DF_CAP}
+),
+inv_k AS (
+  SELECT i.doc_id, i.source, i.shingle
+  FROM inv i JOIN inv_df USING (source, shingle)
+),
+{out} AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM inv_k a JOIN inv_k b
+    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {min_common}
+)"""
+
+
 def q30_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cluster import dedup_clusters
 
     docs = load(spark, sf_dir, "documents")
     sh = shingle_index(spark, sf_dir)
-    a = sh.select("source", "s", F.col("doc_id").alias("id_a"))
-    b = sh.select("source", "s", F.col("doc_id").alias("id_b"))
-    edges = (
-        a.join(b, ["source", "s"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .filter(F.col("n_common") >= 2)
-        .select("id_a", "id_b")
-    )
+    edges = _capped_pair_edges(sh, min_common=2)
     return dedup_clusters(docs, edges).orderBy("doc_id")
 
 
-Q30_SQL = r"""
+Q30_SQL = rf"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
   FROM documents
@@ -256,13 +308,7 @@ sh AS (
   WHERE len(t) >= 3
 ),
 inv AS (SELECT doc_id, source, UNNEST(s) AS shingle FROM sh),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM inv a JOIN inv b
-    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-  HAVING COUNT(*) >= 2
-),
+{_sql_capped_pairs(2)},
 und AS (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION
@@ -459,16 +505,7 @@ def q74_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     sh = shingle_index(spark, sf_dir)
-    a = sh.select("source", "s", F.col("doc_id").alias("id_a"))
-    b = sh.select("source", "s", F.col("doc_id").alias("id_b"))
-    edges = (
-        a.join(b, ["source", "s"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .filter(F.col("n_common") >= 2)
-        .select("id_a", "id_b")
-    )
+    edges = _capped_pair_edges(sh, min_common=2)
     assign = dedup_clusters(docs, edges)
     joined = assign.join(docs.select("doc_id", "source", "n_chars"), "doc_id")
     w = Window.partitionBy("component_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
@@ -490,7 +527,7 @@ def q74_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q74_SQL = r"""
+Q74_SQL = rf"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
   FROM documents
@@ -503,13 +540,7 @@ sh AS (
   WHERE len(t) >= 3
 ),
 inv AS (SELECT doc_id, source, UNNEST(s) AS shingle FROM sh),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM inv a JOIN inv b
-    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-  HAVING COUNT(*) >= 2
-),
+{_sql_capped_pairs(2)},
 und AS (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION
@@ -654,16 +685,7 @@ _Q103_MIN_COMMON = 2
 
 def q103_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_index(spark, sf_dir)
-    a = sh.select("source", "s", F.col("doc_id").alias("id_a"))
-    b = sh.select("source", "s", F.col("doc_id").alias("id_b"))
-    half = (
-        a.join(b, ["source", "s"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .filter(F.col("n_common") >= _Q103_MIN_COMMON)
-        .select("id_a", "id_b")
-    )
+    half = _capped_pair_edges(sh, min_common=_Q103_MIN_COMMON)
     # the edge list is consumed by every round — pin the id-pairs once
     # (kilobytes) so the inverted-index self-join never re-runs (the
     # q30/q21 iterative discipline)
@@ -747,13 +769,7 @@ sh AS (
 inv AS (
   SELECT doc_id, source, UNNEST(s) AS shingle FROM sh
 ),
-half AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM inv a JOIN inv b
-    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-  HAVING COUNT(*) >= {_Q103_MIN_COMMON}
-),
+{_sql_capped_pairs(_Q103_MIN_COMMON, out="half")},
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM half
   UNION ALL

@@ -398,19 +398,11 @@ def q113_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = hist_seg.unionByName(hist_all).unionByName(hist_merged)
 
-    w_cum = (
-        Window.partitionBy("scope")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_tot = Window.partitionBy("scope")
-    cum = hist.select(
-        "scope",
-        "bucket",
-        "n",
-        F.sum("n").over(w_cum).alias("cum"),
-        F.sum("n").over(w_tot).alias("n_total"),
-    )
+    # cumulative histogram + totals — the shared q67/q113/q117
+    # machinery (classify.cumulate_histogram)
+    from .classify import cumulate_histogram
+
+    cum = cumulate_histogram(hist, "bucket", "scope")
     # the 5 target quantiles attach as a per-row literal-array explode —
     # pure projection, no join operator in the plan at all
     hit = (

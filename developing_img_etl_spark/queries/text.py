@@ -598,18 +598,14 @@ def q67_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id", "n_chars", TXT.token_count(F.col("text")).alias("difficulty")
     )
-    lvl = scored.groupBy("difficulty").agg(F.count(F.lit(1)).alias("cnt"))
-    # windows over the HISTOGRAM (|distinct difficulties| rows), never
-    # over the corpus — bounded regardless of corpus size
-    w_cum = Window.orderBy("difficulty").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.orderBy("difficulty").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    lvl = lvl.select(
+    from .classify import cumulate_histogram
+
+    # cumulative histogram over |distinct difficulties| rows, never
+    # the corpus — the shared q67/q113/q117 machinery (classify.py)
+    lvl = cumulate_histogram(
+        scored.groupBy("difficulty").agg(F.count(F.lit(1)).alias("n")),
         "difficulty",
-        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)).alias("base"),
-        F.sum("cnt").over(w_all).alias("n"),
-    )
+    ).select("difficulty", "base", F.col("n_total").alias("n"))
     w_in = Window.partitionBy("difficulty").orderBy("doc_id")  # distributed
     ranked = scored.join(F.broadcast(lvl), "difficulty").select(
         "difficulty",
@@ -1221,23 +1217,19 @@ def q117_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_toks"), F.sum("s_x16").alias("sum_s"))
         .withColumn("ce_x16", F.expr("sum_s DIV n_toks"))
     )
-    # exact tercile cutoffs from the bounded-domain histogram (q113)
-    w_cum = Window.orderBy("ce_x16").rowsBetween(Window.unboundedPreceding, 0)
-    hist = (
-        per_doc.groupBy("ce_x16")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            "ce_x16",
-            F.sum("n").over(w_cum).alias("cum"),
-            F.sum("n").over(Window.partitionBy()).alias("n_docs"),
-        )
+    # exact tercile cutoffs from the bounded-domain histogram — the
+    # shared q67/q113/q117 machinery (classify.cumulate_histogram)
+    from .classify import cumulate_histogram
+
+    hist = cumulate_histogram(
+        per_doc.groupBy("ce_x16").agg(F.count(F.lit(1)).alias("n")), "ce_x16"
     )
     cuts = hist.agg(
-        F.min(F.when(F.expr("cum >= (n_docs + 2) DIV 3"), F.col("ce_x16"))).alias(
+        F.min(F.when(F.expr("cum >= (n_total + 2) DIV 3"), F.col("ce_x16"))).alias(
             "cut1"
         ),
         F.min(
-            F.when(F.expr("cum >= (2 * n_docs + 2) DIV 3"), F.col("ce_x16"))
+            F.when(F.expr("cum >= (2 * n_total + 2) DIV 3"), F.col("ce_x16"))
         ).alias("cut2"),
     )
     return (

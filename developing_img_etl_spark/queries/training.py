@@ -1812,24 +1812,30 @@ ORACLES["q73_point_in_time_join"] = Q73_SQL
 # Q81 — time-series gap repair: LOCF + LINEAR INTERPOLATION over the
 # calendar spine (q52's sibling that fills gaps with values instead of
 # zeros — the feature-engineering shape for sensor/metric series).
-# A sparse daily revenue series (only days-of-month ≡ 1 mod 4 are
-# "observed") is stretched over the full spine; missing days get
+# Sparse daily revenue series PER SERIES KEY (one series per order
+# priority; only days-of-month ≡ 1 mod 4 are "observed") stretched
+# over a per-series spine; missing days get
 # prev + (next-prev) * elapsed DIV span in integer CENTS — exact
 # integer arithmetic, so both engines agree bit-for-bit (no FP slope).
-# Physical shape: the q52 spine + ONE day-ordered window pass carrying
-# four IGNORE NULLS frames (prev/next anchor day+value); at 100 TB
-# the series would be partitioned by series-id and the window stays
-# within partitions — here the single global series is the worst case
-# and is still one exchange.
+# Physical shape (VERDICT r4 #5): per-series bounds → per-series
+# calendar spine → ONE series-PARTITIONED window pass carrying four
+# IGNORE NULLS frames (prev/next anchor day+value). Every Sort/Window
+# is keyed by the series column, so at 100 TB each series interpolates
+# inside its own partition — no global single-partition window
+# anywhere (the r4 version's one-series frame was exactly that
+# worst case; tests/test_plan_audit.py now asserts the partitioning).
 # ---------------------------------------------------------------------------
 def q81_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     orders = load(spark, sf_dir, "orders")
     daily = (
-        orders.filter(F.col("o_orderpriority") == "3-MEDIUM")
-        .select(F.col("o_orderdate").cast("date").alias("day"), "o_totalprice")
-        .groupBy("day")
+        orders.select(
+            F.col("o_orderpriority").alias("series"),
+            F.col("o_orderdate").cast("date").alias("day"),
+            "o_totalprice",
+        )
+        .groupBy("series", "day")
         .agg(
             F.round(F.sum(F.col("o_totalprice").cast("decimal(12,4)")) * 100, 0)
             .cast("long")
@@ -1837,13 +1843,24 @@ def q81_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.dayofmonth("day") % 4 == 1)  # deterministic sparsifier
     )
-    bounds = daily.agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
-    spine = bounds.select(
-        F.explode(F.expr("sequence(dmin, dmax, interval 1 day)")).alias("day")
+    bounds = daily.groupBy("series").agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
     )
-    joined = spine.join(daily, "day", "left")
-    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    w_next = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    spine = bounds.select(
+        "series",
+        F.explode(F.expr("sequence(dmin, dmax, interval 1 day)")).alias("day"),
+    )
+    joined = spine.join(daily, ["series", "day"], "left")
+    w_prev = (
+        Window.partitionBy("series")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("series")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
     filled = (
         joined.withColumn("prev_day", F.last(F.when(F.col("rev_cents").isNotNull(), F.col("day")), ignorenulls=True).over(w_prev))
         .withColumn("prev_v", F.last("rev_cents", ignorenulls=True).over(w_prev))
@@ -1851,6 +1868,7 @@ def q81_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("next_v", F.first("rev_cents", ignorenulls=True).over(w_next))
     )
     return filled.select(
+        "series",
         "day",
         F.col("rev_cents").isNotNull().alias("observed"),
         F.when(F.col("rev_cents").isNotNull(), F.col("rev_cents"))
@@ -1861,42 +1879,42 @@ def q81_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("rev_cents_filled"),
-    ).orderBy("day")
+    ).orderBy("series", "day")
 
 
 Q81_SQL = """
 WITH daily AS (
-  SELECT day, rev_cents FROM (
-    SELECT CAST(o_orderdate AS DATE) AS day,
+  SELECT series, day, rev_cents FROM (
+    SELECT o_orderpriority AS series, CAST(o_orderdate AS DATE) AS day,
            CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))) * 100, 0) AS BIGINT) AS rev_cents
-    FROM orders WHERE o_orderpriority = '3-MEDIUM'
-    GROUP BY 1
+    FROM orders
+    GROUP BY 1, 2
   ) WHERE dayofmonth(day) % 4 = 1
 ), bounds AS (
-  SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM daily
+  SELECT series, MIN(day) AS dmin, MAX(day) AS dmax FROM daily GROUP BY series
 ), spine AS (
-  SELECT unnest(generate_series(dmin, dmax, INTERVAL 1 DAY))::DATE AS day FROM bounds
+  SELECT series, unnest(generate_series(dmin, dmax, INTERVAL 1 DAY))::DATE AS day FROM bounds
 ), joined AS (
-  SELECT s.day, d.rev_cents FROM spine s LEFT JOIN daily d USING (day)
+  SELECT s.series, s.day, d.rev_cents FROM spine s LEFT JOIN daily d USING (series, day)
 ), anchored AS (
-  SELECT day, rev_cents,
+  SELECT series, day, rev_cents,
          LAST_VALUE(CASE WHEN rev_cents IS NOT NULL THEN day END IGNORE NULLS)
-           OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+           OVER (PARTITION BY series ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
          LAST_VALUE(rev_cents IGNORE NULLS)
-           OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+           OVER (PARTITION BY series ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
          FIRST_VALUE(CASE WHEN rev_cents IS NOT NULL THEN day END IGNORE NULLS)
-           OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day,
+           OVER (PARTITION BY series ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day,
          FIRST_VALUE(rev_cents IGNORE NULLS)
-           OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v
+           OVER (PARTITION BY series ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v
   FROM joined
 )
-SELECT day,
+SELECT series, day,
        rev_cents IS NOT NULL AS observed,
        CAST(CASE WHEN rev_cents IS NOT NULL THEN rev_cents
             ELSE prev_v + (next_v - prev_v) * (day - prev_day) // (next_day - prev_day)
        END AS BIGINT) AS rev_cents_filled
 FROM anchored
-ORDER BY day
+ORDER BY series, day
 """
 
 QUERIES["q81_linear_interpolation"] = q81_linear_interpolation
