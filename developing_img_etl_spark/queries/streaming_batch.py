@@ -831,9 +831,20 @@ def _tws_available() -> bool:
         return False
 
 
+# Queries declarable only when an optional dependency is present, with
+# the reason — surfaced in MANIFEST.json so a silently-undeclared
+# operator is visible instead of just absent (VERDICT r4 #10).
+GATED: dict[str, str] = {}
+
 if _tws_available():
     QUERIES["st7_transform_with_state"] = st7_transform_with_state
     ORACLES["st7_transform_with_state"] = ST5_SQL
+else:
+    GATED["st7_transform_with_state"] = (
+        "requires google.protobuf (transformWithStateInPandas state "
+        "protocol); not installed in this container — operator + pytest "
+        "gate on the same probe (streaming/stateful.py)"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -77,6 +77,11 @@ def _write_manifest(statuses: dict[str, str], oracles: dict[str, str]) -> None:
     missing_b = [q for q in statuses if q not in bench_queries]
     manifest["missing_from_latest_correctness"] = sorted(missing_c)
     manifest["missing_from_latest_bench"] = sorted(missing_b)
+    # operators gated out of queries() by missing optional deps — loud,
+    # not silently absent (VERDICT r4 #10)
+    from developing_img_etl_spark.queries import streaming_batch
+
+    manifest["gated"] = dict(sorted(streaming_batch.GATED.items()))
     with open("/root/repo/MANIFEST.json", "w") as f:
         json.dump(manifest, f, indent=1)
     print(

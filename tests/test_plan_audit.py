@@ -139,19 +139,34 @@ SCALAR_BNLJ = {
 }
 
 
-def test_pair_edges_are_df_capped(plans):
+def test_pair_edges_are_df_capped(spark, monkeypatch):
     """q30/q74/q103's near-dup edge generation must route through the
-    shingle document-frequency cap (VERDICT r4 #4): the physical plan
-    of each consumer must contain the `pair_df` guard column, so a
-    future edit can't silently reintroduce the uncapped d^2 self-join
-    that a single hot shingle turns quadratic at 100 TB."""
-    for name in (
-        "q30_dedup_clusters",
-        "q74_canonical_dedup",
-        "q103_label_propagation",
-    ):
-        _, plan_str = plans[name]
-        assert "pair_df" in plan_str, f"{name}: df-cap filter missing from plan"
+    shingle document-frequency cap (VERDICT r4 #4), so a future edit
+    can't silently reintroduce the uncapped d^2 self-join that a
+    single hot shingle turns quadratic at 100 TB. Two layers: (1) the
+    helper's own physical plan carries the pair_df guard filter (the
+    consumers' plans hide it behind localCheckpoint lineage barriers,
+    so the helper is audited directly); (2) each consumer actually
+    calls the helper (monkeypatch spy at plan-build time)."""
+    from developing_img_etl_spark.queries import dedup
+    from developing_img_etl_spark.queries._shingle import shingle_index
+
+    edges = dedup._capped_pair_edges(shingle_index(spark, SF_DIR), 2)
+    plan_str = edges._jdf.queryExecution().executedPlan().toString()
+    assert "pair_df" in plan_str and "<= 64" in plan_str, plan_str
+
+    calls: list[int] = []
+    orig = dedup._capped_pair_edges
+
+    def spy(sh, min_common):
+        calls.append(min_common)
+        return orig(sh, min_common)
+
+    monkeypatch.setattr(dedup, "_capped_pair_edges", spy)
+    dedup.q30_dedup_clusters(spark, SF_DIR)
+    dedup.q74_canonical_dedup(spark, SF_DIR)
+    dedup.q103_label_propagation(spark, SF_DIR)
+    assert calls == [2, 2, dedup._Q103_MIN_COMMON]
 
 
 def test_q81_windows_are_series_partitioned(plans):

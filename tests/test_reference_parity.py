@@ -156,3 +156,53 @@ def test_xlsx_datasource_matches_driver_side_reader(spark):
     ).load(XLSX)
     assert two.columns == [driver_df.columns[1], driver_df.columns[0]]
     assert two.count() == len(a)
+
+
+def test_xlsx_write_back_round_trip(spark, tmp_path):
+    """S8 write-back parity (/root/reference/test.py:200-201 —
+    `final_df.to_excel(METADATA_FILE, index=False)`): catalog → stdlib
+    xlsx writer → read back via BOTH the S1 driver-side reader and the
+    S14 data source → equals the original golden workbook, including
+    after the reference's append-then-rewrite cycle."""
+    from developing_img_etl_spark.sinks.xlsx_writer import write_xlsx
+    from developing_img_etl_spark.sources.excel import read_excel
+    from developing_img_etl_spark.sources.xlsx_datasource import register_xlsx_source
+
+    golden = read_excel(spark, XLSX)
+    out = str(tmp_path / "foto_metadata_copy.xlsx")
+    assert write_xlsx(golden, out) == 24
+
+    def rows(df):
+        return sorted(
+            tuple(str(v) if v is not None else None for v in r) for r in df.collect()
+        )
+
+    back_s1 = read_excel(spark, out)
+    assert back_s1.columns == golden.columns
+    assert rows(back_s1) == rows(golden)
+
+    register_xlsx_source(spark)
+    back_s14 = spark.read.format("xlsx").load(out)
+    assert back_s14.columns == golden.columns
+    assert rows(back_s14) == rows(golden)
+
+    # the reference's SAVE & MERGE cycle: append new records, rewrite
+    new = golden.limit(2).withColumn(
+        "nama_file", F.concat(F.col("nama_file"), F.lit("_new"))
+    )
+    merged = golden.unionByName(new)
+    out2 = str(tmp_path / "foto_metadata_merged.xlsx")
+    assert write_xlsx(merged, out2) == 26
+    assert rows(read_excel(spark, out2)) == rows(merged)
+
+    # openpyxl cross-check when available (the engine pandas uses)
+    try:
+        import openpyxl
+    except ImportError:
+        return
+    wb = openpyxl.load_workbook(out)
+    ws = wb.active
+    grid = [[str(c.value) if c.value is not None else None for c in row]
+            for row in ws.iter_rows()]
+    assert grid[0] == list(golden.columns)
+    assert len(grid) == 25
