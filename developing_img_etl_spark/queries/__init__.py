@@ -64,7 +64,9 @@ _MODULES = (
 # these. Rotate next round: drop names once a CORRECTNESS artifact
 # shows them green, so the uncovered tail keeps surfacing.
 _DRIVER_PRIORITY = (
-    # r5 ADVICE fixes — certify first
+    # r5 new operators + ADVICE fixes — certify first
+    "q118_importance_logratio",
+    "st14_stream_stream_left_outer",
     "q102_zscore_anomalies",
     "q116_mad_outliers",
     "q101_entity_resolution",

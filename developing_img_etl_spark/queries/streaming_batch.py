@@ -1310,3 +1310,117 @@ ST13_SQL = ST13_SQL.replace("{LC13}", _sql_hll_case13(_ST13_P))
 
 QUERIES["st13_streaming_hll_registers"] = st13_streaming_hll_registers
 ORACLES["st13_streaming_hll_registers"] = ST13_SQL
+
+
+# ---------------------------------------------------------------------------
+# ST14 — watermarked stream-stream LEFT OUTER join: the last canonical
+# Structured Streaming join mode not yet covered (st4 is the inner
+# form). The semantics worth testing is the NULL-completion rule:
+# an unmatched left row is emitted (with null right columns) only when
+# the global watermark passes the row's join-condition upper bound —
+# i.e. when the engine can PROVE no future right row can match — and
+# a finite drain leaves the youngest unmatched rows un-emitted forever
+# (still parked in the state store). The DuckDB oracle replays exactly
+# that rule: matched pairs always; null-extended rows only where
+# view_ts + 30 min (condition bound) + 1 h (watermark delay) < max(ts)
+# — the final-watermark eviction frontier. Event times are
+# microsecond-random, so the frontier comparison cannot tie.
+#
+# Scale shape: identical to st4 (state keyed by user_id, eviction
+# bounds state to the watermark horizon); the outer form adds no
+# shuffle — null-completion happens at state expiry inside the join
+# operator.
+# ---------------------------------------------------------------------------
+
+
+def st14_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    src = _staged_stream_dir(sf_dir)
+    tmp = tempfile.mkdtemp(prefix="stq14_")
+
+    def read():
+        return _raw_events_stream(spark, sf_dir, src)
+
+    views = (
+        read()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        read()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id AND
+            purchase_ts >= view_ts AND
+            purchase_ts <= view_ts + INTERVAL 30 MINUTES
+            """
+        ),
+        "leftOuter",
+    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+
+    out = f"{tmp}/out"
+
+    def sink(batch, batch_id):
+        batch.write.mode("append").parquet(out)
+
+    with _stream_shuffle(spark):
+        q = (
+            joined.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.read.parquet(out).orderBy("view_id", "purchase_id")
+
+
+ST14_SQL = """
+WITH v AS (
+  SELECT user_id, event_id AS view_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id AS p_user_id, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+mx AS (
+  -- the engine's global watermark is the MIN across watermarked
+  -- inputs of (max observed event time - delay): both sides carry a
+  -- 1 h delay on their own column, so the final eviction frontier is
+  -- least(max view_ts, max purchase_ts) - 1 h
+  SELECT LEAST((SELECT MAX(view_ts) FROM v),
+               (SELECT MAX(purchase_ts) FROM p)) - INTERVAL 1 HOUR AS wm
+),
+j AS (
+  SELECT v.user_id, v.view_id, p.purchase_id, v.view_ts, p.purchase_ts
+  FROM v LEFT JOIN p
+    ON v.user_id = p.p_user_id
+   AND p.purchase_ts >= v.view_ts
+   AND p.purchase_ts <= v.view_ts + INTERVAL 30 MINUTE
+)
+SELECT user_id, view_id, purchase_id, view_ts, purchase_ts
+FROM j CROSS JOIN mx
+WHERE purchase_id IS NOT NULL
+   OR view_ts + INTERVAL 30 MINUTE < wm
+ORDER BY view_id, purchase_id
+"""
+
+QUERIES["st14_stream_stream_left_outer"] = st14_stream_stream_left_outer
+ORACLES["st14_stream_stream_left_outer"] = ST14_SQL

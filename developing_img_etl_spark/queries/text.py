@@ -1295,3 +1295,131 @@ ORDER BY d.doc_id
 
 QUERIES["q117_perplexity_buckets"] = q117_perplexity_buckets
 ORACLES["q117_perplexity_buckets"] = Q117_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q118 — importance log-ratios for data mixing (the CCNet/DoReMi
+# reweighting primitive).
+#
+# Target-domain curation scores every document by how much more likely
+# its tokens are under a TARGET distribution than under the corpus
+# distribution — importance weighting (Wenzek et al. 2020 §4.3; Xie et
+# al. DoReMi 2023 use the same log-ratio as the domain signal). Here
+# the target is the corpus's own 'en' slice and both distributions are
+# unigram MLEs with add-one smoothing, so the whole score runs in the
+# exact integer log-bucket algebra (q113/q117's L = ~16*log2):
+#
+#   s_x16(w)    = L((cnt_t(w)+1) * N_c) - L((cnt_c(w)+1) * N_t)
+#                 ~ 16 * log2( P_target(w) / P_corpus(w) )
+#   imp_x16(d)  = floor(mean of s_x16 over d's tokens)   (per-token
+#                 mean log-ratio in 1/16-log2 units)
+#
+# Floor-exactness across engines: Spark's DIV truncates toward zero,
+# DuckDB's // floors — they differ on negative dividends, so the mean
+# is evaluated on an offset-shifted non-negative dividend
+# ((sum + n*2048) DIV n - 2048; |s_x16| < 1024 bounds the shift).
+#
+# Scale shape: one scan -> explode -> ONE token-keyed agg producing
+# BOTH distributions (conditional sums — not two scans), one
+# token-keyed join back, one doc agg, one source agg; the (N_c, N_t)
+# totals attach as the audited 1-row broadcast scalar. Per-source
+# output: docs, target-like count (imp > 0), exact sum and floor-mean
+# of the importance scores.
+# ---------------------------------------------------------------------------
+
+
+def q118_importance_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .classify import log_bucket_expr
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", "source", F.explode(TXT.tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cnt_c"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("cnt_t"),
+    )
+    totals = toks.agg(  # 1-row scalar (audited broadcast cross)
+        F.count(F.lit(1)).alias("n_c"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_t"),
+    )
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "source",
+            F.expr("(cnt_t + 1) * n_c").alias("v_t"),
+            F.expr("(cnt_c + 1) * n_t").alias("v_c"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.expr(log_bucket_expr("v_t")) - F.expr(log_bucket_expr("v_c"))
+            ).alias("s_x16"),
+        )
+    )
+    per_doc = (
+        scored.groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_toks"), F.sum("s_x16").alias("sum_s"))
+        .withColumn("imp_x16", F.expr("(sum_s + n_toks * 2048) DIV n_toks - 2048"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("imp_x16") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_target_like"),
+            F.sum("imp_x16").cast("long").alias("sum_imp_x16"),
+            F.expr(
+                "CAST((sum(imp_x16) + count(1) * 4096) DIV count(1) - 4096 AS BIGINT)"
+            ).alias("mean_imp_x16"),
+        )
+        .orderBy("source")
+    )
+
+
+Q118_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lang, source, tok FROM (
+    SELECT doc_id, lang, source,
+           UNNEST(string_split_regex(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+counts AS (
+  SELECT tok, COUNT(*) AS cnt_c,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_t
+  FROM toks GROUP BY tok
+),
+totals AS (
+  SELECT COUNT(*) AS n_c,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_t
+  FROM toks
+),
+scored AS (
+  SELECT doc_id, source, ({_sql_logb('v_t')}) - ({_sql_logb('v_c')}) AS s_x16
+  FROM (
+    SELECT t.doc_id, t.source,
+           (c.cnt_t + 1) * tt.n_c AS v_t,
+           (c.cnt_c + 1) * tt.n_t AS v_c
+    FROM toks t JOIN counts c USING (tok) CROSS JOIN totals tt
+  )
+),
+per_doc AS (
+  SELECT doc_id, source, COUNT(*) AS n_toks, SUM(s_x16) AS sum_s,
+         (SUM(s_x16) + COUNT(*) * 2048) // COUNT(*) - 2048 AS imp_x16
+  FROM scored GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN imp_x16 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_target_like,
+       CAST(SUM(imp_x16) AS BIGINT) AS sum_imp_x16,
+       CAST((SUM(imp_x16) + COUNT(*) * 4096) // COUNT(*) - 4096 AS BIGINT) AS mean_imp_x16
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+QUERIES["q118_importance_logratio"] = q118_importance_logratio
+ORACLES["q118_importance_logratio"] = Q118_SQL

@@ -60,6 +60,8 @@ BNLJ_ALLOWED = {
     # q117: two 1-row scalar crosses — corpus token total n_corpus,
     # and the (cut1, cut2) tercile-cutoff aggregate
     "q117_perplexity_buckets",
+    # q118: the (n_c, n_t) token-total 1-row scalar cross
+    "q118_importance_logratio",
 }
 
 # no exemptions today: every declared query ships ids through hash
@@ -136,6 +138,7 @@ SCALAR_BNLJ = {
     "q106_benford_audit",
     "q107_vocab_growth",
     "q117_perplexity_buckets",
+    "q118_importance_logratio",
 }
 
 
