@@ -67,6 +67,7 @@ _DRIVER_PRIORITY = (
     # r5 new operators + ADVICE fixes — certify first
     "q118_importance_logratio",
     "st14_stream_stream_left_outer",
+    "q119_kmeans_fixed_point",
     "q102_zscore_anomalies",
     "q116_mad_outliers",
     "q101_entity_resolution",

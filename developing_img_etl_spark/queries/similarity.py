@@ -932,3 +932,170 @@ ORDER BY p.probe_id
 
 QUERIES["q110_retrieval_eval"] = q110_retrieval_eval
 ORACLES["q110_retrieval_eval"] = Q110_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q119 — k-means (Lloyd's algorithm) in exact fixed-point integers:
+# the iterative ML primitive under the hash gate.
+#
+# Clustering embeddings is the backbone of corpus organization at
+# scale (topic bucketing, SemDeDup's first phase, IVF index training —
+# q96/m15 both consume a codebook this operator produces). Float
+# centroid means are accumulation-order-dependent, so the whole loop
+# runs in a SHIFTED fixed-point integer space:
+#
+#   u[d]     = floor(x * 1e6 + 0.5) + 1e6      (q100's quantizer; the
+#              +1e6 shift makes every coordinate non-negative so the
+#              centroid mean's integer division is floor on BOTH
+#              engines — Spark DIV truncates, DuckDB // floors, and
+#              they agree only on non-negative dividends)
+#   assign   = argmin_j sum_d (u[d] - c_j[d])^2   (ties -> smallest j;
+#              |diff| <= 2e6, 64 dims -> max dist 2.6e14, BIGINT-safe)
+#   update   = c_j[d] = sum(u[d]) DIV n_j         (empty cluster keeps
+#                                                  its previous centroid)
+#
+# K = 8 centroids seeded from vec_id < 8 (deterministic), 3 rounds.
+# The Spark side is driver-orchestrated like q39/q58: centroids (8x64
+# integers) collect to the driver each round and re-enter the plan as
+# LITERAL arrays, so assignment is a scan with no join; the update is
+# a posexplode + (cluster, dim) hash agg. The oracle replays all three
+# rounds as chained CTEs with list arithmetic — a full cross-engine
+# replay of an iterative algorithm, not a spot check.
+#
+# Scale shape: per round ONE scan of the pinned fixed-point vectors +
+# one (K*D)-key agg (512 cells regardless of corpus size); centroid
+# traffic is kilobytes. The literal-array distance uses higher-order
+# functions (interpreted) — at 100 TB the assignment step drops into
+# the m13/m15 Arrow path (one numpy (N,D)x(D,K) matmul per batch);
+# the algorithm and its integer contract stay identical.
+# ---------------------------------------------------------------------------
+
+_Q119_K = 8
+_Q119_ROUNDS = 3
+
+
+def q119_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0"
+            " + 0.5d) AS BIGINT) + 1000000)"
+        ).alias("u"),
+    ).localCheckpoint(eager=False)  # re-scanned every round — pin once
+    init = {
+        r["vec_id"]: list(r["u"])
+        for r in pts.filter(F.col("vec_id") < _Q119_K).collect()
+    }
+    cents = [init[j] for j in range(_Q119_K)]
+
+    assigned = None
+    for _ in range(_Q119_ROUNDS):
+        dist_exprs = ", ".join(
+            "aggregate(zip_with(u, array("
+            + ",".join(f"CAST({v} AS BIGINT)" for v in c)
+            + "), (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT),"
+            " (acc, x) -> acc + x)"
+            for c in cents
+        )
+        assigned = pts.select(
+            "vec_id",
+            "u",
+            F.expr(
+                f"array_position(array({dist_exprs}),"
+                f" array_min(array({dist_exprs})))"
+            ).cast("long").alias("cluster"),
+            F.expr(f"array_min(array({dist_exprs}))").alias("dist"),
+        )
+        sums = (
+            assigned.select("cluster", F.posexplode("u").alias("d", "val"))
+            .groupBy("cluster", "d")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new: dict[int, dict[int, int]] = {}
+        for r in sums:
+            new.setdefault(int(r["cluster"]), {})[int(r["d"])] = int(r["s"]) // int(r["n"])
+        cents = [
+            [new[j + 1][d] for d in range(len(cents[j]))] if (j + 1) in new else cents[j]
+            for j in range(_Q119_K)
+        ]
+
+    fps = spark.createDataFrame(
+        [(j + 1, sum(c)) for j, c in enumerate(cents)],
+        "cluster long, centroid_sum long",
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("dist").alias("inertia"),
+        )
+        .join(F.broadcast(fps), "cluster", "right")
+        .select(
+            "cluster",
+            F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"),
+            F.coalesce("inertia", F.lit(0)).alias("inertia"),
+            "centroid_sum",
+        )
+        .orderBy("cluster")
+    )
+
+
+def _q119_sql() -> str:
+    k, rounds = _Q119_K, _Q119_ROUNDS
+    parts = [
+        f"""WITH pts AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) + 1000000) AS u
+  FROM embeddings
+),
+exploded AS (
+  SELECT vec_id, UNNEST(u) AS val, UNNEST(range(1, len(u) + 1)) AS d FROM pts
+),
+cent0 AS (
+  SELECT vec_id + 1 AS cluster, u AS c FROM pts WHERE vec_id < {k}
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+dist{r} AS (
+  SELECT p.vec_id, c.cluster,
+         list_sum(list_transform(list_zip(p.u, c.c),
+           t -> (t[1] - t[2]) * (t[1] - t[2]))) AS dist
+  FROM pts p CROSS JOIN cent{r - 1} c
+),
+assign{r} AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT vec_id, cluster, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rk
+    FROM dist{r}) WHERE rk = 1
+),
+cent{r} AS (
+  SELECT pc.cluster, COALESCE(nc.c, pc.c) AS c
+  FROM cent{r - 1} pc LEFT JOIN (
+    SELECT cluster, list(s // n ORDER BY d) AS c FROM (
+      SELECT a.cluster, e.d, SUM(e.val) AS s, COUNT(*) AS n
+      FROM assign{r} a JOIN exploded e USING (vec_id)
+      GROUP BY a.cluster, e.d
+    ) GROUP BY cluster
+  ) nc USING (cluster)
+)""")
+    parts.append(f"""
+SELECT c.cluster,
+       CAST(COALESCE(a.n_vectors, 0) AS BIGINT) AS n_vectors,
+       CAST(COALESCE(a.inertia, 0) AS BIGINT) AS inertia,
+       CAST(list_sum(c.c) AS BIGINT) AS centroid_sum
+FROM cent{rounds} c LEFT JOIN (
+  SELECT cluster, COUNT(*) AS n_vectors, SUM(dist) AS inertia
+  FROM assign{rounds} GROUP BY cluster
+) a USING (cluster)
+ORDER BY c.cluster""")
+    return "".join(parts)
+
+
+Q119_SQL = _q119_sql()
+
+QUERIES["q119_kmeans_fixed_point"] = q119_kmeans_fixed_point
+ORACLES["q119_kmeans_fixed_point"] = Q119_SQL
