@@ -16,15 +16,37 @@ import pandas as pd
 from developing_img_etl_spark.catalog import TABLES
 
 
+class OracleTimeout(Exception):
+    """Raised when ORACLE_CAP_S is set and the oracle exceeds it."""
+
+
+# optional per-oracle wall cap (seconds); None = strict/no cap (the
+# driver-gate behavior). Scale probes (scripts/sf1_gate.py) set this so
+# a DuckDB recursive-closure oracle that stops terminating at large SF
+# surfaces as a recorded DNF instead of hanging the whole pass.
+ORACLE_CAP_S: float | None = None
+
+
 def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
+    import threading
+
     con = duckdb.connect()
+    timer = None
     try:
         for name in TABLES:
             con.execute(
                 f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
             )
-        return con.execute(sql).fetchdf()
+        if ORACLE_CAP_S is not None:
+            timer = threading.Timer(ORACLE_CAP_S, con.interrupt)
+            timer.start()
+        try:
+            return con.execute(sql).fetchdf()
+        except duckdb.InterruptException as e:
+            raise OracleTimeout(f"oracle exceeded {ORACLE_CAP_S}s") from e
     finally:
+        if timer is not None:
+            timer.cancel()
         con.close()
 
 
