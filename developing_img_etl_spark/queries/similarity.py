@@ -777,20 +777,22 @@ WITH base AS (
 SELECT vec_id,
        CAST(n_dims AS INTEGER) AS n_dims,
        CAST(floor(coalesce(m, 0.0) * 1000000.0 + 0.5) AS BIGINT) AS maxabs_e6,
-       CASE WHEN m IS NULL OR m = 0.0 THEN 0
+       -- CAST: DuckDB list_sum(BIGINT[]) yields HUGEINT -> float64 in fetchdf();
+       -- the driver hashes dtypes strictly, so pin to BIGINT to match Spark int64.
+       CAST(CASE WHEN m IS NULL OR m = 0.0 THEN 0
             ELSE coalesce(list_sum(list_transform(e,
               x -> CAST(floor(coalesce(x::DOUBLE, 0.0) * 127.0 / m + 0.5) AS BIGINT))), 0)
-       END AS sum_codes,
-       CASE WHEN m IS NULL OR m = 0.0 THEN 0
+       END AS BIGINT) AS sum_codes,
+       CAST(CASE WHEN m IS NULL OR m = 0.0 THEN 0
             ELSE coalesce(list_sum(list_transform(e,
               x -> abs(CAST(floor(coalesce(x::DOUBLE, 0.0) * 127.0 / m + 0.5) AS BIGINT)))), 0)
-       END AS sum_abs_codes,
-       CASE WHEN m IS NULL OR m = 0.0 THEN 0
+       END AS BIGINT) AS sum_abs_codes,
+       CAST(CASE WHEN m IS NULL OR m = 0.0 THEN 0
             ELSE coalesce(list_sum(list_transform(e,
               x -> CAST(floor(abs(coalesce(x::DOUBLE, 0.0)
                      - CAST(floor(coalesce(x::DOUBLE, 0.0) * 127.0 / m + 0.5) AS BIGINT)::DOUBLE
                        * m / 127.0) * 1000000.0 + 0.5) AS BIGINT))), 0)
-       END AS l1_err_e6
+       END AS BIGINT) AS l1_err_e6
 FROM base
 ORDER BY vec_id
 """
@@ -983,11 +985,12 @@ def q119_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + 0.5d) AS BIGINT) + 1000000)"
         ).alias("u"),
     ).localCheckpoint(eager=False)  # re-scanned every round — pin once
-    init = {
-        r["vec_id"]: list(r["u"])
-        for r in pts.filter(F.col("vec_id") < _Q119_K).collect()
-    }
-    cents = [init[j] for j in range(_Q119_K)]
+    # seed = first K rows ordered by vec_id (NOT `vec_id < K`, which
+    # KeyErrors on non-contiguous ids while the oracle silently starts
+    # with fewer clusters — asymmetric failure modes; ADVICE r5)
+    seed_rows = pts.orderBy("vec_id").limit(_Q119_K).collect()
+    assert len(seed_rows) == _Q119_K, f"need >= {_Q119_K} vectors to seed"
+    cents = [list(r["u"]) for r in seed_rows]
 
     assigned = None
     for _ in range(_Q119_ROUNDS):
@@ -998,14 +1001,20 @@ def q119_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, x) -> acc + x)"
             for c in cents
         )
-        assigned = pts.select(
-            "vec_id",
-            "u",
-            F.expr(
-                f"array_position(array({dist_exprs}),"
-                f" array_min(array({dist_exprs})))"
-            ).cast("long").alias("cluster"),
-            F.expr(f"array_min(array({dist_exprs}))").alias("dist"),
+        # materialize the K-distance array ONCE per row; the projection
+        # below references `dists` 3x, and CollapseProject keeps a
+        # non-cheap multi-referenced expression in its own projection,
+        # so the interpreted higher-order aggregate runs 1x, not 3x
+        assigned = (
+            pts.withColumn("dists", F.expr(f"array({dist_exprs})"))
+            .select(
+                "vec_id",
+                "u",
+                F.expr("array_position(dists, array_min(dists))")
+                .cast("long")
+                .alias("cluster"),
+                F.expr("array_min(dists)").alias("dist"),
+            )
         )
         sums = (
             assigned.select("cluster", F.posexplode("u").alias("d", "val"))
@@ -1055,7 +1064,11 @@ exploded AS (
   SELECT vec_id, UNNEST(u) AS val, UNNEST(range(1, len(u) + 1)) AS d FROM pts
 ),
 cent0 AS (
-  SELECT vec_id + 1 AS cluster, u AS c FROM pts WHERE vec_id < {k}
+  -- first K rows ordered by vec_id, mirroring the Spark seeding
+  -- (robust to non-contiguous vec_ids; row_number == vec_id + 1 when
+  -- ids are contiguous from 0, so hashes are unchanged on this data)
+  SELECT row_number() OVER (ORDER BY vec_id) AS cluster, u AS c
+  FROM pts ORDER BY vec_id LIMIT {k}
 )"""
     ]
     for r in range(1, rounds + 1):

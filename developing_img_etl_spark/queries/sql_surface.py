@@ -243,7 +243,7 @@ WITH RECURSIVE chain AS (
 SELECT depth,
        COUNT(*) AS n_paths,
        COUNT(DISTINCT orderkey) AS n_orders,
-       SUM(cum_qty) AS total_path_qty
+       CAST(SUM(cum_qty) AS BIGINT) AS total_path_qty
 FROM chain
 GROUP BY depth
 ORDER BY depth

@@ -1352,6 +1352,11 @@ def q118_importance_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(cnt_t + 1) * n_c").alias("v_t"),
             F.expr("(cnt_c + 1) * n_t").alias("v_c"),
         )
+        # domain guard (mirrors q113): log_bucket_expr needs v >= 16, else
+        # the shift count goes negative — Spark masks negative shifts while
+        # DuckDB errors, so without the guard the engines diverge instead
+        # of failing identically. No-op whenever both slices are non-empty.
+        .filter((F.col("v_t") >= 16) & (F.col("v_c") >= 16))
         .select(
             "doc_id",
             "source",
@@ -1406,7 +1411,7 @@ scored AS (
            (c.cnt_t + 1) * tt.n_c AS v_t,
            (c.cnt_c + 1) * tt.n_t AS v_c
     FROM toks t JOIN counts c USING (tok) CROSS JOIN totals tt
-  )
+  ) WHERE v_t >= 16 AND v_c >= 16
 ),
 per_doc AS (
   SELECT doc_id, source, COUNT(*) AS n_toks, SUM(s_x16) AS sum_s,

@@ -92,7 +92,7 @@ lower_mid AS (
   SELECT l_returnflag, c AS m FROM med WHERE rn = (n - 1) // 2 + 1
 )
 SELECT c.l_returnflag,
-       SUM(c.c) AS sum_cents,
+       CAST(SUM(c.c) AS BIGINT) AS sum_cents,
        CAST(SUM(CASE WHEN c.c > lm.m THEN 1 ELSE 0 END) AS BIGINT) AS n_over_median
 FROM cents c JOIN lower_mid lm USING (l_returnflag)
 GROUP BY c.l_returnflag

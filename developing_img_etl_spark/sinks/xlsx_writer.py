@@ -25,8 +25,14 @@ proves the golden-file round trip.
 
 from __future__ import annotations
 
+import math
+import re
 import zipfile
 from xml.sax.saxutils import escape
+
+# XML 1.0 forbids control chars < 0x20 except tab/newline/CR — a cell
+# containing them produces a workbook readers reject, so strip them.
+_XML_INVALID = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
 
 from pyspark.sql import DataFrame
 
@@ -70,11 +76,16 @@ def _cell_xml(ref: str, value) -> str:
     if isinstance(value, bool):  # before int: bool is an int subclass
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):
+        # xlsx numeric cells cannot hold inf/nan (<v>inf</v> is rejected
+        # by readers) — treat non-finite as an empty cell, like None
+        if isinstance(value, float) and not math.isfinite(value):
+            return ""
         # integers render without a trailing .0 — the reader's numeric
         # rendering contract (sources/excel._cell_text)
         v = int(value) if isinstance(value, float) and value.is_integer() else value
         return f'<c r="{ref}"><v>{v}</v></c>'
-    return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(value))}</t></is></c>'
+    text = _XML_INVALID.sub("", str(value))
+    return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(text)}</t></is></c>'
 
 
 def _sheet_xml(header: list[str], rows: list[tuple]) -> str:

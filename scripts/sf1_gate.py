@@ -43,7 +43,12 @@ def _iterative_components(con) -> None:
     set via temp-table min-label propagation — the same fixpoint the
     recursive `reach` CTE defines (component id = min reachable id),
     in O(diameter) rounds of linear work."""
-    con.execute(r"""
+    from developing_img_etl_spark.queries import dedup
+
+    # the pair-generation cap MUST track the engine's (ADVICE r5): a
+    # hardcoded literal here would silently desynchronize this verifier
+    # from q30/q74 if _PAIR_DF_CAP ever changes
+    con.execute(rf"""
 CREATE OR REPLACE TEMP TABLE und AS
 WITH toks AS (
   SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t FROM documents
@@ -57,7 +62,7 @@ sh AS (
 inv AS (SELECT doc_id, source, UNNEST(s) AS shingle FROM sh),
 inv_df AS (
   SELECT source, shingle FROM inv GROUP BY source, shingle
-  HAVING COUNT(*) BETWEEN 2 AND 64
+  HAVING COUNT(*) BETWEEN 2 AND {dedup._PAIR_DF_CAP}
 ),
 inv_k AS (
   SELECT i.doc_id, i.source, i.shingle FROM inv i JOIN inv_df USING (source, shingle)

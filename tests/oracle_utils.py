@@ -2,8 +2,15 @@
 
 Mirrors the driver's check: run the Spark query and the oracle SQL on
 the same parquet, sort columns by name, sort rows, compare values.
-Stricter than the driver (exact equality for non-floats, near-exact for
-floats) so passing here implies passing there.
+
+Hash-equivalence with the driver (VERDICT r5 #2): the driver hashes
+canonicalized VALUES, so an int64 Spark column vs a float64 oracle
+column (`123` vs `123.0`) is a driver hash-red even when every value is
+numerically equal — DuckDB's SUM(BIGINT)/list_sum(BIGINT[]) return
+HUGEINT, which fetchdf() renders as float64. This gate therefore FAILS
+on any int-vs-float dtype pairing instead of coercing; the fix is
+always `CAST(... AS BIGINT)` in the oracle SQL. With that rule, a MATCH
+here is a reliable predictor of a driver hash-green.
 """
 
 from __future__ import annotations
@@ -81,7 +88,19 @@ def assert_matches(
     )
     for c in actual.columns:
         a, e = actual[c], expected[c]
-        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(e):
+        a_float = pd.api.types.is_float_dtype(a)
+        e_float = pd.api.types.is_float_dtype(e)
+        a_int = pd.api.types.is_integer_dtype(a)
+        e_int = pd.api.types.is_integer_dtype(e)
+        # driver hash-equivalence: int64 `123` vs float64 `123.0` is a
+        # driver hash-red even when values match — fail loudly here.
+        assert not ((a_float and e_int) or (a_int and e_float)), (
+            f"column {c!r} dtype drift: spark={a.dtype} oracle={e.dtype} — "
+            "the driver hashes values strictly (123 != 123.0); if the oracle "
+            "side is float64 from a HUGEINT SUM/list_sum, wrap it in "
+            "CAST(... AS BIGINT)"
+        )
+        if a_float or e_float:
             a = a.astype(float)
             e = e.astype(float)
             bad = []

@@ -206,3 +206,30 @@ def test_xlsx_write_back_round_trip(spark, tmp_path):
             for row in ws.iter_rows()]
     assert grid[0] == list(golden.columns)
     assert len(grid) == 25
+
+
+def test_xlsx_writer_rejects_invalid_cells(spark, tmp_path):
+    """Non-finite floats become empty cells and XML-invalid control
+    chars are stripped from strings — a workbook containing either is
+    rejected by readers (ADVICE r5)."""
+    from developing_img_etl_spark.sinks.xlsx_writer import write_xlsx
+    from developing_img_etl_spark.sources.excel import read_excel
+
+    df = spark.createDataFrame(
+        [
+            ("ok", 1.5),
+            ("ctrl\x07char\x00s kept\ttab\nnewline", float("inf")),
+            ("nan row", float("nan")),
+        ],
+        "s string, x double",
+    )
+    out = str(tmp_path / "weird.xlsx")
+    assert write_xlsx(df, out) == 3
+
+    back = read_excel(spark, out)
+    got = sorted((r["s"], r["x"]) for r in back.collect())
+    assert got == [
+        ("ctrlchars kept\ttab\nnewline", None),
+        ("nan row", None),
+        ("ok", "1.5"),
+    ]
