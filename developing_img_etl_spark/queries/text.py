@@ -274,49 +274,57 @@ ORACLES["q32_vocab_topk"] = Q32_SQL
 # plagiarism/overlap detectors prune candidate pairs without all-pairs
 # comparison. Deterministic total order = the gram itself (min-string
 # winnowing) so both engines select identical fingerprints with no
-# engine-specific hash. Pure window functions — one shuffle on doc_id,
-# codegen'd, no UDF.
+# engine-specific hash.
+#
+# Scale shape (r6 rework — the old explode+4-window form was 3.8x
+# DuckDB at sf0.1): winnowing is a strictly PER-DOCUMENT computation,
+# so it runs entirely array-side — split/bigram/window-min/distinct as
+# higher-order functions on the text row, never exploding tokens into
+# the shuffle. The only data movement is ONE hash repartition of the
+# raw doc rows (cheaper than the old shape's exploded-token window
+# sort, and what spreads the per-row array work across cores when the
+# local input is a single parquet row group; at cluster scale the scan
+# itself provides this parallelism and the exchange coalesces to a
+# no-op rebalance). A/B at sf0.1: 1.47s -> 0.9s.
 # ---------------------------------------------------------------------------
 _WINNOW_K = 2  # tokens per gram
 _WINNOW_W = 5  # grams per window
 
 
 def q53_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias("i", "tok"),
-    ).filter(F.col("tok") != "")
-    w_next = Window.partitionBy("doc_id").orderBy("i")
-    grams = (
-        toks.select(
+    n = spark.sparkContext.defaultParallelism
+    w = _WINNOW_W
+    return (
+        docs.select("doc_id", "source", "text")
+        .repartition(n, "doc_id")
+        .select(
             "doc_id",
             "source",
-            "i",
-            F.concat_ws(" ", "tok", F.lead("tok", 1).over(w_next)).alias("gram"),
-            F.lead("tok", 1).over(w_next).alias("nxt"),
+            F.expr(r"filter(split(lower(text), '\\s+'), x -> x != '')").alias("t"),
         )
-        .filter(F.col("nxt").isNotNull())
-        .drop("nxt")
-    )
-    w_win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, _WINNOW_W - 1)
-    w_cnt = Window.partitionBy("doc_id")
-    fps = (
-        grams.withColumn("win_min", F.min("gram").over(w_win))
-        .withColumn("n_grams", F.count(F.lit(1)).over(w_cnt))
-        .withColumn("rn", F.row_number().over(w_next))
-        .filter(F.col("rn") <= F.col("n_grams") - (_WINNOW_W - 1))  # full windows only
-        .select("doc_id", "source", F.col("win_min").alias("fp"))
-        .distinct()
-    )
-    return (
-        fps.groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_fingerprints"),
-            F.md5(F.array_join(F.array_sort(F.collect_list("fp")), "|")).alias("fp_md5"),
+        .withColumn(
+            "grams",
+            F.expr(
+                "zip_with(slice(t, 1, greatest(size(t)-1, 0)),"
+                " slice(t, 2, greatest(size(t)-1, 0)),"
+                " (a, b) -> concat(a, ' ', b))"
+            ),
+        )
+        .filter(F.expr(f"size(grams) >= {w}"))  # docs with >= 1 full window
+        .withColumn(
+            "fps",
+            F.expr(
+                f"array_sort(array_distinct(transform("
+                f"sequence(1, size(grams) - {w - 1}),"
+                f" i -> array_min(slice(grams, i, {w})))))"
+            ),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.expr("size(fps)").cast("long").alias("n_fingerprints"),
+            F.md5(F.array_join("fps", "|")).alias("fp_md5"),
         )
         .orderBy("doc_id")
     )

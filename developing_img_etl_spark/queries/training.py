@@ -25,7 +25,7 @@ from ..functions import pii as PII
 from ..operators.merge import merge_upsert
 from ..operators.packing import pack_sequences
 from ..operators.zorder import zvalue
-from ._det import dsum, sql_dsum
+from ._det import dec, dsum, sql_dsum
 
 # ---------------------------------------------------------------------------
 # Q33 — deterministic sequence packing (M15). Portable multiplicative
@@ -247,30 +247,57 @@ ORDER BY view_date
 
 
 # ---------------------------------------------------------------------------
-# Q36 — column profiling: one pass computing per-column rows / nulls /
-# exact NDV / min / max / decimal-exact sum over a stack-unpivoted
-# projection. The shape a data-quality gate runs before training jobs.
+# Q36 — column profiling: per-column rows / nulls / exact NDV / min /
+# max / decimal-exact sum. The shape a data-quality gate runs before
+# training jobs.
+#
+# Scale shape (r6 rework — the old stack-then-groupBy form was 17x
+# DuckDB at sf0.1): one INDEPENDENT single-column aggregate branch per
+# profiled column, unioned. No row inflation before any aggregate, no
+# string group key in any shuffle, and AQE materializes the three leaf
+# stages CONCURRENTLY, so wall time is the most expensive column (the
+# high-NDV one), not the sum of all three. Each branch is a plain
+# two-phase agg whose only shuffled payload is the per-partition
+# distinct value set — for low-cardinality columns essentially nothing.
+#
+# Determinism without decimal aggregation (the measured hot spot —
+# decimal SUM inside the distinct-rewrite agg was ~2x the whole rest
+# of the query): all three profiled columns are exact at 2 decimals,
+# so the sum runs over long CENTS (exact, order-independent; the total
+# stays far below 2^53) and divides by 100.0 once at the end — the
+# same double sql_dsum's ROUND(SUM(DECIMAL), 2)::DOUBLE produces, so
+# the existing oracle text is untouched. NDV/min/max over cents are
+# injective images of NDV/min/max over the doubles.
+# A/B at sf0.1 (fresh plans, warm JVM): stack-groupBy 1.88s -> wide
+# multi-distinct 1.9s -> this shape 0.82s; DuckDB 0.11s.
 # ---------------------------------------------------------------------------
 _PROFILE_COLS = ("l_discount", "l_extendedprice", "l_quantity")
 
 
 def q36_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stack_args = ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in _PROFILE_COLS)
-    unpivoted = load(spark, sf_dir, "lineitem").select(
-        F.expr(f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col_name, v)")
-    )
-    return (
-        unpivoted.groupBy("col_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("v").isNull().cast("long")).alias("n_null"),
-            F.countDistinct("v").alias("n_distinct"),
-            F.min("v").alias("min_v"),
-            F.max("v").alias("max_v"),
-            dsum("v").alias("sum_v"),
+    li = load(spark, sf_dir, "lineitem")
+    parts = []
+    for c in _PROFILE_COLS:
+        cents = F.expr(f"CAST(floor(CAST({c} AS DOUBLE) * 100.0 + 0.5) AS BIGINT)")
+        parts.append(
+            li.select(F.col(c).alias("raw"), cents.alias("v"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("raw").isNull().cast("long")).alias("n_null"),
+                F.countDistinct("v").alias("n_distinct"),
+                (F.min("v").cast("double") / 100.0).alias("min_v"),
+                (F.max("v").cast("double") / 100.0).alias("max_v"),
+                (F.sum("v").cast("double") / 100.0).alias("sum_v"),
+            )
+            .select(
+                F.lit(c).alias("col_name"),
+                "n_rows", "n_null", "n_distinct", "min_v", "max_v", "sum_v",
+            )
         )
-        .orderBy("col_name")
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("col_name")
 
 
 _Q36_UNION = "\nUNION ALL\n".join(
