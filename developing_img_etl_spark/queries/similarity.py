@@ -1112,3 +1112,173 @@ Q119_SQL = _q119_sql()
 
 QUERIES["q119_kmeans_fixed_point"] = q119_kmeans_fixed_point
 ORACLES["q119_kmeans_fixed_point"] = Q119_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q121 — ORACLE-CHECKABLE product quantization + ADC top-k (VERDICT r5
+# #9: shrink the rows-only set — m15's PQ recall harness stays, this
+# certifies the same pipeline shape hash-exact cross-engine). The PQ
+# stages are the real ones: (1) codebook TRAINING per subspace, (2)
+# per-vector CODE assignment = argmin codeword, (3) ASYMMETRIC-DISTANCE
+# scoring of the whole corpus against a probe through the 32-entry
+# distance table, top-k. What makes it oracle-checkable where m15 is
+# not: the codebook comes from a deterministic partition (codeword j =
+# vectors with vec_id % 8 == j; component-wise floor-mean) instead of
+# sampled k-means, and every distance is BIGINT over e6-quantized
+# components — no float accumulation anywhere.
+#
+# Exactness: centroid = floor(sum/count) evaluated in IEEE double on
+# both engines (sums ≪ 2^53 here; at 100 TB swap in exact DIV with a
+# sign-correction — noted, not needed at any test SF). Squared L2 over
+# e6 ints ≤ 4 subspaces × 16 dims × (4e6)² ≈ 2.6e15 < 2^53, exact in
+# BIGINT. Outer SUMs CAST AS BIGINT (DuckDB HUGEINT/float64 hazard).
+#
+# Scale shape: training = one explode to component rows with map-side
+# partial agg into 8×4×16=512 groups; assignment = broadcast of the
+# 32-row codebook, map-side argmin; ADC = broadcast of the 32-entry
+# distance table, map-side lookup + one groupBy vec_id whose partial
+# aggregate is 4 rows per vector. Embeddings themselves never shuffle;
+# the only wide exchange carries (vec_id, s, dist, j) longs.
+# ---------------------------------------------------------------------------
+_Q121_S = 4     # subspaces (x16 dims each over the 64-dim embeddings)
+_Q121_J = 8     # codewords per subspace
+_Q121_TOPK = 20
+
+
+def q121_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    j, s, topk = _Q121_J, _Q121_S, _Q121_TOPK
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x ->"
+            " CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))"
+        ).alias("u"),
+    )
+    comp = q.select(
+        "vec_id",
+        (F.col("vec_id") % j).alias("j"),
+        F.posexplode("u").alias("p", "val"),
+    ).select("vec_id", "j", F.expr("p DIV 16").alias("s"), (F.col("p") % 16).alias("dd"), "val")
+    cb = (
+        comp.groupBy("s", "j", "dd")
+        .agg(
+            F.expr(
+                "CAST(floor(CAST(SUM(val) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))"
+                " AS BIGINT)"
+            ).alias("cval")
+        )
+        .groupBy("s", "j")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dd, cval))), x -> x.cval)"
+            ).alias("c")
+        )
+    )
+    sub = q.select(
+        "vec_id", F.explode(F.sequence(F.lit(0), F.lit(s - 1))).alias("s"), "u"
+    ).select("vec_id", "s", F.expr("slice(u, s * 16 + 1, 16)").alias("v"))
+    ad = sub.join(F.broadcast(cb), "s").select(
+        "vec_id",
+        "s",
+        "j",
+        F.expr(
+            "aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("dist"),
+    )
+    codes = (
+        ad.withColumn(
+            "rn", F.row_number().over(W.partitionBy("vec_id", "s").orderBy("dist", "j"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "j")
+    )
+    ptab = ad.filter(F.col("vec_id") == 0).select("s", "j", F.col("dist").alias("pdist"))
+    approx = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(ptab), ["s", "j"])
+        .groupBy("vec_id")
+        .agg(F.sum("pdist").alias("adist"))
+    )
+    exact = (
+        q.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q.filter(F.col("vec_id") == 0).select(F.col("u").alias("pu"))))
+        .select(
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(u, pu, (a, b) -> (a - b) * (a - b)),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("exact_d"),
+        )
+    )
+    return (
+        approx.join(exact, "vec_id")
+        .select("vec_id", "adist", "exact_d")
+        .orderBy("adist", "vec_id")
+        .limit(topk)
+    )
+
+
+Q121_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(x::DOUBLE * 1000000.0 + 0.5) AS BIGINT)) AS u
+  FROM embeddings
+),
+comp AS (
+  SELECT vec_id, vec_id % {_Q121_J} AS j,
+         (d - 1) // 16 AS s, (d - 1) % 16 AS dd, u[d] AS val
+  FROM q, (SELECT UNNEST(range(1, 65)) AS d)
+),
+cbc AS (
+  SELECT s, j, dd,
+         CAST(floor(CAST(SUM(val) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cval
+  FROM comp GROUP BY s, j, dd
+),
+cb AS (
+  SELECT s, j, list(cval ORDER BY dd) AS c FROM cbc GROUP BY s, j
+),
+sub AS (
+  SELECT vec_id, sp.s AS s, u[sp.s * 16 + 1 : sp.s * 16 + 16] AS v
+  FROM q, (SELECT UNNEST(range(0, {_Q121_S})) AS s) sp
+),
+ad AS (
+  SELECT sub.vec_id, sub.s, cb.j,
+         CAST(list_sum(list_transform(range(1, 17),
+           i -> (sub.v[i] - cb.c[i]) * (sub.v[i] - cb.c[i]))) AS BIGINT) AS dist
+  FROM sub JOIN cb USING (s)
+),
+codes AS (
+  SELECT vec_id, s, j FROM (
+    SELECT ad.*, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, j) AS rn
+    FROM ad
+  ) WHERE rn = 1
+),
+ptab AS (
+  SELECT s, j, dist AS pdist FROM ad WHERE vec_id = 0
+),
+approx AS (
+  SELECT c.vec_id, CAST(SUM(p.pdist) AS BIGINT) AS adist
+  FROM codes c JOIN ptab p ON c.s = p.s AND c.j = p.j
+  WHERE c.vec_id <> 0
+  GROUP BY c.vec_id
+),
+exact AS (
+  SELECT q.vec_id,
+         CAST(list_sum(list_transform(range(1, 65),
+           i -> (q.u[i] - p.u[i]) * (q.u[i] - p.u[i]))) AS BIGINT) AS exact_d
+  FROM q, (SELECT u FROM q WHERE vec_id = 0) p
+  WHERE q.vec_id <> 0
+)
+SELECT a.vec_id, a.adist, e.exact_d
+FROM approx a JOIN exact e USING (vec_id)
+ORDER BY a.adist, a.vec_id
+LIMIT {_Q121_TOPK}
+"""
+
+QUERIES["q121_pq_adc_topk"] = q121_pq_adc_topk
+ORACLES["q121_pq_adc_topk"] = Q121_SQL

@@ -620,3 +620,61 @@ def q87_mincost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q87_mincost_supplier"] = q87_mincost_supplier
 ORACLES["q87_mincost_supplier"] = Q87_TEXT
+
+
+# ---------------------------------------------------------------------------
+# Q120 — DATA-PROPORTIONAL recursive CTE: per-customer order-history
+# walk (VERDICT r5 #9's requested q94 companion). q94's chain depth is
+# 7 and its frontier is a 10% orderkey slice, so at any SF its wall is
+# the per-iteration stage floor; this query's recursion does real
+# data-proportional work at every level: the anchor is EVERY customer's
+# first order and level k's frontier is every customer with >= k orders
+# (TPC-H max ~25), so total recursion volume across levels equals
+# |orders| — 1.5M rows at sf1, 1.5B at sf1000 — while depth stays
+# bounded by orders-per-customer, not data size.
+#
+# Same engine-native WITH RECURSIVE front door as q94 (SPARK-24497):
+# the IDENTICAL SQL text runs on Spark and DuckDB. The ordered
+# next-order edge relation is built once in a non-recursive member via
+# row_number() over (custkey, orderdate, orderkey) — a deterministic
+# total order — and each level is one (custkey, rk) equi-join of the
+# frontier against it. Money accumulates as exact BIGINT cents
+# (floor(x*100+0.5)); outer sums CAST to BIGINT (DuckDB HUGEINT would
+# reach the client as float64 — the r5 driver hash-red class).
+#
+# Scale shape: the recursion's per-level join is frontier × seq on
+# (custkey, rk) — hash-partitioned equi-join, no skew (one row per key
+# pair per side), and the final per-depth rollup returns ~25 rows.
+# ---------------------------------------------------------------------------
+Q120_TEXT = """
+WITH RECURSIVE seq AS (
+  SELECT o_custkey AS custkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rk,
+         o_orderkey AS orderkey,
+         CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), walk AS (
+  SELECT custkey, rk, orderkey, cents AS cum_cents, 1 AS depth
+  FROM seq WHERE rk = 1
+  UNION ALL
+  SELECT n.custkey, n.rk, n.orderkey, w.cum_cents + n.cents, w.depth + 1
+  FROM walk w JOIN seq n ON n.custkey = w.custkey AND n.rk = w.rk + 1
+)
+SELECT depth,
+       COUNT(*) AS n_customers,
+       CAST(SUM(cum_cents) AS BIGINT) AS sum_cum_cents,
+       CAST(SUM(orderkey) AS BIGINT) AS orderkey_sum
+FROM walk
+GROUP BY depth
+ORDER BY depth
+"""
+
+
+def q120_recursive_order_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(Q120_TEXT)
+
+
+QUERIES["q120_recursive_order_walk"] = q120_recursive_order_walk
+ORACLES["q120_recursive_order_walk"] = Q120_TEXT

@@ -49,6 +49,9 @@ BNLJ_ALLOWED = {
     "q96_semdedup",
     # q110: the q13/q93 tiny-probe-set broadcast cross (ground truth)
     "q110_retrieval_eval",
+    # q121: the exact-distance leg broadcasts the ONE-ROW probe vector
+    # against the corpus (q13's shape; the PQ/ADC legs are equi-joins)
+    "q121_pq_adc_topk",
     # 1-row aggregate scalar crosses (structurally verified below):
     # q98 distinct-bigram total, q104 corpus total, q105 day bounds,
     # q106 observed total, q107 max doc id
