@@ -242,11 +242,12 @@ _PAIR_DF_CAP = 64
 
 
 def _capped_pair_edges(sh: DataFrame, min_common: int) -> DataFrame:
-    """(id_a, id_b) near-dup edges: within-source pairs sharing >=
-    ``min_common`` distinct shingles, generated only through shingles
-    whose per-source document frequency is in [2, _PAIR_DF_CAP]. The
-    ONE edge home shared by q30 / q74 / q103 so the skew guard can
-    never drift between consumers."""
+    """(source, id_a, id_b, n_common) near-dup edges: within-source
+    pairs sharing >= ``min_common`` distinct shingles, generated only
+    through shingles whose per-source document frequency is in
+    [2, _PAIR_DF_CAP]. The ONE edge home shared by q30 / q74 / q103 /
+    q48 so the skew guard can never drift between consumers (closure
+    consumers select just the id pair; q48 keeps source + n_common)."""
     keep = (
         sh.groupBy("source", "s")
         .agg(F.count(F.lit(1)).alias("pair_df"))
@@ -259,10 +260,9 @@ def _capped_pair_edges(sh: DataFrame, min_common: int) -> DataFrame:
     return (
         a.join(b, ["source", "s"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("source", "id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_common)
-        .select("id_a", "id_b")
     )
 
 
@@ -278,10 +278,10 @@ inv_k AS (
   FROM inv i JOIN inv_df USING (source, shingle)
 ),
 {out} AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
   FROM inv_k a JOIN inv_k b
     ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+  GROUP BY 1, 2, 3
   HAVING COUNT(*) >= {min_common}
 )"""
 
@@ -291,7 +291,7 @@ def q30_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     sh = shingle_index(spark, sf_dir)
-    edges = _capped_pair_edges(sh, min_common=2)
+    edges = _capped_pair_edges(sh, min_common=2).select("id_a", "id_b")
     return dedup_clusters(docs, edges).orderBy("doc_id")
 
 
@@ -346,15 +346,11 @@ ORACLES["q30_dedup_clusters"] = Q30_SQL
 def q48_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sh = shingle_index(spark, sf_dir)
-    a = sh.select("source", "s", F.col("doc_id").alias("id_a"))
-    b = sh.select("source", "s", F.col("doc_id").alias("id_b"))
-    cand = (
-        a.join(b, ["source", "s"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("source", "id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .filter(F.col("n_common") >= 3)
-    )
+    # r6: candidates now route through the SHARED df-capped pair
+    # generator (q30/q74/q103's skew guard — previously q48 was the one
+    # pair miner with an uncapped posting-list self-join; at the tested
+    # SFs the cap changes nothing, max per-(source, shingle) df is 17)
+    cand = _capped_pair_edges(sh, min_common=3)
     ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
     verified = (
@@ -375,7 +371,7 @@ def q48_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.orderBy("source", "id_a", "id_b")
 
 
-Q48_SQL = r"""
+Q48_SQL = rf"""
 WITH toks AS (
   SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t FROM documents
 ), sh AS (
@@ -385,13 +381,8 @@ WITH toks AS (
   FROM toks WHERE len(t) >= 3
 ), inv AS (
   SELECT doc_id, source, UNNEST(s) AS shingle FROM sh
-), cand AS (
-  SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-  FROM inv a JOIN inv b
-    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3
-  HAVING COUNT(*) >= 3
-)
+),
+{_sql_capped_pairs(3, "cand")}
 SELECT c.source, c.id_a, c.id_b, c.n_common,
        CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
        CAST((levenshtein(da.text, db.text) * 1000000)
@@ -505,7 +496,7 @@ def q74_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     sh = shingle_index(spark, sf_dir)
-    edges = _capped_pair_edges(sh, min_common=2)
+    edges = _capped_pair_edges(sh, min_common=2).select("id_a", "id_b")
     assign = dedup_clusters(docs, edges)
     joined = assign.join(docs.select("doc_id", "source", "n_chars"), "doc_id")
     w = Window.partitionBy("component_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
@@ -619,13 +610,25 @@ def q83_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "s", "doc_id", "n_sh")
         .localCheckpoint(eager=True)
     )
+    # AllPairs LENGTH filter (lossless for J > 0.2 strictly): J <=
+    # min/max, so a candidate needs 5*min(n_a, n_b) > max(n_a, n_b);
+    # applied inside the self-join it prunes size-skewed pairs before
+    # the distinct and the verify joins ever see them.
     cand = (
-        prefix.select("source", "s", F.col("doc_id").alias("id_a"))
+        prefix.select(
+            "source", "s", F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")
+        )
         .join(
-            prefix.select("source", "s", F.col("doc_id").alias("id_b")),
+            prefix.select(
+                "source", "s", F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")
+            ),
             ["source", "s"],
         )
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("n_a") < 5 * F.col("n_b"))
+            & (F.col("n_b") < 5 * F.col("n_a"))
+        )
         .select("source", "id_a", "id_b")
         .distinct()
     )
@@ -685,7 +688,7 @@ _Q103_MIN_COMMON = 2
 
 def q103_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_index(spark, sf_dir)
-    half = _capped_pair_edges(sh, min_common=_Q103_MIN_COMMON)
+    half = _capped_pair_edges(sh, min_common=_Q103_MIN_COMMON).select("id_a", "id_b")
     # the edge list is consumed by every round — pin the id-pairs once
     # (kilobytes) so the inverted-index self-join never re-runs (the
     # q30/q21 iterative discipline)

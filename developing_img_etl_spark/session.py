@@ -47,6 +47,15 @@ def get_spark(app_name: str = "developing_img_etl_spark", *, cpus: int | None = 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # The ORACLE GATE materializes full results driver-side
+        # (toPandas vs DuckDB fetchdf); at sf1 the widest result
+        # (q15's ~5M-pair self-join) exceeds the 1g default. Queries
+        # themselves never collect unbounded data — this budget is for
+        # the comparison harness, sized well under driver memory.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT_SIZE", "8g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Input split size, like shuffle partitions, sized to the DATA:

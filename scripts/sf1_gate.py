@@ -111,7 +111,8 @@ def _closure_oracle(name: str, spark_df) -> None:
     _iterative_components(con)
     if name == "q30_dedup_clusters":
         exp = con.execute(
-            "SELECT doc_id, CAST(component_id AS BIGINT) AS component_id "
+            "SELECT doc_id, CAST(component_id AS BIGINT) AS component_id, "
+            "CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT) AS cluster_size "
             "FROM comp ORDER BY doc_id"
         ).fetchdf()
     else:  # q74: canonical selection over the same components

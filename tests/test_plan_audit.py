@@ -172,7 +172,8 @@ def test_pair_edges_are_df_capped(spark, monkeypatch):
     dedup.q30_dedup_clusters(spark, SF_DIR)
     dedup.q74_canonical_dedup(spark, SF_DIR)
     dedup.q103_label_propagation(spark, SF_DIR)
-    assert calls == [2, 2, dedup._Q103_MIN_COMMON]
+    dedup.q48_edit_distance_pairs(spark, SF_DIR)
+    assert calls == [2, 2, dedup._Q103_MIN_COMMON, 3]
 
 
 def test_q81_windows_are_series_partitioned(plans):
