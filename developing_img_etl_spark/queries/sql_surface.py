@@ -673,6 +673,12 @@ ORDER BY depth
 
 def q120_recursive_order_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
+    # Spark's recursion row limit (default 1e6) is a runaway guard for
+    # unbounded recursions; this walk's total volume is provably
+    # |orders| (every order appears exactly once across all levels),
+    # so the guard must scale with data, not cap it — 1.5M rows at sf1
+    # tripped the default. Depth stays bounded by orders-per-customer.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
     return spark.sql(Q120_TEXT)
 
 

@@ -141,13 +141,30 @@ FROM ranked GROUP BY source ORDER BY source
 
 
 def main() -> int:
+    import os
+
     oracle_utils.ORACLE_CAP_S = CAP_S
     spark = get_spark("sf1-gate", cpus=32)
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # resumable: green statuses from a previous pass are kept; only
+    # FAIL rows and queries not yet recorded re-run (a full-from-
+    # scratch pass = delete SF1_CORRECTNESS.json first)
     statuses: dict[str, str] = {}
+    out_path = "/root/repo/SF1_CORRECTNESS.json"
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prev = json.load(f).get("statuses", {})
+        statuses = {
+            k: v for k, v in prev.items()
+            if k in queries and not v.startswith("FAIL")
+        }
+        if statuses:
+            print(f"resuming: {len(statuses)} green rows kept", flush=True)
     failures: list[str] = []
     for name, fn in queries.items():
+        if name in statuses:
+            continue
         t0 = time.time()
         try:
             df = fn(spark, SF)
