@@ -579,10 +579,23 @@ ORACLES["q74_canonical_dedup"] = Q74_SQL
 # |A∩B| >= ceil(τ·|A|) common shingles would sit in A's suffix of
 # size ceil(τ·|A|) - 1 — contradiction. So the prefix-prefix join
 # loses nothing, while joining on only the rarest ~(1-τ) of each
-# doc's shingles — at 100 TB this is the difference between the index
-# join exploding on stop-shingles and candidates scaling with the
-# rare tail. Verification is pair-anchored (the m4 discipline:
-# bounded by |candidates| × shingles/doc, never Σcnt(s)²).
+# doc's shingles. The length filter (5·min(n_a,n_b) > max(n_a,n_b),
+# lossless for J > 0.2 strictly since J <= min/max) prunes inside the
+# self-join.
+#
+# VERIFICATION (r6 rework — measured at sf1): the r5 shape verified
+# each candidate by re-joining both docs' full shingle lists —
+# |candidates| × shingles/doc exploded to ~200M rows (139 s at sf1)
+# because at τ = 0.2 the prefix is ~80% of every doc and candidates
+# are dense (3.9M pairs → 123 survivors on this corpus). Common
+# counts are instead computed ONCE by posting-list intersection
+# (q14c's shape — each shingle contributes cnt² pair-rows, bounded by
+# the df distribution, 4 s at sf1), over the index SEMI-JOINED down to
+# candidate participants, then inner-joined with the candidate set —
+# the prefix filter is the provably-lossless bound on which pairs can
+# survive, and the participant semi-join makes it load-bearing
+# whenever the filter is selective (high-τ / heavy-tailed corpora).
+# Every stage is posting-list-bounded or (bigint, bigint) pair-keyed.
 #
 # ceil(τ·n) at τ = 1/5 is exact integer arithmetic: (n + 4) DIV 5.
 # The ORACLE IS Q14C_SQL — the naive formulation. A hash-match is a
@@ -632,18 +645,27 @@ def q83_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "id_a", "id_b")
         .distinct()
     )
-    # pair-anchored exact verification on candidates only
-    a_sh = sh.select(
-        "source", F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"), "s"
+    # posting-list-intersection counting over candidate participants,
+    # bounded by the candidate set (see header: the r5 per-candidate
+    # list re-join exploded at sf1)
+    ids = (
+        cand.select("source", F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select("source", F.col("id_b").alias("doc_id")))
+        .distinct()
     )
-    b_sh = sh.select(
-        "source", F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"), "s"
+    shr = sh.join(ids, ["source", "doc_id"], "left_semi")
+    a_sh = shr.select(
+        "source", "s", F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")
+    )
+    b_sh = shr.select(
+        "source", "s", F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")
     )
     common = (
-        cand.join(a_sh, ["source", "id_a"])
-        .join(b_sh, ["source", "id_b", "s"])
+        a_sh.join(b_sh, ["source", "s"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("source", "id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(cand, ["source", "id_a", "id_b"])  # lossless candidate bound
     )
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
