@@ -984,3 +984,464 @@ ORDER BY source, id_a, id_b
 
 QUERIES["q108_minhash_audit"] = q108_minhash_audit
 ORACLES["q108_minhash_audit"] = Q108_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q122 — END-TO-END MinHash-LSH near-dup discovery, oracle-checkable
+# (M81). m4 (operators/dedup.py) is the production path and rides
+# Spark's engine-private xxhash64, so it can only ever be rows-only;
+# q108 certifies the minhash ESTIMATOR on externally-mined pairs. This
+# query certifies the WHOLE LSH pipeline hash-exact — signature build,
+# banding, bucket join, candidate generation, estimate AND exact
+# verification — by making every stage portable integer arithmetic:
+#
+#   base(s)  = md5_prefix_int(s, 7)            (28-bit shingle hash)
+#   h_i(s)   = (A[i]*base + B[i]) mod (2^31-1) (universal hash family,
+#              fixed LCG-derived A/B — 1 md5 + K multiplies per
+#              shingle, the production trick vs q108's K md5s)
+#   sig[i]   = min over shingles               (ONE grouped agg, K
+#              min-columns — no K-times row inflation, map-side
+#              partial aggregation)
+#   bands    = K=16 rows -> 4 bands x 4 rows; candidates = pairs
+#              sharing >= 1 exact band key
+#
+# Corpus is DOUBLED (m4's discipline, mirrored in the oracle): every
+# doc gets an exact dup at doc_id+1_000_000, so banding provably fires
+# (J=1 pairs collide in all 4 bands) on top of the organic near-dups.
+#
+# Scale shape: band buckets are capped at _Q122_BAND_CAP docs — the
+# LSH analogue of _PAIR_DF_CAP (a degenerate bucket, e.g. the
+# all-identical-template shingle set at 100 TB, would otherwise go
+# quadratic); the cap is mirrored in the oracle. Signatures shuffle as
+# ONE 16-column row per doc; verification is the q83 r6 shape —
+# posting-list intersection semi-joined to candidate participants.
+# Bands/buckets move (long, int, 4x long) keys only.
+# ---------------------------------------------------------------------------
+
+_Q122_K = 16
+_Q122_BANDS = 4
+_Q122_R = 4
+_Q122_BAND_CAP = 64
+_Q122_P = 2_147_483_647  # 2^31 - 1, Mersenne
+
+
+def _q122_ab() -> list[tuple[int, int]]:
+    """Fixed universal-hash coefficients via a seeded LCG (portable:
+    plain integer arithmetic, embedded in both engines' plans)."""
+    out, x = [], 42
+    for _ in range(_Q122_K):
+        x = (1103515245 * x + 12345) % _Q122_P
+        a = x or 1
+        x = (1103515245 * x + 12345) % _Q122_P
+        out.append((a, x))
+    return out
+
+
+_Q122_AB = _q122_ab()
+
+
+def q122_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .classify import md5_prefix_int
+
+    sh = shingle_index(spark, sf_dir)
+    shd = sh.unionByName(
+        sh.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "source", "n_sh", "s"
+        )
+    )
+    # hash ONCE per (doc, shingle) row, then derive all K permutations
+    # from the base column — and pin sigs/bands/cand with lazy
+    # localCheckpoints: each is consumed by 2-3 downstream branches
+    # (bands, both bucket-join sides, sa, sb), and without the pin the
+    # optimizer re-expands the md5 + 16-min-agg subtree into every
+    # branch (measured: 15 MiB task binaries, 49 s at sf0.01; with the
+    # pins the same query is ~3 s).
+    hashed = shd.select("doc_id", "source", md5_prefix_int(F.col("s"), 7).alias("base"))
+    sigs = (
+        hashed.groupBy("doc_id", "source")
+        .agg(
+            *[
+                F.min((F.lit(a) * F.col("base") + F.lit(b)) % _Q122_P).alias(f"mh{i}")
+                for i, (a, b) in enumerate(_Q122_AB)
+            ]
+        )
+        .localCheckpoint(eager=False)
+    )
+    bands = sigs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        *[
+                            F.col(f"mh{_Q122_R * b + r}").alias(f"r{r}")
+                            for r in range(_Q122_R)
+                        ],
+                    )
+                    for b in range(_Q122_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "source", "bk.*").localCheckpoint(eager=False)
+    bkey = ["source", "band", "r0", "r1", "r2", "r3"]
+    keep = (
+        bands.groupBy(*bkey)
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter((F.col("bsz") >= 2) & (F.col("bsz") <= _Q122_BAND_CAP))
+        .select(*bkey)
+    )
+    bb = bands.join(keep, bkey)
+    cand = (
+        bb.select(*bkey, F.col("doc_id").alias("id_a"))
+        .join(bb.select(*bkey, F.col("doc_id").alias("id_b")), bkey)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("source", "id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .localCheckpoint(eager=False)
+    )
+    # exact verification: posting-list intersection over candidate
+    # participants (q83 r6 shape); LEFT join keeps zero-overlap
+    # candidates (possible only via hash collision, but the contract
+    # must be total)
+    ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    shr = shd.join(ids, "doc_id", "left_semi")
+    common = (
+        shr.select("source", "s", F.col("doc_id").alias("id_a"))
+        .join(shr.select("source", "s", F.col("doc_id").alias("id_b")), ["source", "s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("source", "id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    nsh = shd.select("doc_id", "n_sh").distinct()
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_Q122_K)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_Q122_K)]
+    )
+    matches = F.expr(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END)" for i in range(_Q122_K)
+        )
+        + " AS BIGINT)"
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(common, ["source", "id_a", "id_b"], "left")
+        .join(nsh.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(nsh.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            "source",
+            "id_a",
+            "id_b",
+            "n_bands",
+            matches.alias("minhash_matches"),
+            (matches * 1_000_000 / F.lit(_Q122_K)).cast("long").alias("est_ppm"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.expr(
+                "CAST(COALESCE(n_common, 0) * 1000000 DIV "
+                "(n_a + n_b - COALESCE(n_common, 0)) AS BIGINT)"
+            ).alias("exact_ppm"),
+        )
+        .orderBy("source", "id_a", "id_b")
+    )
+
+
+def _q122_sql() -> str:
+    from .classify import sql_md5_prefix_int
+
+    minexprs = ",\n         ".join(
+        f"MIN(({a} * base + {b}) % {_Q122_P}) AS mh{i}"
+        for i, (a, b) in enumerate(_Q122_AB)
+    )
+    bandsel = "\n  UNION ALL ".join(
+        "SELECT doc_id, source, {b} AS band, {rs} FROM sigs".format(
+            b=b,
+            rs=", ".join(
+                f"mh{_Q122_R * b + r} AS r{r}" for r in range(_Q122_R)
+            ),
+        )
+        for b in range(_Q122_BANDS)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(_Q122_K)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+  FROM toks
+  WHERE len(t) >= 3
+),
+inv0 AS (
+  SELECT doc_id, source, len(s) AS n_sh, UNNEST(s) AS shingle FROM sh
+),
+inv AS (
+  SELECT * FROM inv0
+  UNION ALL
+  SELECT doc_id + 1000000, source, n_sh, shingle FROM inv0
+),
+hashed AS (
+  SELECT doc_id, source, {sql_md5_prefix_int(7)} AS base
+  FROM (SELECT doc_id, source, md5(shingle) AS h FROM inv)
+),
+sigs AS (
+  SELECT doc_id, source,
+         {minexprs}
+  FROM hashed GROUP BY doc_id, source
+),
+bands AS (
+  {bandsel}
+),
+bkeep AS (
+  SELECT source, band, r0, r1, r2, r3 FROM bands
+  GROUP BY ALL HAVING COUNT(*) BETWEEN 2 AND {_Q122_BAND_CAP}
+),
+bb AS (
+  SELECT b.* FROM bands b JOIN bkeep USING (source, band, r0, r1, r2, r3)
+),
+cand AS (
+  SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
+  FROM bb a JOIN bb b
+    ON a.source = b.source AND a.band = b.band
+   AND a.r0 = b.r0 AND a.r1 = b.r1 AND a.r2 = b.r2 AND a.r3 = b.r3
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3
+),
+ids AS (
+  SELECT id_a AS doc_id FROM cand UNION SELECT id_b FROM cand
+),
+invc AS (
+  SELECT * FROM inv WHERE doc_id IN (SELECT doc_id FROM ids)
+),
+common AS (
+  SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM invc a JOIN invc b
+    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3
+),
+nsh AS (
+  SELECT DISTINCT doc_id, n_sh FROM inv
+)
+SELECT c.source, c.id_a, c.id_b,
+       CAST(c.n_bands AS BIGINT) AS n_bands,
+       CAST({matches} AS BIGINT) AS minhash_matches,
+       CAST(({matches}) * 1000000 // {_Q122_K} AS BIGINT) AS est_ppm,
+       CAST(COALESCE(cm.n_common, 0) AS BIGINT) AS n_common,
+       CAST(COALESCE(cm.n_common, 0) * 1000000
+            // (na.n_sh + nb.n_sh - COALESCE(cm.n_common, 0)) AS BIGINT) AS exact_ppm
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.id_a
+JOIN sigs sb ON sb.doc_id = c.id_b
+LEFT JOIN common cm
+  ON cm.source = c.source AND cm.id_a = c.id_a AND cm.id_b = c.id_b
+JOIN nsh na ON na.doc_id = c.id_a
+JOIN nsh nb ON nb.doc_id = c.id_b
+ORDER BY 1, 2, 3
+"""
+
+
+QUERIES["q122_minhash_lsh_pairs"] = q122_minhash_lsh_pairs
+ORACLES["q122_minhash_lsh_pairs"] = _q122_sql()
+
+
+# ---------------------------------------------------------------------------
+# Q123 — END-TO-END SimHash near-dup discovery, oracle-checkable
+# (M82). m5 (operators/dedup.py simhash_dup_groups) rides xxhash64 and
+# is rows-only forever; this query certifies the SimHash ALGORITHM
+# hash-exact on both engines with portable integer arithmetic:
+#
+#   h(t)       = md5_prefix_int(token, 12)      (48-bit token hash)
+#   S_j        = sum over (token, cnt) of cnt * bit_j(h)   (48 sums,
+#                ONE grouped aggregation — no 48x bit-explode; the
+#                classic +-1 projection sum is 2*S_j - N, so the sign
+#                test is 2*S_j > N in pure integers)
+#   simhash    = sum of (bit_j << j)            (48-bit BIGINT)
+#   candidates = pairs sharing >= 1 of 4 exact 12-bit blocks
+#                (pigeonhole: hamming <= 3 over 4 blocks forces >= 1
+#                untouched block — the standard Charikar/Manku block
+#                partition, lossless for the hamming <= 3 predicate)
+#   output     = candidate pairs at bit_count(xor) <= 3
+#
+# Corpus DOUBLED post-hash (identical text => identical simhash, so
+# doubling the signature frame is equivalent to doubling the corpus
+# and mirrors m5's guaranteed-duplicate discipline at half the cost).
+#
+# Scale shape: signatures are one grouped agg over (doc, token, cnt);
+# block buckets move (long, int, int) rows and are capped at
+# _Q123_BLOCK_CAP (mirrored in the oracle) so a degenerate bucket —
+# e.g. 10^6 copies of one boilerplate page at 100 TB — is bounded,
+# exactly like _PAIR_DF_CAP / _Q122_BAND_CAP. Hamming verification is
+# one integer xor+popcount per candidate, computed in codegen.
+# ---------------------------------------------------------------------------
+
+_Q123_BITS = 48
+_Q123_BLOCKS = 4
+_Q123_BLOCK_BITS = 12  # 4 x 12 = 48
+_Q123_BLOCK_CAP = 64
+_Q123_HAMMING_MAX = 3
+
+
+def q123_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .classify import md5_prefix_int
+
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", "source", F.explode(TXT.tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("doc_id", "source", "cnt", md5_prefix_int(F.col("token"), 12).alias("h"))
+    )
+    per_doc = tok.groupBy("doc_id", "source").agg(
+        F.sum("cnt").alias("n"),
+        *[
+            F.sum(F.expr(f"cnt * ((h >> {j}) & 1)")).alias(f"s{j}")
+            for j in range(_Q123_BITS)
+        ],
+    )
+    simexpr = " + ".join(
+        f"(CASE WHEN 2 * s{j} > n THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(_Q123_BITS)
+    )
+    sim0 = per_doc.select("doc_id", "source", F.expr(simexpr).alias("simhash"))
+    sim = (
+        sim0.unionByName(
+            sim0.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "source", "simhash")
+        )
+        .localCheckpoint(eager=False)
+    )
+    blocks = sim.select(
+        "doc_id",
+        "source",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.expr(
+                            f"(simhash >> {b * _Q123_BLOCK_BITS}) & {(1 << _Q123_BLOCK_BITS) - 1}"
+                        ).alias("bv"),
+                    )
+                    for b in range(_Q123_BLOCKS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "source", "simhash", "bk.*")
+    bkey = ["source", "blk", "bv"]
+    keep = (
+        blocks.groupBy(*bkey)
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter((F.col("bsz") >= 2) & (F.col("bsz") <= _Q123_BLOCK_CAP))
+        .select(*bkey)
+    )
+    bb = blocks.join(keep, bkey).localCheckpoint(eager=False)
+    return (
+        bb.select(*bkey, F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"))
+        .join(
+            bb.select(*bkey, F.col("doc_id").alias("id_b"), F.col("simhash").alias("sim_b")),
+            bkey,
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("source", "id_a", "id_b", "sim_a", "sim_b")
+        .agg(F.count(F.lit(1)).alias("n_blocks"))
+        .filter(F.expr(f"bit_count(sim_a ^ sim_b) <= {_Q123_HAMMING_MAX}"))
+        .select(
+            "source",
+            "id_a",
+            "id_b",
+            F.col("n_blocks").cast("long").alias("n_blocks"),
+            "sim_a",
+            "sim_b",
+            F.expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)").alias("hamming"),
+        )
+        .orderBy("source", "id_a", "id_b")
+    )
+
+
+def _q123_sql() -> str:
+    from .classify import sql_md5_prefix_int
+
+    sums = ",\n         ".join(
+        f"SUM(cnt * ((h >> {j}) & 1)) AS s{j}" for j in range(_Q123_BITS)
+    )
+    simexpr = " + ".join(
+        f"(CASE WHEN 2 * s{j} > n THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(_Q123_BITS)
+    )
+    blocksel = "\n  UNION ALL ".join(
+        f"SELECT doc_id, source, simhash, {b} AS blk, "
+        f"(simhash >> {b * _Q123_BLOCK_BITS}) & {(1 << _Q123_BLOCK_BITS) - 1} AS bv FROM sim"
+        for b in range(_Q123_BLOCKS)
+    )
+    return rf"""
+WITH tok0 AS (
+  SELECT doc_id, source, UNNEST(string_split_regex(lower(text), '\s+')) AS token
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, source, token, COUNT(*) AS cnt
+  FROM tok0 WHERE token <> '' GROUP BY 1, 2, 3
+),
+hashed AS (
+  SELECT doc_id, source, cnt, {sql_md5_prefix_int(12)} AS h
+  FROM (SELECT doc_id, source, cnt, md5(token) AS h FROM tok)
+),
+per_doc AS (
+  SELECT doc_id, source, SUM(cnt) AS n,
+         {sums}
+  FROM hashed GROUP BY doc_id, source
+),
+sim0 AS (
+  SELECT doc_id, source, {simexpr} AS simhash FROM per_doc
+),
+sim AS (
+  SELECT * FROM sim0
+  UNION ALL
+  SELECT doc_id + 1000000, source, simhash FROM sim0
+),
+blocks AS (
+  {blocksel}
+),
+bkeep AS (
+  SELECT source, blk, bv FROM blocks
+  GROUP BY ALL HAVING COUNT(*) BETWEEN 2 AND {_Q123_BLOCK_CAP}
+),
+bb AS (
+  SELECT b.* FROM blocks b JOIN bkeep USING (source, blk, bv)
+),
+cand AS (
+  SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sim_a, b.simhash AS sim_b, COUNT(*) AS n_blocks
+  FROM bb a JOIN bb b
+    ON a.source = b.source AND a.blk = b.blk AND a.bv = b.bv
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT source, id_a, id_b,
+       CAST(n_blocks AS BIGINT) AS n_blocks,
+       sim_a, sim_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {_Q123_HAMMING_MAX}
+ORDER BY 1, 2, 3
+"""
+
+
+QUERIES["q123_simhash_hamming_pairs"] = q123_simhash_hamming_pairs
+ORACLES["q123_simhash_hamming_pairs"] = _q123_sql()
