@@ -88,8 +88,16 @@ def q101_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    cand = blocked(clean, "l").join(
-        blocked(dirty, "r"), ["b_nat", "b_last"]
+    # The blocking join expands ~|block|x per probe row (600x at sf1):
+    # scan-size-based input splits cannot anticipate that, so a single
+    # row-group file would funnel the whole expansion into one task.
+    # Round-robin repartition of the (tiny) probe side spreads the
+    # fanout across every core/executor — the broadcast build side is
+    # replicated everywhere, so no co-location is lost. Same pattern a
+    # 1000-executor deployment needs against hot blocking keys.
+    par = spark.sparkContext.defaultParallelism
+    cand = blocked(clean, "l").repartition(par).join(
+        F.broadcast(blocked(dirty, "r")), ["b_nat", "b_last"]
     )
     scored = cand.select(
         F.col("l_clean_id").alias("clean_id"),

@@ -730,17 +730,39 @@ def q22_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # v_l*(1-frac) + v_u*frac — the same linear-interpolation definition
     # (and FP shape) as Spark `percentile`/DuckDB quantile_cont, so the
     # hash match is preserved. Scales with distinct values, not rows.
+    # The distribution still has ~0.5 distinct values per row (TPC-H
+    # extendedprice), so a cumulative window partitioned by the 3 flags
+    # alone serializes a ~1M-row sort onto 3 tasks (10.7 s at sf1).
+    # Salt the cumulative into coarse price buckets: bucket-level counts
+    # roll up to offsets through a TINY window (3 flags x ~110 buckets),
+    # the per-value cumulative runs at (flag x bucket) parallelism, and
+    # cum = bucket_offset + within-bucket cum. lead(v) at a bucket's last
+    # value falls over to the next non-empty bucket's min. Interpolation
+    # arithmetic is unchanged, so the bit-exact match is preserved.
     lineitem = load(spark, sf_dir, "lineitem")
     dist = lineitem.groupBy(
         "l_returnflag", F.col("l_extendedprice").alias("v")
     ).agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy("l_returnflag").orderBy("v")
-    wn = Window.partitionBy("l_returnflag")
+    # pin: both bstats (broadcast side) and the probe consume dist —
+    # without the pin the 6M-row groupBy subtree runs twice
+    dist = dist.withColumn(
+        "bkt", F.floor(F.col("v") / 1000).cast("long")
+    ).localCheckpoint(eager=False)
+    wb = Window.partitionBy("l_returnflag").orderBy("bkt")
+    bstats = (
+        dist.groupBy("l_returnflag", "bkt")
+        .agg(F.sum("cnt").alias("bcnt"), F.min("v").alias("bmin"))
+        .withColumn("boff", F.sum("bcnt").over(wb) - F.col("bcnt"))
+        .withColumn("next_bmin", F.lead("bmin").over(wb))
+        .withColumn("n", F.sum("bcnt").over(Window.partitionBy("l_returnflag")))
+        .select("l_returnflag", "bkt", "boff", "next_bmin", "n")
+    )
+    w = Window.partitionBy("l_returnflag", "bkt").orderBy("v")
     d = (
-        dist.withColumn("cum", F.sum("cnt").over(w))
-        .withColumn("n", F.sum("cnt").over(wn))
+        dist.join(F.broadcast(bstats), ["l_returnflag", "bkt"])
+        .withColumn("cum", F.col("boff") + F.sum("cnt").over(w))
         .withColumn("start", F.col("cum") - F.col("cnt"))  # covers [start, cum)
-        .withColumn("v_next", F.lead("v").over(w))
+        .withColumn("v_next", F.coalesce(F.lead("v").over(w), F.col("next_bmin")))
     )
 
     def q_expr(p: float):

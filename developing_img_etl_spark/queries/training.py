@@ -765,7 +765,13 @@ def q45_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("tok")
     ).filter(F.col("tok") != "")
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # pin: tf feeds both the scored probe and the df aggregate — without
+    # it the explode + (doc_id, tok) groupBy subtree runs twice
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

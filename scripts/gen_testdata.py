@@ -90,7 +90,14 @@ ROW_GROUP = 600_000
 
 
 def _write(outdir: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, f"{outdir}/{name}.parquet", row_group_size=ROW_GROUP)
+    # Split every table into >=32 row groups (capped at ROW_GROUP rows)
+    # so Spark's scan parallelizes like a multi-file production layout.
+    # A single-row-group customer/documents file serializes not just the
+    # scan but every downstream narrow stage into ONE task — at sf1 that
+    # under-reported Spark by >10x on the text-heavy queries. Content is
+    # unchanged; only the physical layout differs.
+    rg = max(4096, min(ROW_GROUP, table.num_rows // 32 + 1))
+    pq.write_table(table, f"{outdir}/{name}.parquet", row_group_size=rg)
 
 
 def _ts(us: np.ndarray) -> pa.Array:
