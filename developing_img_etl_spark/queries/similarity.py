@@ -1282,3 +1282,174 @@ LIMIT {_Q121_TOPK}
 
 QUERIES["q121_pq_adc_topk"] = q121_pq_adc_topk
 ORACLES["q121_pq_adc_topk"] = Q121_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q124 — ORACLE-CHECKABLE IVF top-k search (certifies m9's rows-only
+# pipeline shape the way q121 certified m15's PQ and q122 certified
+# m4's LSH). The IVF stages are the real ones: (1) a coarse quantizer
+# (here a deterministic residue-class floor-mean codebook — the TRAINED
+# quantizer is certified separately by q119's fixed-point k-means),
+# (2) inverted-list build = per-vector argmin cell, (3) probe = the
+# nprobe nearest cells per query, (4) exact re-scoring restricted to
+# the probed cells' lists, top-k. Every distance is BIGINT over
+# e6-quantized components: 64 dims x (2e6)^2 ≈ 2.6e14 < 2^53, exact.
+#
+# Scale shape (the part m9 is graded on): the 16-row centroid table
+# broadcasts; cell assignment is ONE map-side argmin expressed as a
+# partial-aggregatable min(struct(dist, cell)) — corpus vectors never
+# sort and never shuffle wide (only (vec_id, cell) longs move); the
+# probe fan-out joins the broadcast 10-row (query, cell) table against
+# the inverted list, so the re-score touches nprobe/K of the corpus
+# exactly like a production IVF. Reference scope: near-dup/similarity
+# search over the corpus (SURVEY §2 M5/M9).
+# ---------------------------------------------------------------------------
+_Q124_K = 16      # coarse cells
+_Q124_NQ = 5      # probe queries (vec_id < NQ)
+_Q124_NPROBE = 2  # cells probed per query
+_Q124_TOPK = 5
+
+
+def q124_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    k, nq, npr, topk = _Q124_K, _Q124_NQ, _Q124_NPROBE, _Q124_TOPK
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x ->"
+            " CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))"
+        ).alias("u"),
+    ).localCheckpoint(eager=False)  # pinned: centroids, corpus, probes all read it
+    comp = q.select(
+        (F.col("vec_id") % k).alias("cell"), F.posexplode("u").alias("p", "val")
+    )
+    cent = (
+        comp.groupBy("cell", "p")
+        .agg(
+            F.expr(
+                "CAST(floor(CAST(SUM(val) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))"
+                " AS BIGINT)"
+            ).alias("cval")
+        )
+        .groupBy("cell")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(p, cval))), x -> x.cval)"
+            ).alias("c")
+        )
+    )
+    dist = F.expr(
+        "aggregate(zip_with(u, c, (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    # inverted list: map-side argmin over the broadcast centroids;
+    # min(struct) is partial-aggregatable (no per-vector sort/window)
+    paired = q.join(F.broadcast(cent), F.lit(True)).select(
+        "vec_id", "cell", dist.alias("cdist")
+    )
+    assign = (
+        paired.filter(F.col("vec_id") >= nq)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("cdist", "cell")).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"))
+    )
+    # probes: nprobe nearest cells per query (nq x k rows — tiny)
+    probes = (
+        paired.filter(F.col("vec_id") < nq)
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy("cdist", "cell")
+            ),
+        )
+        .filter(F.col("pr") <= npr)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+        .join(
+            q.select(F.col("vec_id").alias("query_id"), F.col("u").alias("qu")),
+            "query_id",
+        )
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .join(q, "vec_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "cell",
+            F.expr(
+                "aggregate(zip_with(u, qu, (a, b) -> (a - b) * (a - b)),"
+                " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("dist"),
+        )
+    )
+    return (
+        cand.withColumn(
+            "rk",
+            F.row_number()
+            .over(W.partitionBy("query_id").orderBy("dist", "vec_id"))
+            .cast("long"),
+        )
+        .filter(F.col("rk") <= topk)
+        .select("query_id", "rk", "vec_id", "cell", "dist")
+        .orderBy("query_id", "rk")
+    )
+
+
+Q124_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(x::DOUBLE * 1000000.0 + 0.5) AS BIGINT)) AS u
+  FROM embeddings
+),
+comp AS (
+  SELECT vec_id % {_Q124_K} AS cell, d AS p, u[d] AS val
+  FROM q, (SELECT UNNEST(range(1, 65)) AS d)
+),
+cent AS (
+  SELECT cell, list(cval ORDER BY p) AS c FROM (
+    SELECT cell, p,
+           CAST(floor(CAST(SUM(val) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cval
+    FROM comp GROUP BY cell, p
+  ) GROUP BY cell
+),
+paired AS (
+  SELECT q.vec_id, cent.cell,
+         CAST(list_sum(list_transform(range(1, 65),
+           i -> (q.u[i] - cent.c[i]) * (q.u[i] - cent.c[i]))) AS BIGINT) AS cdist
+  FROM q, cent
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cell) AS rn
+    FROM paired WHERE vec_id >= {_Q124_NQ}
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT p.vec_id AS query_id, p.cell, q.u AS qu FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cdist, cell) AS pr
+    FROM paired WHERE vec_id < {_Q124_NQ}
+  ) p JOIN q ON p.vec_id = q.vec_id
+  WHERE p.pr <= {_Q124_NPROBE}
+),
+cand AS (
+  SELECT pr.query_id, a.vec_id, a.cell,
+         CAST(list_sum(list_transform(range(1, 65),
+           i -> (q.u[i] - pr.qu[i]) * (q.u[i] - pr.qu[i]))) AS BIGINT) AS dist
+  FROM assign a JOIN probes pr USING (cell) JOIN q ON a.vec_id = q.vec_id
+)
+SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, cell, dist FROM (
+  SELECT cand.*,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rk
+  FROM cand
+)
+WHERE rk <= {_Q124_TOPK}
+ORDER BY query_id, rk
+"""
+
+QUERIES["q124_ivf_probe_topk"] = q124_ivf_probe_topk
+ORACLES["q124_ivf_probe_topk"] = Q124_SQL

@@ -52,6 +52,10 @@ BNLJ_ALLOWED = {
     # q121: the exact-distance leg broadcasts the ONE-ROW probe vector
     # against the corpus (q13's shape; the PQ/ADC legs are equi-joins)
     "q121_pq_adc_topk",
+    # q124: the 16-row coarse-centroid table broadcast against every
+    # vector for the map-side argmin assignment (IVF's intended shape;
+    # the probe/re-score legs are equi-joins on cell/vec_id)
+    "q124_ivf_probe_topk",
     # 1-row aggregate scalar crosses (structurally verified below):
     # q98 distinct-bigram total, q104 corpus total, q105 day bounds,
     # q106 observed total, q107 max doc id
