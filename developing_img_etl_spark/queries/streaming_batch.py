@@ -1424,3 +1424,220 @@ ORDER BY view_id, purchase_id
 
 QUERIES["st14_stream_stream_left_outer"] = st14_stream_stream_left_outer
 ORACLES["st14_stream_stream_left_outer"] = ST14_SQL
+
+
+# ---------------------------------------------------------------------------
+# ST15 — streaming NEAR-duplicate suppression: an LSH band-bucket
+# registry maintained across micro-batches. st6/st11 deduplicate EXACT
+# keys; a 100 TB/day ingest pipeline also has to suppress *near*
+# duplicates at the door (the m4/q122 batch job, turned into a
+# continuously-maintained registry). Each micro-batch computes q122's
+# portable MinHash signatures (1 md5 + 16 multiplies per shingle, ONE
+# 16-min-column grouped agg per doc), explodes them into 4 band keys,
+# and appends the per-batch bucket minima to the registry. The
+# registry is an append log reduced by MIN on read — min is
+# associative, commutative and IDEMPOTENT, so a crash-replayed batch
+# re-appending its minima cannot change the answer (st13's
+# idempotent-by-algebra discipline; a deployment MERGE-mins into a
+# keyed store — sinks/txlog.py merge_into is that operator — and keeps
+# only the winning owner per bucket). Suppression rule: a document is
+# a near-dup iff any of its band buckets is owned by a smaller doc_id
+# — the canonical-min selection q74/m4 use, evaluated here against the
+# final registry so the verdict is independent of batch arrival order.
+# The corpus is doubled (every doc gets an exact copy at id+1e6,
+# q122's discipline) so suppression provably fires; the oracle replays
+# signatures, banding and the ownership rule in SQL and must agree on
+# every per-source count.
+# ---------------------------------------------------------------------------
+_ST15_FILES = 4
+
+
+def st15_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..catalog import load
+    from ..functions import text as TXT
+    from .classify import md5_prefix_int
+    from .dedup import _Q122_AB, _Q122_BANDS, _Q122_P, _Q122_R
+
+    work = tempfile.mkdtemp(prefix="stq15_")
+    src, reg, dbs, ckpt = f"{work}/src", f"{work}/reg", f"{work}/dbs", f"{work}/ckpt"
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "source", "text")
+    )
+    # contiguous doc_id ranges per staged file: arrival order == id
+    # order, so the registry's owners match at-ingest greedy decisions
+    hi = doubled.agg(F.max("doc_id").alias("m")).collect()[0]["m"] + 1  # 1-row agg
+    step = hi // _ST15_FILES + 1
+    for k in range(_ST15_FILES):
+        doubled.filter(
+            (F.col("doc_id") >= k * step) & (F.col("doc_id") < (k + 1) * step)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    bkey = ["source", "band", "r0", "r1", "r2", "r3"]
+
+    def bands_of(df: DataFrame) -> DataFrame:
+        sh = df.select(
+            "doc_id", "source", TXT.shingles(F.col("text"), 3).alias("sh")
+        ).filter(F.size("sh") > 0)
+        hashed = sh.select(
+            "doc_id", "source", F.explode("sh").alias("s")
+        ).select("doc_id", "source", md5_prefix_int(F.col("s"), 7).alias("base"))
+        sigs = hashed.groupBy("doc_id", "source").agg(
+            *[
+                F.min((F.lit(a) * F.col("base") + F.lit(b)) % _Q122_P).alias(f"mh{i}")
+                for i, (a, b) in enumerate(_Q122_AB)
+            ]
+        )
+        return sigs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            *[
+                                F.col(f"mh{_Q122_R * b + r}").alias(f"r{r}")
+                                for r in range(_Q122_R)
+                            ],
+                        )
+                        for b in range(_Q122_BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        ).select("doc_id", "source", "bk.*")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        b = bands_of(batch).localCheckpoint(eager=False)  # one sig pass, two sinks
+        b.groupBy(*bkey).agg(F.min("doc_id").alias("owner")).write.mode(
+            "append"
+        ).parquet(reg)
+        b.write.mode("append").parquet(dbs)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    def drain() -> None:
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    with _stream_shuffle(spark):
+        drain()
+        drain()  # restart from the checkpoint: must be a no-op (and any
+        #         replayed batch is absorbed by the min-on-read algebra)
+
+    owners = (
+        spark.read.parquet(reg)
+        .groupBy(*bkey)
+        .agg(F.min("owner").alias("owner"))
+    )
+    verdict = (
+        spark.read.parquet(dbs)
+        .join(owners, bkey)
+        .groupBy("doc_id", "source")
+        .agg(F.max((F.col("owner") < F.col("doc_id")).cast("int")).alias("supp"))
+    )
+    return (
+        doubled.select("doc_id", "source")
+        .join(verdict.select("doc_id", "supp"), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.lit(1) - F.coalesce(F.col("supp"), F.lit(0)))
+            .cast("long")
+            .alias("n_admitted"),
+            F.sum(F.coalesce(F.col("supp"), F.lit(0))).cast("long").alias("n_suppressed"),
+        )
+        .orderBy("source")
+    )
+
+
+def _st15_sql() -> str:
+    from .classify import sql_md5_prefix_int
+    from .dedup import _Q122_AB, _Q122_BANDS, _Q122_P, _Q122_R
+
+    minexprs = ",\n         ".join(
+        f"MIN(({a} * base + {b}) % {_Q122_P}) AS mh{i}"
+        for i, (a, b) in enumerate(_Q122_AB)
+    )
+    bandsel = "\n  UNION ALL ".join(
+        "SELECT doc_id, source, {b} AS band, {rs} FROM sigs".format(
+            b=b,
+            rs=", ".join(f"mh{_Q122_R * b + r} AS r{r}" for r in range(_Q122_R)),
+        )
+        for b in range(_Q122_BANDS)
+    )
+    return rf"""
+WITH d0 AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, source, text FROM documents
+),
+toks AS (
+  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t FROM d0
+),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+  FROM toks
+  WHERE len(t) >= 3
+),
+inv AS (
+  SELECT doc_id, source, UNNEST(s) AS shingle FROM sh
+),
+hashed AS (
+  SELECT doc_id, source, {sql_md5_prefix_int(7)} AS base
+  FROM (SELECT doc_id, source, md5(shingle) AS h FROM inv)
+),
+sigs AS (
+  SELECT doc_id, source,
+         {minexprs}
+  FROM hashed GROUP BY doc_id, source
+),
+bands AS (
+  {bandsel}
+),
+owners AS (
+  SELECT source, band, r0, r1, r2, r3, MIN(doc_id) AS owner
+  FROM bands GROUP BY ALL
+),
+verdict AS (
+  SELECT b.doc_id,
+         MAX(CASE WHEN o.owner < b.doc_id THEN 1 ELSE 0 END) AS supp
+  FROM bands b
+  JOIN owners o USING (source, band, r0, r1, r2, r3)
+  GROUP BY b.doc_id
+)
+SELECT d0.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(1 - COALESCE(v.supp, 0)) AS BIGINT) AS n_admitted,
+       CAST(SUM(COALESCE(v.supp, 0)) AS BIGINT) AS n_suppressed
+FROM d0 LEFT JOIN verdict v USING (doc_id)
+GROUP BY d0.source
+ORDER BY d0.source
+"""
+
+
+QUERIES["st15_streaming_lsh_dedup"] = st15_streaming_lsh_dedup
+ORACLES["st15_streaming_lsh_dedup"] = _st15_sql()
