@@ -504,33 +504,64 @@ ORDER BY status, priority
 # ---------------------------------------------------------------------------
 # Q15 — self-join on adjacent attribute values (J5: the STAGE_DEPENDENCY
 # child→parent self-join shape, /root/reference/test.mmd:52-58,77-78):
-# parts paired with same-type parts one size larger.
+# parts paired with same-type parts one size larger. The pair set is
+# quadratic per (type, size) bucket (~131M pairs at sf1), so the query
+# returns the per-type audit AGGREGATE over the pairs — pair count,
+# size mass, and an order-invariant key checksum that pins every
+# individual (child, parent) pairing — instead of materializing the
+# pair list to the driver (at 100 TB the pairs feed the next operator
+# or a sink, never a collect; r6: the old row-identical output made
+# the sf1 benchmark measure 130M rows of pandas serialization on BOTH
+# engines rather than the join). Checksum stays < 2^63: pairs x
+# (31 x max_key + max_key) ≈ 1.3e8 x 6.4e6 ≈ 8e14.
 # ---------------------------------------------------------------------------
 def q15_selfjoin_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
-    child = part.alias("c")
+    # ~650x fanout per probe row: spread the (tiny) probe side across
+    # every core before the broadcast join — scan-size-based splitting
+    # cannot see output size (q101's fanout-repartition pattern)
+    child = part.repartition(spark.sparkContext.defaultParallelism).alias("c")
     parent = part.alias("p")
     return (
         child.join(
-            parent,
+            F.broadcast(parent),
             (F.col("c.p_type") == F.col("p.p_type"))
             & (F.col("p.p_size") == F.col("c.p_size") + 1),
         )
         .select(
+            F.col("c.p_type").alias("p_type"),
             F.col("c.p_partkey").alias("child_key"),
             F.col("p.p_partkey").alias("parent_key"),
-            F.col("c.p_type").alias("p_type"),
             F.col("c.p_size").alias("child_size"),
         )
-        .orderBy("child_key", "parent_key")
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("child_size").cast("long").alias("sum_child_size"),
+            F.min(F.col("child_key") * 1_000_000 + F.col("parent_key")).alias(
+                "min_pair"
+            ),
+            F.max(F.col("child_key") * 1_000_000 + F.col("parent_key")).alias(
+                "max_pair"
+            ),
+            F.sum(F.col("child_key") * 31 + F.col("parent_key"))
+            .cast("long")
+            .alias("key_checksum"),
+        )
+        .orderBy("p_type")
     )
 
 
 Q15_SQL = """
-SELECT c.p_partkey AS child_key, p.p_partkey AS parent_key,
-       c.p_type AS p_type, c.p_size AS child_size
+SELECT c.p_type AS p_type,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(c.p_size) AS BIGINT) AS sum_child_size,
+       CAST(MIN(c.p_partkey * 1000000 + p.p_partkey) AS BIGINT) AS min_pair,
+       CAST(MAX(c.p_partkey * 1000000 + p.p_partkey) AS BIGINT) AS max_pair,
+       CAST(SUM(c.p_partkey * 31 + p.p_partkey) AS BIGINT) AS key_checksum
 FROM part c JOIN part p ON c.p_type = p.p_type AND p.p_size = c.p_size + 1
-ORDER BY child_key, parent_key
+GROUP BY c.p_type
+ORDER BY c.p_type
 """
 
 
