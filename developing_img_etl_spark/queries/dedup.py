@@ -356,14 +356,17 @@ def q48_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = (
         cand.join(ta, "id_a")
         .join(tb, "id_b")
+        .withColumn(  # materialize once: the O(len^2) DP is the query's cost
+            "lev", F.levenshtein(F.col("text_a"), F.col("text_b")).cast("long")
+        )
         .select(
             "source",
             "id_a",
             "id_b",
             "n_common",
-            F.levenshtein(F.col("text_a"), F.col("text_b")).cast("long").alias("lev"),
+            "lev",
             F.expr(
-                "CAST(levenshtein(text_a, text_b) * 1000000"
+                "CAST(lev * 1000000"
                 " DIV GREATEST(length(text_a), length(text_b)) AS BIGINT)"
             ).alias("dist_ppm"),
         )
