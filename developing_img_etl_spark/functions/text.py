@@ -101,6 +101,21 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(F.slice(grams, 1, valid))
 
 
+def positional_shingles(text: Column, n: int = 3) -> Column:
+    """Ordered (non-distinct) n-gram array — element index IS the gram's
+    1-based-minus-one token position, the input to positional substring
+    matching (q125). Same zip_with construction as `shingles` (see its
+    docstring for why not transform-with-index), minus the distinct."""
+    toks = tokens(text)
+    sz = F.size(toks)
+    grams = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.greatest(sz - k, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda g, t: F.concat_ws(" ", g, t))
+    valid = F.greatest(sz - (n - 1), F.lit(0))
+    return F.slice(grams, 1, valid)
+
+
 def chunk_starts(n_chars: Column, size: int, overlap: int) -> Column:
     """Start offsets (0-based) for fixed-size overlapping chunks: one
     chunk every ``size - overlap`` characters while text remains. Pure

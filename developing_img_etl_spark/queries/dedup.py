@@ -1448,3 +1448,136 @@ ORDER BY 1, 2, 3
 
 QUERIES["q123_simhash_hamming_pairs"] = q123_simhash_hamming_pairs
 ORACLES["q123_simhash_hamming_pairs"] = _q123_sql()
+
+
+# ---------------------------------------------------------------------------
+# Q125 — EXACT-SUBSTRING span dedup (M84): the "Deduplicating Training
+# Data Makes Language Models Better" (Lee et al. '22) exact-substring
+# method, re-expressed relationally instead of via a suffix array —
+# find every pair of documents sharing a contiguous token span of at
+# least _Q125_MINRUN tokens, with the span length and count per pair.
+# q63 profiles repeated n-grams as a BAG (how much of a doc is
+# n-gram-duplicated anywhere); this detects CONTIGUOUS shared spans
+# with their extent — the signal used to cut verbatim boilerplate and
+# cross-document template runs out of training corpora.
+#
+# Relational formulation: positional 3-grams (doc, pos, gram) joined
+# on (source, gram) give match points; a shared span of length L is a
+# run of L-2 consecutive match points on one DIAGONAL (pos_a - pos_b
+# constant), detected with the gaps-and-islands idiom — island id =
+# pos_a - row_number() per (pair, diagonal) — one window, no iteration,
+# no suffix structure. Both engines run the identical arithmetic.
+#
+# Scale shape: positional grams are ONE scan + explode (the index a
+# deployment stages next to the shingle index); the only quadratic
+# surface is the per-(source, gram) occurrence join, bounded by the
+# family's document-frequency cap (_Q125_DF_CAP, mirrored in the
+# oracle — a hot template gram at 100 TB would otherwise go quadratic;
+# a span long enough to matter contains a rare anchor gram in any
+# non-degenerate corpus, the same rare-anchor argument AllPairs/q83
+# rests on). Islands shuffle (source, id_a, id_b, diag) keys — longs.
+# ---------------------------------------------------------------------------
+_Q125_N = 3
+_Q125_MINRUN = 6            # tokens; = _Q125_MINRUN - 2 consecutive 3-grams
+_Q125_DF_CAP = 64
+
+
+def q125_substring_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import positional_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    pg = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.posexplode(positional_shingles(F.col("text"), _Q125_N)).alias(
+                "pos0", "g"
+            ),
+        )
+        .select("doc_id", "source", (F.col("pos0") + 1).alias("pos"), "g")
+        .localCheckpoint(eager=False)  # feeds the cap agg AND both join sides
+    )
+    keep = (
+        pg.groupBy("source", "g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _Q125_DF_CAP)
+        .select("source", "g")
+    )
+    # pin: both self-join sides read the capped index — unpinned, the
+    # explode + cap-join subtree executes twice
+    pgk = pg.join(keep, ["source", "g"]).localCheckpoint(eager=False)
+    mp = (
+        pgk.select("source", "g", F.col("doc_id").alias("id_a"), F.col("pos").alias("pos_a"))
+        .join(
+            pgk.select(
+                "source", "g", F.col("doc_id").alias("id_b"), F.col("pos").alias("pos_b")
+            ),
+            ["source", "g"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("source", "id_a", "id_b", "pos_a", (F.col("pos_a") - F.col("pos_b")).alias("diag"))
+    )
+    w = Window.partitionBy("source", "id_a", "id_b", "diag").orderBy("pos_a")
+    runs = (
+        mp.withColumn("isl", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("source", "id_a", "id_b", "diag", "isl")
+        .agg((F.count(F.lit(1)) + _Q125_N - 1).alias("run_tokens"))
+        .filter(F.col("run_tokens") >= _Q125_MINRUN)
+    )
+    return (
+        runs.groupBy("source", "id_a", "id_b")
+        .agg(
+            F.max("run_tokens").cast("long").alias("longest_run"),
+            F.count(F.lit(1)).alias("n_runs"),
+            F.sum("run_tokens").cast("long").alias("run_token_mass"),
+        )
+        .orderBy("source", "id_a", "id_b")
+    )
+
+
+Q125_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t FROM documents
+),
+pg AS (
+  SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+         concat_ws(' ', t[i], t[i+1], t[i+2]) AS g
+  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS r(i)
+),
+keep AS (
+  SELECT source, g FROM pg GROUP BY source, g HAVING COUNT(*) <= {_Q125_DF_CAP}
+),
+pgk AS (
+  SELECT pg.* FROM pg JOIN keep USING (source, g)
+),
+mp AS (
+  SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+         a.pos AS pos_a, a.pos - b.pos AS diag
+  FROM pgk a JOIN pgk b ON a.source = b.source AND a.g = b.g
+  WHERE a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT source, id_a, id_b,
+         COUNT(*) + {_Q125_N} - 1 AS run_tokens
+  FROM (
+    SELECT mp.*,
+           pos_a - row_number() OVER (
+             PARTITION BY source, id_a, id_b, diag ORDER BY pos_a) AS isl
+    FROM mp
+  )
+  GROUP BY source, id_a, id_b, diag, isl
+  HAVING COUNT(*) + {_Q125_N} - 1 >= {_Q125_MINRUN}
+)
+SELECT source, id_a, id_b,
+       CAST(MAX(run_tokens) AS BIGINT) AS longest_run,
+       COUNT(*) AS n_runs,
+       CAST(SUM(run_tokens) AS BIGINT) AS run_token_mass
+FROM runs
+GROUP BY source, id_a, id_b
+ORDER BY source, id_a, id_b
+"""
+
+QUERIES["q125_substring_span_pairs"] = q125_substring_span_pairs
+ORACLES["q125_substring_span_pairs"] = Q125_SQL
