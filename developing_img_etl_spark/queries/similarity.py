@@ -1453,3 +1453,146 @@ ORDER BY query_id, rk
 
 QUERIES["q124_ivf_probe_topk"] = q124_ivf_probe_topk
 ORACLES["q124_ivf_probe_topk"] = Q124_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q126 — matryoshka truncation audit (M85): how much retrieval quality
+# survives truncating the embedding to its first D' dims (the MRL /
+# matryoshka deployment question — store 16 of 64 dims, 4x cheaper ANN,
+# at what rank fidelity?). Per probe: rank the corpus by truncated-dot
+# and by full-dot, then (1) exact Spearman rho between the two rankings
+# and (2) top-K overlap — the rank-correlation primitive the q110 eval
+# harness (recall/MRR/nDCG) did not cover.
+#
+# Exactness: dots are BIGINT over e6-quantized components (16..64 dims
+# x (2e6)^2 ≈ 2.6e14 < 2^53); ranks are total-ordered by (dot DESC,
+# vec_id); Spearman numerator 6*SUM(d^2) <= 6n^3 ≈ 5e13 at sf1, exact;
+# rho reported as the integer-DIV rational scaled to 1e-6 units, so
+# both engines emit identical integers end to end.
+#
+# Scale shape: probes broadcast (Q rows x 64 floats); dots are ONE
+# map-side pass over the corpus (no corpus shuffle of embeddings —
+# only (query_id, vec_id, dot, dot) longs move); ranking windows
+# partition by probe — at production Q each probe's ranking is an
+# independent partition, and the top-K leg prunes through
+# WindowGroupLimit before the overlap join.
+# ---------------------------------------------------------------------------
+_Q126_NQ = 5
+_Q126_DTRUNC = 16
+_Q126_TOPK = 50
+
+
+def q126_matryoshka_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    nq, dt, topk = _Q126_NQ, _Q126_DTRUNC, _Q126_TOPK
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x ->"
+            " CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT))"
+        ).alias("u"),
+    )
+    probes = q.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    corpus = q.filter(F.col("vec_id") >= nq)
+
+    def dot(n_dims: int) -> "F.Column":
+        return F.expr(
+            f"aggregate(zip_with(slice(u, 1, {n_dims}), slice(qu, 1, {n_dims}),"
+            " (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+
+    scored = corpus.join(F.broadcast(probes), F.lit(True)).select(
+        "query_id",
+        "vec_id",
+        dot(dt).alias("dot_t"),
+        dot(64).alias("dot_f"),
+    )
+    wt = W.partitionBy("query_id").orderBy(F.desc("dot_t"), "vec_id")
+    wf = W.partitionBy("query_id").orderBy(F.desc("dot_f"), "vec_id")
+    ranked = scored.select(
+        "query_id",
+        "vec_id",
+        F.row_number().over(wt).alias("rk_t"),
+        F.row_number().over(wf).alias("rk_f"),
+    ).localCheckpoint(eager=False)  # feeds the rho agg and both top-K legs
+    rho = ranked.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("rk_t") - F.col("rk_f")) * (F.col("rk_t") - F.col("rk_f"))
+        ).alias("sum_d2"),
+    )
+    top_t = ranked.filter(F.col("rk_t") <= topk).select("query_id", "vec_id")
+    top_f = ranked.filter(F.col("rk_f") <= topk).select("query_id", "vec_id")
+    overlap = (
+        top_t.join(top_f, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("topk_overlap"))
+    )
+    return (
+        rho.join(overlap, "query_id", "left")  # zero-overlap probes MUST survive
+        .select(
+            "query_id",
+            F.col("n").cast("long").alias("n"),
+            F.col("sum_d2").cast("long").alias("sum_d2"),
+            F.expr("CAST(1000000 - (6000000 * sum_d2) DIV (n * (n * n - 1)) AS BIGINT)")
+            .alias("rho_e6"),
+            F.coalesce(F.col("topk_overlap"), F.lit(0))
+            .cast("long")
+            .alias("topk_overlap"),
+        )
+        .orderBy("query_id")
+    )
+
+
+Q126_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(x::DOUBLE * 1000000.0 + 0.5) AS BIGINT)) AS u
+  FROM embeddings
+),
+probes AS (
+  SELECT vec_id AS query_id, u AS qu FROM q WHERE vec_id < {_Q126_NQ}
+),
+scored AS (
+  SELECT p.query_id, c.vec_id,
+         CAST(list_sum(list_transform(range(1, {_Q126_DTRUNC} + 1),
+           i -> c.u[i] * p.qu[i])) AS BIGINT) AS dot_t,
+         CAST(list_sum(list_transform(range(1, 65),
+           i -> c.u[i] * p.qu[i])) AS BIGINT) AS dot_f
+  FROM q c, probes p
+  WHERE c.vec_id >= {_Q126_NQ}
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dot_t DESC, vec_id) AS rk_t,
+         row_number() OVER (PARTITION BY query_id ORDER BY dot_f DESC, vec_id) AS rk_f
+  FROM scored
+),
+rho AS (
+  SELECT query_id, COUNT(*) AS n,
+         CAST(SUM((rk_t - rk_f) * (rk_t - rk_f)) AS BIGINT) AS sum_d2
+  FROM ranked GROUP BY query_id
+),
+overlap AS (
+  SELECT a.query_id, COUNT(*) AS topk_overlap
+  FROM (SELECT query_id, vec_id FROM ranked WHERE rk_t <= {_Q126_TOPK}) a
+  JOIN (SELECT query_id, vec_id FROM ranked WHERE rk_f <= {_Q126_TOPK}) b
+    USING (query_id, vec_id)
+  GROUP BY a.query_id
+)
+SELECT query_id,
+       CAST(n AS BIGINT) AS n,
+       sum_d2,
+       CAST(1000000 - (6000000 * sum_d2) // (n * (n * n - 1)) AS BIGINT) AS rho_e6,
+       CAST(COALESCE(topk_overlap, 0) AS BIGINT) AS topk_overlap
+FROM rho LEFT JOIN overlap USING (query_id)
+ORDER BY query_id
+"""
+
+QUERIES["q126_matryoshka_rank_audit"] = q126_matryoshka_rank_audit
+ORACLES["q126_matryoshka_rank_audit"] = Q126_SQL

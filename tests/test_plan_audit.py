@@ -56,6 +56,9 @@ BNLJ_ALLOWED = {
     # vector for the map-side argmin assignment (IVF's intended shape;
     # the probe/re-score legs are equi-joins on cell/vec_id)
     "q124_ivf_probe_topk",
+    # q126: q13's tiny-probe-set broadcast cross (5 probes x corpus,
+    # truncated + full dots in one map-side pass)
+    "q126_matryoshka_rank_audit",
     # 1-row aggregate scalar crosses (structurally verified below):
     # q98 distinct-bigram total, q104 corpus total, q105 day bounds,
     # q106 observed total, q107 max doc id
