@@ -56,9 +56,12 @@ BNLJ_ALLOWED = {
     # vector for the map-side argmin assignment (IVF's intended shape;
     # the probe/re-score legs are equi-joins on cell/vec_id)
     "q124_ivf_probe_topk",
-    # q126: q13's tiny-probe-set broadcast cross (5 probes x corpus,
-    # truncated + full dots in one map-side pass)
-    "q126_matryoshka_rank_audit",
+    # NOTE q126 also runs q13's tiny-probe-set broadcast cross, but it
+    # sits behind the `ranked` localCheckpoint, so the final plan this
+    # audit walks never contains the BNLJ node — not listed here (the
+    # strict leg below asserts presence). If the pin is ever removed,
+    # the surfaced BNLJ will fail the disallowed assertion and the name
+    # belongs in this allowlist again.
     # 1-row aggregate scalar crosses (structurally verified below):
     # q98 distinct-bigram total, q104 corpus total, q105 day bounds,
     # q106 observed total, q107 max doc id
