@@ -141,3 +141,54 @@ def test_bmp_recompress_properties(w, h, seed):
     else:
         scale = IMG.MAX_DIM / float(max(w, h))
         assert (ow, oh) == (max(int(w * scale), 1), max(int(h * scale), 1))
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=3, max_size=24).map("".join),
+        min_size=3,
+        max_size=24,
+    ),
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=3, max_size=24).map("".join),
+        min_size=3,
+        max_size=24,
+    ),
+)
+@settings(max_examples=30, deadline=None)
+def test_q125_spans_match_bruteforce(spark, toks_a, toks_b):
+    """q125's diagonal gaps-and-islands run detection == brute-force
+    shared-substring search, independently of the DuckDB oracle. Two
+    synthetic docs over a 2-token alphabet (maximally collision-prone);
+    the expected longest shared token span is the classic O(n*m) DP."""
+    from developing_img_etl_spark.queries.dedup import (
+        _Q125_MINRUN,
+        q125_substring_span_pairs,
+    )
+
+    n, m = len(toks_a), len(toks_b)
+    dp = [[0] * (m + 1) for _ in range(n + 1)]
+    longest = 0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            if toks_a[i - 1] == toks_b[j - 1]:
+                dp[i][j] = dp[i - 1][j - 1] + 1
+                longest = max(longest, dp[i][j])
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="q125prop_") as d:
+        ta, tb = " ".join(toks_a), " ".join(toks_b)
+        spark.createDataFrame(
+            [(1, "s", ta, "en", len(ta)), (2, "s", tb, "en", len(tb))],
+            "doc_id long, source string, text string, lang string, n_chars long",
+        ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        rows = q125_substring_span_pairs(spark, d).collect()
+
+    # df-cap can't fire here (2 docs x <=22 positions per gram < 64)
+    if longest >= _Q125_MINRUN:
+        assert len(rows) == 1
+        assert rows[0]["longest_run"] == longest
+    else:
+        assert rows == []
