@@ -925,3 +925,122 @@ ORDER BY segment
 
 QUERIES["q116_mad_outliers"] = q116_mad_outliers
 ORACLES["q116_mad_outliers"] = Q116_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q127 — linear multi-touch attribution (M86): distribute each
+# conversion's credit across the user's preceding touch events inside
+# the attribution window — the credit-assignment operator every event
+# pipeline runs and the funnel (q35) / top-paths (q70) / Markov (q112)
+# family doesn't cover. Exact integer conservation: each purchase
+# carries 1e6 credit units; every touch gets 1e6 DIV n, the REMAINDER
+# goes to the most recent touch (the q104 largest-remainder
+# discipline), and zero-touch conversions surface as '(direct)' — so
+# SUM(credit) == 1e6 * n_conversions exactly, an invariant the oracle
+# re-derives.
+#
+# Scale shape: ONE equi-join on user_id + a range predicate; per-user
+# fanout is events-per-user bounded (at 100 TB the join buckets time
+# the q99/q11d way — same plan family, composition noted, not
+# duplicated here). Tie-breaks (ts, event_id) make the remainder
+# assignment total-ordered on both engines.
+# ---------------------------------------------------------------------------
+_Q127_WINDOW_H = 168  # 7-day attribution window
+
+
+def q127_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+    )
+    pairs = conv.join(touch, (F.col("cu") == F.col("tu"))).filter(
+        (F.col("touch_ts") < F.col("conv_ts"))
+        & (
+            F.col("touch_ts")
+            >= F.col("conv_ts") - F.expr(f"INTERVAL {_Q127_WINDOW_H} HOURS")
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.desc("touch_ts"), F.desc("touch_id")
+    )
+    wn = Window.partitionBy("conv_id")
+    credited = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .select(
+            "conv_id",
+            "touch_type",
+            (
+                F.expr("1000000 DIV n")
+                + F.when(F.col("rn") == 1, F.expr("1000000 % n")).otherwise(F.lit(0))
+            ).alias("credit"),
+        )
+    )
+    direct = conv.join(
+        credited.select("conv_id").distinct(), "conv_id", "left_anti"
+    ).select("conv_id", F.lit("(direct)").alias("touch_type"), F.lit(1000000).alias("credit"))
+    return (
+        credited.unionByName(direct)
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.countDistinct("conv_id").alias("n_conversions"),
+            F.sum("credit").cast("long").alias("credit_e6"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+Q127_SQL = f"""
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id AS cu, ts AS conv_ts
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id AS tu, ts AS touch_ts, event_id AS touch_id,
+         event_type AS touch_type
+  FROM events WHERE event_type <> 'purchase'
+),
+pairs AS (
+  SELECT c.conv_id, t.touch_type, t.touch_ts, t.touch_id
+  FROM conv c JOIN touch t ON c.cu = t.tu
+  WHERE t.touch_ts < c.conv_ts
+    AND t.touch_ts >= c.conv_ts - INTERVAL {_Q127_WINDOW_H} HOURS
+),
+credited AS (
+  SELECT conv_id, touch_type,
+         1000000 // n + CASE WHEN rn = 1 THEN 1000000 % n ELSE 0 END AS credit
+  FROM (
+    SELECT pairs.*,
+           row_number() OVER (PARTITION BY conv_id
+                              ORDER BY touch_ts DESC, touch_id DESC) AS rn,
+           COUNT(*) OVER (PARTITION BY conv_id) AS n
+    FROM pairs
+  )
+),
+direct AS (
+  SELECT conv_id, '(direct)' AS touch_type, 1000000 AS credit
+  FROM conv WHERE conv_id NOT IN (SELECT conv_id FROM credited)
+),
+unioned AS (
+  SELECT * FROM credited UNION ALL SELECT * FROM direct
+)
+SELECT touch_type,
+       COUNT(*) AS n_touches,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+       CAST(SUM(credit) AS BIGINT) AS credit_e6
+FROM unioned
+GROUP BY touch_type
+ORDER BY touch_type
+"""
+
+QUERIES["q127_linear_attribution"] = q127_linear_attribution
+ORACLES["q127_linear_attribution"] = Q127_SQL
