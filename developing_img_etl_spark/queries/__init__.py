@@ -23,6 +23,7 @@ from . import (
     behavior,
     classify,
     dedup,
+    evaluation,
     linkage,
     multimodal,
     relational,
@@ -51,6 +52,7 @@ _MODULES = (
     classify,
     sketches,
     linkage,
+    evaluation,
 )
 
 

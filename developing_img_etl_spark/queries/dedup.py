@@ -1009,8 +1009,12 @@ ORACLES["q108_minhash_audit"] = Q108_SQL
 #              sharing >= 1 exact band key
 #
 # Corpus is DOUBLED (m4's discipline, mirrored in the oracle): every
-# doc gets an exact dup at doc_id+1_000_000, so banding provably fires
-# (J=1 pairs collide in all 4 bands) on top of the organic near-dups.
+# doc gets an exact dup at doc_id + OFF where OFF = max(doc_id)+1 is
+# DERIVED FROM THE DATA (r6 ADVICE: a fixed 1e6 offset silently
+# collides with organic ids once n_doc > 1e6, sf > 20) — a 1-row
+# broadcast scalar here, the same scalar subquery in the oracle — so
+# banding provably fires (J=1 pairs collide in all 4 bands) on top of
+# the organic near-dups at every SF.
 #
 # Scale shape: band buckets are capped at _Q122_BAND_CAP docs — the
 # LSH analogue of _PAIR_DF_CAP (a degenerate bucket, e.g. the
@@ -1047,9 +1051,12 @@ def q122_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .classify import md5_prefix_int
 
     sh = shingle_index(spark, sf_dir)
+    off = load(spark, sf_dir, "documents").agg(
+        (F.max("doc_id") + 1).cast("long").alias("off")
+    )
     shd = sh.unionByName(
-        sh.select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "source", "n_sh", "s"
+        sh.join(F.broadcast(off)).select(  # 1-row scalar: dup-id offset
+            (F.col("doc_id") + F.col("off")).alias("doc_id"), "source", "n_sh", "s"
         )
     )
     # hash ONCE per (doc, shingle) row, then derive all K permutations
@@ -1196,7 +1203,8 @@ inv0 AS (
 inv AS (
   SELECT * FROM inv0
   UNION ALL
-  SELECT doc_id + 1000000, source, n_sh, shingle FROM inv0
+  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), source, n_sh, shingle
+  FROM inv0
 ),
 hashed AS (
   SELECT doc_id, source, {sql_md5_prefix_int(7)} AS base
@@ -1322,9 +1330,13 @@ def q123_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(_Q123_BITS)
     )
     sim0 = per_doc.select("doc_id", "source", F.expr(simexpr).alias("simhash"))
+    # dup-id offset derived from the data (r6 ADVICE — see q122)
+    off = docs.agg((F.max("doc_id") + 1).cast("long").alias("off"))
     sim = (
         sim0.unionByName(
-            sim0.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "source", "simhash")
+            sim0.join(F.broadcast(off)).select(
+                (F.col("doc_id") + F.col("off")).alias("doc_id"), "source", "simhash"
+            )
         )
         .localCheckpoint(eager=False)
     )
@@ -1416,7 +1428,7 @@ sim0 AS (
 sim AS (
   SELECT * FROM sim0
   UNION ALL
-  SELECT doc_id + 1000000, source, simhash FROM sim0
+  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), source, simhash FROM sim0
 ),
 blocks AS (
   {blocksel}

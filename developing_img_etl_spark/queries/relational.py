@@ -512,8 +512,12 @@ ORDER BY status, priority
 # pair list to the driver (at 100 TB the pairs feed the next operator
 # or a sink, never a collect; r6: the old row-identical output made
 # the sf1 benchmark measure 130M rows of pandas serialization on BOTH
-# engines rather than the join). Checksum stays < 2^63: pairs x
-# (31 x max_key + max_key) ≈ 1.3e8 x 6.4e6 ≈ 8e14.
+# engines rather than the join). Overflow discipline (r6 ADVICE): the
+# pair-encoding width is DERIVED FROM THE DATA (w = max(p_partkey)+1,
+# a 1-row broadcast scalar), so min_pair/max_pair stay injective at
+# every SF where max_key^2 < 2^63 (max_key < 3.0e9, sf < ~15000);
+# the checksum reduces each term mod 2^20 before summing, so
+# SUM < n_pairs x 2^20 < 2^63 for any n_pairs < 8.8e12 (sf < ~8000).
 # ---------------------------------------------------------------------------
 def q15_selfjoin_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part")
@@ -522,6 +526,8 @@ def q15_selfjoin_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cannot see output size (q101's fanout-repartition pattern)
     child = part.repartition(spark.sparkContext.defaultParallelism).alias("c")
     parent = part.alias("p")
+    width = part.agg((F.max("p_partkey") + 1).cast("long").alias("w"))
+    pair = F.col("child_key") * F.col("w") + F.col("parent_key")
     return (
         child.join(
             F.broadcast(parent),
@@ -534,17 +540,14 @@ def q15_selfjoin_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.p_partkey").alias("parent_key"),
             F.col("c.p_size").alias("child_size"),
         )
+        .join(F.broadcast(width))  # 1-row scalar: data-derived encoding width
         .groupBy("p_type")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.sum("child_size").cast("long").alias("sum_child_size"),
-            F.min(F.col("child_key") * 1_000_000 + F.col("parent_key")).alias(
-                "min_pair"
-            ),
-            F.max(F.col("child_key") * 1_000_000 + F.col("parent_key")).alias(
-                "max_pair"
-            ),
-            F.sum(F.col("child_key") * 31 + F.col("parent_key"))
+            F.min(pair).alias("min_pair"),
+            F.max(pair).alias("max_pair"),
+            F.sum((F.col("child_key") * 31 + F.col("parent_key")) % 1_048_576)
             .cast("long")
             .alias("key_checksum"),
         )
@@ -556,10 +559,12 @@ Q15_SQL = """
 SELECT c.p_type AS p_type,
        COUNT(*) AS n_pairs,
        CAST(SUM(c.p_size) AS BIGINT) AS sum_child_size,
-       CAST(MIN(c.p_partkey * 1000000 + p.p_partkey) AS BIGINT) AS min_pair,
-       CAST(MAX(c.p_partkey * 1000000 + p.p_partkey) AS BIGINT) AS max_pair,
-       CAST(SUM(c.p_partkey * 31 + p.p_partkey) AS BIGINT) AS key_checksum
-FROM part c JOIN part p ON c.p_type = p.p_type AND p.p_size = c.p_size + 1
+       CAST(MIN(c.p_partkey * s.w + p.p_partkey) AS BIGINT) AS min_pair,
+       CAST(MAX(c.p_partkey * s.w + p.p_partkey) AS BIGINT) AS max_pair,
+       CAST(SUM((c.p_partkey * 31 + p.p_partkey) % 1048576) AS BIGINT) AS key_checksum
+FROM part c
+JOIN part p ON c.p_type = p.p_type AND p.p_size = c.p_size + 1
+CROSS JOIN (SELECT CAST(MAX(p_partkey) + 1 AS BIGINT) AS w FROM part) s
 GROUP BY c.p_type
 ORDER BY c.p_type
 """

@@ -1466,9 +1466,15 @@ ORACLES["q124_ivf_probe_topk"] = Q124_SQL
 #
 # Exactness: dots are BIGINT over e6-quantized components (16..64 dims
 # x (2e6)^2 ≈ 2.6e14 < 2^53); ranks are total-ordered by (dot DESC,
-# vec_id); Spearman numerator 6*SUM(d^2) <= 6n^3 ≈ 5e13 at sf1, exact;
-# rho reported as the integer-DIV rational scaled to 1e-6 units, so
-# both engines emit identical integers end to end.
+# vec_id); rho reported in 1e-6 units via divide-before-scale:
+#   rho_e6 = 1e6 - (6*sum_d2) DIV ((n*(n*n-1)) DIV 1e6)
+# (NOT 1e6 - (6e6*sum_d2) DIV (n*(n*n-1)) — that numerator hits
+# n(n^2-1)/3 * 6e6 ≈ 2e6*n^3 and wraps int64 from n ≈ 16.6k, i.e.
+# already at sf1 in the worst case). The rearranged form is exact-safe
+# while 6*sum_d2 <= 2n(n^2-1) < 2^63, i.e. n < ~1.66e6 (sf < ~83), and
+# needs n >= 101 so the inner DIV 1e6 is nonzero — every SF ships
+# n >= 495. Both engines run the identical integer formula, so the
+# (slightly different) rounding is identical end to end.
 #
 # Scale shape: probes broadcast (Q rows x 64 floats); dots are ONE
 # map-side pass over the corpus (no corpus shuffle of embeddings —
@@ -1538,8 +1544,10 @@ def q126_matryoshka_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("n").cast("long").alias("n"),
             F.col("sum_d2").cast("long").alias("sum_d2"),
-            F.expr("CAST(1000000 - (6000000 * sum_d2) DIV (n * (n * n - 1)) AS BIGINT)")
-            .alias("rho_e6"),
+            F.expr(
+                "CAST(1000000 - (6 * sum_d2)"
+                " DIV ((n * (n * n - 1)) DIV 1000000) AS BIGINT)"
+            ).alias("rho_e6"),
             F.coalesce(F.col("topk_overlap"), F.lit(0))
             .cast("long")
             .alias("topk_overlap"),
@@ -1588,7 +1596,7 @@ overlap AS (
 SELECT query_id,
        CAST(n AS BIGINT) AS n,
        sum_d2,
-       CAST(1000000 - (6000000 * sum_d2) // (n * (n * n - 1)) AS BIGINT) AS rho_e6,
+       CAST(1000000 - (6 * sum_d2) // ((n * (n * n - 1)) // 1000000) AS BIGINT) AS rho_e6,
        CAST(COALESCE(topk_overlap, 0) AS BIGINT) AS topk_overlap
 FROM rho LEFT JOIN overlap USING (query_id)
 ORDER BY query_id
@@ -1596,3 +1604,123 @@ ORDER BY query_id
 
 QUERIES["q126_matryoshka_rank_audit"] = q126_matryoshka_rank_audit
 ORACLES["q126_matryoshka_rank_audit"] = Q126_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q131 — embedding covariance block / anisotropy audit (M90): the
+# second-moment structure of the embedding space over the first 16
+# dims (the q126 matryoshka prefix). Anisotropic embeddings — a few
+# directions hoarding the variance — degrade cosine retrieval
+# (Ethayarajh '19; Mu & Viswanath '18 "all-but-the-top"), and the
+# covariance block is the audit primitive: its diagonal is per-dim
+# variance, its off-diagonal mass measures rotation away from
+# isotropy. (Eigendecomposition happens downstream in numpy on this
+# 16x16 output — the DISTRIBUTED part is exactly this block.)
+#
+# Exact integer discipline: components e6-quantized then SHIFTED +1e6
+# (x in [-1,1] for unit vectors, so u in [0, 2e6] is non-negative and
+# Spark's truncating DIV == DuckDB's flooring // on every division —
+# the q118 offset-shift rule); the constant shift cancels out of the
+# covariance. Per pair (i <= j):
+#
+#   mxq   = s_i DIV n                  (shifted mean, e6 units)
+#   exy   = p_ij DIV n                 (shifted second moment, e12)
+#   cov_q = exy - mxq * myq            (covariance, e12 units; the
+#                                       floor-rounding is identical on
+#                                       both engines by construction)
+#
+# Bounds: p_ij <= n * 4e12 fits BIGINT while n < 2.3e6 vectors
+# (sf < ~115 at 20k vectors/sf — far past the embedding corpus here);
+# everything downstream is <= 4e12.
+#
+# Scale shape: ONE grouped aggregation computes all 153 sums (16
+# first-moment + 136 upper-triangle second-moment columns) map-side —
+# the q123 many-sum-columns idiom; embeddings never shuffle, the
+# reduce moves a single 153-column row per partition. The 136-row
+# long-form output is a stack() over that one aggregated row.
+# ---------------------------------------------------------------------------
+_Q131_D = 16
+
+
+def q131_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _Q131_D
+    emb = load(spark, sf_dir, "embeddings")
+    u = emb.select(
+        F.expr(
+            f"transform(slice(embedding, 1, {d}), x ->"
+            " CAST(floor(CAST(x AS DOUBLE) * 1000000.0D + 0.5D) AS BIGINT)"
+            " + 1000000)"
+        ).alias("u")
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(F.expr(f"u[{i}]")).alias(f"s{i}") for i in range(d)]
+    aggs += [
+        F.sum(F.expr(f"u[{i}] * u[{j}]")).alias(f"p{i}_{j}")
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    one = u.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, {j}, s{i}, s{j}, p{i}_{j}" for i in range(d) for j in range(i, d)
+    )
+    n_pairs = d * (d + 1) // 2
+    long = one.select(
+        "n",
+        F.expr(f"stack({n_pairs}, {stack_args}) AS (i, j, sx, sy, sxy)"),
+    )
+    return long.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        F.col("n").cast("long").alias("n"),
+        F.expr("CAST(sx DIV n - 1000000 AS BIGINT)").alias("mean_i_e6"),
+        F.expr("CAST(sy DIV n - 1000000 AS BIGINT)").alias("mean_j_e6"),
+        F.expr("CAST(sxy DIV n - (sx DIV n) * (sy DIV n) AS BIGINT)").alias(
+            "cov_e12"
+        ),
+    ).orderBy("i", "j")
+
+
+def _q131_sql() -> str:
+    d = _Q131_D
+    sums = ",\n       ".join(
+        [f"SUM(u[{i + 1}]) AS s{i}" for i in range(d)]
+        + [
+            f"SUM(u[{i + 1}] * u[{j + 1}]) AS p{i}_{j}"
+            for i in range(d)
+            for j in range(i, d)
+        ]
+    )
+    structs = ",\n    ".join(
+        f"{{'i': {i}, 'j': {j}, 'sx': s{i}, 'sy': s{j}, 'sxy': p{i}_{j}}}"
+        for i in range(d)
+        for j in range(i, d)
+    )
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding[1:{d}],
+           x -> CAST(floor(x::DOUBLE * 1000000.0 + 0.5) AS BIGINT) + 1000000)
+           AS u
+  FROM embeddings
+),
+agg AS (
+  SELECT COUNT(*) AS n,
+       {sums}
+  FROM q
+),
+long AS (
+  SELECT n, UNNEST([
+    {structs}
+  ], recursive := true)
+  FROM agg
+)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, CAST(n AS BIGINT) AS n,
+       CAST(sx // n - 1000000 AS BIGINT) AS mean_i_e6,
+       CAST(sy // n - 1000000 AS BIGINT) AS mean_j_e6,
+       CAST(sxy // n - (sx // n) * (sy // n) AS BIGINT) AS cov_e12
+FROM long
+ORDER BY i, j
+"""
+
+
+QUERIES["q131_embedding_covariance"] = q131_embedding_covariance
+ORACLES["q131_embedding_covariance"] = _q131_sql()

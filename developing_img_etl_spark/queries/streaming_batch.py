@@ -1444,8 +1444,9 @@ ORACLES["st14_stream_stream_left_outer"] = ST14_SQL
 # a near-dup iff any of its band buckets is owned by a smaller doc_id
 # — the canonical-min selection q74/m4 use, evaluated here against the
 # final registry so the verdict is independent of batch arrival order.
-# The corpus is doubled (every doc gets an exact copy at id+1e6,
-# q122's discipline) so suppression provably fires; the oracle replays
+# The corpus is doubled (every doc gets an exact copy at
+# id + max(doc_id)+1 — the data-derived offset, q122's discipline)
+# so suppression provably fires; the oracle replays
 # signatures, banding and the ownership rule in SQL and must agree on
 # every per-source count.
 # ---------------------------------------------------------------------------
@@ -1466,12 +1467,16 @@ def st15_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, reg, dbs, ckpt = f"{work}/src", f"{work}/reg", f"{work}/dbs", f"{work}/ckpt"
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # dup-id offset derived from the data (r6 ADVICE — q122's rule),
+    # folded into the 1-row collect this query already pays for staging
+    mx = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    off = mx + 1
     doubled = docs.unionByName(
-        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "source", "text")
+        docs.select((F.col("doc_id") + F.lit(off)).alias("doc_id"), "source", "text")
     )
     # contiguous doc_id ranges per staged file: arrival order == id
     # order, so the registry's owners match at-ingest greedy decisions
-    hi = doubled.agg(F.max("doc_id").alias("m")).collect()[0]["m"] + 1  # 1-row agg
+    hi = mx + off + 1
     step = hi // _ST15_FILES + 1
     for k in range(_ST15_FILES):
         doubled.filter(
@@ -1591,7 +1596,7 @@ def _st15_sql() -> str:
 WITH d0 AS (
   SELECT doc_id, source, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000, source, text FROM documents
+  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), source, text FROM documents
 ),
 toks AS (
   SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t FROM d0
@@ -1641,3 +1646,158 @@ ORDER BY d0.source
 
 QUERIES["st15_streaming_lsh_dedup"] = st15_streaming_lsh_dedup
 ORACLES["st15_streaming_lsh_dedup"] = _st15_sql()
+
+
+# ---------------------------------------------------------------------------
+# ST16 — streaming ADDITIVE-sketch maintenance: a Count-Min frequency
+# sketch (q95's cells, user-keyed) kept current per micro-batch,
+# exactly-once BY TRANSACTION MARKERS.
+#
+# The deliberate contrast with st13: HLL registers are max-merged —
+# idempotent BY ALGEBRA, so crash-replayed batches are absorbed with
+# no bookkeeping. CMS counters are ADDITIVE: re-adding a replayed
+# batch's cells would double-count, so this is the state family that
+# NEEDS the st6/st8 transaction-marker discipline. Each micro-batch
+# appends its partial cells tagged with the batch_id; the read side
+# reconciles per (batch_id, r, c) with MAX (replayed partials are
+# bit-identical, and a torn append is healed by the replay that
+# follows a crash) and only then SUMs across batches — so a batch's
+# cells count ONCE no matter how many times the sink ran it.
+#
+# Duplicate DELIVERY, by contrast, is two legitimate events and MUST
+# double the counters: the source is staged twice (n_copies = 2,
+# maxFilesPerTrigger = 1 → one batch per copy) and the oracle counts
+# every event twice — while the replay leg re-runs batch 0's file
+# through the sink once more and the result must NOT move. Both
+# semantics in one hash-checked answer.
+#
+# Scale shape: per-batch cell extraction is one (user → count) agg +
+# a d-way explode over DISTINCT users (q95's build); the registry
+# grows d·w rows per batch — kilobytes — and the reconciliation
+# reads/aggregates that dim-scale frame. Probes (exact top-20 users)
+# attach estimates via a broadcast of the 192-cell frame.
+# ---------------------------------------------------------------------------
+
+_ST16_D = 3
+_ST16_W = 64
+_ST16_TOP = 20
+
+
+def st16_streaming_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.cms import cms_build, cms_estimate
+
+    work = tempfile.mkdtemp(prefix="st16_")
+    src, reg, ckpt = f"{work}/src", f"{work}/reg", f"{work}/ckpt"
+    _link_events_into(sf_dir, src, n_copies=2)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        counts = batch_df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        cells = cms_build(counts, "user_id", "n", depth=_ST16_D, width=_ST16_W)
+        cells.select(
+            F.lit(batch_id).cast("long").alias("batch_id"), "r", "c", "cnt"
+        ).write.mode("append").parquet(reg)
+
+    stream = _raw_events_stream(spark, sf_dir, src, max_files_per_trigger=1)
+
+    def drain() -> None:
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    with _stream_shuffle(spark):
+        drain()
+        drain()  # checkpoint restart: no new batches, registry untouched
+
+    # crash-replay: run batch 0's file through the sink AGAIN with the
+    # same batch_id — the txn-marker reconciliation below must absorb it
+    from ..catalog import normalize_event_ts
+
+    sink(normalize_event_ts(spark.read.parquet(f"{src}/00-events.parquet")), 0)
+
+    cells = (
+        spark.read.parquet(reg)
+        .groupBy("batch_id", "r", "c")
+        .agg(F.max("cnt").alias("cnt"))  # replayed partials are identical
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    exact = (
+        spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    w = Window.orderBy(F.desc("n_exact"), F.asc("user_id"))
+    probes = exact.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _ST16_TOP
+    )
+    est = cms_estimate(probes, "user_id", cells, depth=_ST16_D, width=_ST16_W)
+    return est.select(
+        F.col("rk").cast("long").alias("rk"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("n_exact")).cast("long").alias("over_est"),
+    ).orderBy("rk")
+
+
+def _st16_sql() -> str:
+    from ..operators.bloom import K1, K2, P, S1, S2
+
+    def pos(key: str, r: int) -> str:
+        h1 = f"((({key}) % {P}) * {K1} + {S1}) % {P}"
+        h2 = f"((({key}) % {P}) * {K2} + {S2}) % {P}"
+        return f"(({h1}) + {r} * ({h2})) % {P} % {_ST16_W}"
+
+    case = " ".join(
+        f"WHEN {r} THEN {pos('user_id', r)}" for r in range(_ST16_D)
+    )
+    rs = ", ".join(str(r) for r in range(_ST16_D))
+    return f"""
+WITH counts AS (
+  -- doubled delivery: every event arrives twice (two staged copies)
+  SELECT user_id, 2 * COUNT(*) AS n FROM events GROUP BY user_id
+),
+cells AS (
+  SELECT r, c, SUM(n) AS cnt
+  FROM (
+    SELECT n, u.r, CASE u.r {case} END AS c
+    FROM counts, UNNEST([{rs}]) AS u(r)
+  )
+  GROUP BY r, c
+),
+probes AS (
+  SELECT user_id, n AS n_exact,
+         row_number() OVER (ORDER BY n DESC, user_id ASC) AS rk
+  FROM counts
+  QUALIFY rk <= {_ST16_TOP}
+),
+est AS (
+  SELECT p.rk, p.user_id, p.n_exact, MIN(COALESCE(ce.cnt, 0)) AS cms_est
+  FROM (
+    SELECT rk, user_id, n_exact, u.r, CASE u.r {case} END AS c
+    FROM probes, UNNEST([{rs}]) AS u(r)
+  ) p
+  LEFT JOIN cells ce ON ce.r = p.r AND ce.c = p.c
+  GROUP BY p.rk, p.user_id, p.n_exact
+)
+SELECT CAST(rk AS BIGINT) AS rk,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - n_exact AS BIGINT) AS over_est
+FROM est
+ORDER BY rk
+"""
+
+
+QUERIES["st16_streaming_cms_counts"] = st16_streaming_cms_counts
+ORACLES["st16_streaming_cms_counts"] = _st16_sql()

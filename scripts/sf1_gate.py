@@ -147,20 +147,50 @@ def main() -> int:
     spark = get_spark("sf1-gate", cpus=32)
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    # resumable: green statuses from a previous pass are kept; only
-    # FAIL rows and queries not yet recorded re-run (a full-from-
-    # scratch pass = delete SF1_CORRECTNESS.json first)
+
+    # per-query code fingerprint: md5 over the source of the module
+    # defining the query fn + the oracle text. A kept green row whose
+    # fingerprint no longer matches is STALE (the implementation
+    # changed after it went green) and must re-run — r6 ADVICE: resume
+    # mode previously kept any non-FAIL status forever.
+    import hashlib
+    import inspect
+
+    def fingerprint(name: str) -> str:
+        fn = queries[name]
+        try:
+            src = inspect.getsource(inspect.getmodule(fn))
+        except (OSError, TypeError):
+            src = repr(fn)
+        return hashlib.md5(
+            (src + "\x00" + oracles.get(name, "")).encode()
+        ).hexdigest()
+
+    fps = {name: fingerprint(name) for name in queries}
+    # resumable: green statuses from a previous pass are kept only if
+    # their code fingerprint is unchanged; FAIL rows, stale rows, and
+    # queries not yet recorded re-run (a full-from-scratch pass =
+    # delete SF1_CORRECTNESS.json first)
     statuses: dict[str, str] = {}
     out_path = "/root/repo/SF1_CORRECTNESS.json"
     if os.path.exists(out_path):
         with open(out_path) as f:
-            prev = json.load(f).get("statuses", {})
+            prev_doc = json.load(f)
+        prev = prev_doc.get("statuses", {})
+        prev_fps = prev_doc.get("fingerprints", {})
+        stale = [
+            k for k, v in prev.items()
+            if k in queries and not v.startswith("FAIL")
+            and prev_fps.get(k) != fps[k]
+        ]
         statuses = {
             k: v for k, v in prev.items()
-            if k in queries and not v.startswith("FAIL")
+            if k in queries and not v.startswith("FAIL") and k not in stale
         }
         if statuses:
             print(f"resuming: {len(statuses)} green rows kept", flush=True)
+        if stale:
+            print(f"stale (code changed, re-running): {sorted(stale)}", flush=True)
     failures: list[str] = []
     for name, fn in queries.items():
         if name in statuses:
@@ -184,7 +214,16 @@ def main() -> int:
             failures.append(name)
         print(f"  {name}: {statuses[name]}  [{time.time() - t0:.1f}s]", flush=True)
     with open("/root/repo/SF1_CORRECTNESS.json", "w") as f:
-        json.dump({"sf_dir": SF, "statuses": statuses, "failures": failures}, f, indent=1)
+        json.dump(
+            {
+                "sf_dir": SF,
+                "statuses": statuses,
+                "failures": failures,
+                "fingerprints": fps,
+            },
+            f,
+            indent=1,
+        )
     print(("ALL GREEN" if not failures else f"FAILURES: {failures}"), flush=True)
     return 1 if failures else 0
 

@@ -75,6 +75,15 @@ BNLJ_ALLOWED = {
     "q117_perplexity_buckets",
     # q118: the (n_c, n_t) token-total 1-row scalar cross
     "q118_importance_logratio",
+    # r7 data-derived overflow-safe constants (r6 ADVICE): each is a
+    # 1-row aggregate scalar cross — q15's pair-encoding width
+    # max(p_partkey)+1; q122's dup-id offset max(doc_id)+1. q123 runs
+    # the same offset cross but behind its `sim` localCheckpoint, so
+    # (like q126) the audited plan never contains the BNLJ node — not
+    # listed; if the pin is removed, the surfaced BNLJ fails the
+    # disallowed assertion and the name belongs here again.
+    "q15_selfjoin_adjacent",
+    "q122_minhash_lsh_pairs",
 }
 
 # no exemptions today: every declared query ships ids through hash
@@ -152,6 +161,8 @@ SCALAR_BNLJ = {
     "q107_vocab_growth",
     "q117_perplexity_buckets",
     "q118_importance_logratio",
+    "q15_selfjoin_adjacent",
+    "q122_minhash_lsh_pairs",
 }
 
 
