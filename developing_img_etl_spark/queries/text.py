@@ -1436,3 +1436,136 @@ FROM per_doc GROUP BY source ORDER BY source
 
 QUERIES["q118_importance_logratio"] = q118_importance_logratio
 ORACLES["q118_importance_logratio"] = Q118_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q132 — memorization / novelty scan (M91): for every document in a
+# held-out eval split, what fraction of its distinct 5-grams appears
+# NOWHERE in the train split? The complement of q27's decontamination
+# (which flags eval docs leaking INTO train, boolean per doc): this
+# measures HOW novel the eval text is — the n-gram-overlap
+# memorization metric of Lee et al. '22 / Carlini et al. '22, the
+# audit that decides whether an eval score is measuring generalization
+# or recall. Split rule: md5-hash of doc_id mod 10 = 7 -> eval (10%),
+# rest train — the q26 deterministic-sampling discipline, mirrored in
+# the oracle (a plain doc_id % 10 split would alias the generator's
+# source = f(doc_id) assignment and collapse the output to 2 sources).
+#
+# Exactness + scale in one trick: grams never shuffle as STRINGS —
+# both sides reduce each 5-gram to the portable 60-bit md5 integer
+# (the q97 idiom), so the anti-join moves longs. A 2^-60 collision
+# would undercount novelty identically on both engines (the hash is
+# part of the declared semantics, not an approximation of them).
+# Train-side grams are DISTINCT before the join (one hash-dedup —
+# dominated by the same shuffle the q14c posting index pays); the
+# per-source output is ~20 rows.
+# ---------------------------------------------------------------------------
+_Q132_N = 5
+_Q132_EVAL_MOD, _Q132_EVAL_REM = 10, 7
+
+
+def q132_novelty_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .classify import md5_prefix_int
+
+    docs = load(spark, sf_dir, "documents")
+    # deliberately NOT pinned: the explode+md5 subtree feeds both split
+    # branches, but checkpointing it materializes the full (doc, gram,
+    # hash) expansion — ~5x the corpus — to disk; re-running the
+    # map-side scan per branch is cheaper at every SF (measured: the
+    # pin DOUBLES wall at sf0.1) and is the right trade at 100 TB
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(TXT.shingles(F.col("text"), _Q132_N)).alias("g"),
+    ).select("doc_id", "source", md5_prefix_int(F.col("g"), 15).alias("h"))
+    is_eval = (
+        md5_prefix_int(F.col("doc_id").cast("string"), 8) % _Q132_EVAL_MOD
+        == _Q132_EVAL_REM
+    )
+    train_h = grams.filter(~is_eval).select("h").distinct()
+    ev = grams.filter(is_eval)
+    novel = ev.join(train_h, "h", "left_anti")
+    per_doc = (
+        ev.groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+        .join(
+            novel.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_novel")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "source",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_docs"),
+            F.sum("n_grams").cast("long").alias("n_grams"),
+            F.sum("n_novel").cast("long").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm", F.expr("CAST(n_novel * 1000000 DIV n_grams AS BIGINT)")
+        )
+        .orderBy("source")
+    )
+
+
+def _q132_sql() -> str:
+    from .classify import sql_md5_prefix_int
+
+    n = _Q132_N
+    gram = " || ' ' || ".join(f"t[i+{k}]" for k in range(n)).replace("t[i+0]", "t[i]")
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, greatest(len(t) - {n - 2}, 1)),
+           i -> {gram})) AS s
+  FROM toks
+  WHERE len(t) >= {n}
+),
+grams0 AS (
+  SELECT doc_id, source, {sql_md5_prefix_int(15)} AS hv
+  FROM (SELECT doc_id, source, md5(UNNEST(s)) AS h FROM sh)
+),
+split AS (
+  SELECT doc_id, ({sql_md5_prefix_int(8)} % {_Q132_EVAL_MOD}) AS bucket
+  FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM (SELECT DISTINCT doc_id FROM toks))
+),
+grams AS (
+  SELECT g.doc_id, g.source, g.hv, s.bucket
+  FROM grams0 g JOIN split s USING (doc_id)
+),
+train_h AS (
+  SELECT DISTINCT hv FROM grams WHERE bucket <> {_Q132_EVAL_REM}
+),
+ev AS (
+  SELECT * FROM grams WHERE bucket = {_Q132_EVAL_REM}
+),
+per_doc AS (
+  SELECT e.doc_id, ANY_VALUE(e.source) AS source,
+         COUNT(*) AS n_grams,
+         SUM(CASE WHEN t.hv IS NULL THEN 1 ELSE 0 END) AS n_novel
+  FROM ev e LEFT JOIN train_h t ON e.hv = t.hv
+  GROUP BY e.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_docs,
+       CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+       CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+       CAST(SUM(n_novel) * 1000000 // SUM(n_grams) AS BIGINT) AS novelty_ppm
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES["q132_novelty_scan"] = q132_novelty_scan
+ORACLES["q132_novelty_scan"] = _q132_sql()
