@@ -1112,19 +1112,27 @@ def q122_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     # exact verification: posting-list intersection over candidate
-    # participants (q83 r6 shape); LEFT join keeps zero-overlap
-    # candidates (possible only via hash collision, but the contract
-    # must be total)
-    ids = (
-        cand.select(F.col("id_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    shr = shd.join(ids, "doc_id", "left_semi")
+    # CANDIDATE-BOUNDED intersection (r7 rework): enumerate each
+    # candidate pair's left-doc shingles and equi-join them against the
+    # right doc's postings on (source, id_b, s) — cost is
+    # |cand| x shingles/doc, LINEAR in the candidate count. The r6
+    # shape (participant shingle SELF-join on (source, s)) recomputed
+    # n_common for EVERY participant pair sharing any shingle: with a
+    # bounded shingle vocabulary, per-shingle df grows linearly with
+    # the corpus and the self-join is sum(df^2) — measured 850 s at
+    # sf10 (36x for 10x data) vs ~linear after this rework. LEFT join
+    # below keeps zero-overlap candidates (possible only via hash
+    # collision, but the contract must be total).
     common = (
-        shr.select("source", "s", F.col("doc_id").alias("id_a"))
-        .join(shr.select("source", "s", F.col("doc_id").alias("id_b")), ["source", "s"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.select("source", "id_a", "id_b")
+        .join(
+            shd.select(F.col("doc_id").alias("id_a"), "source", "s"),
+            ["source", "id_a"],
+        )
+        .join(
+            shd.select(F.col("doc_id").alias("id_b"), "source", "s"),
+            ["source", "id_b", "s"],
+        )
         .groupBy("source", "id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

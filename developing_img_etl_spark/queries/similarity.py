@@ -109,14 +109,31 @@ def q31_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
         n = np.linalg.norm(x, axis=1)
-        s = (x @ x.T) / np.outer(n, n)
-        # half-away-from-zero 6dp, matching F.round / DuckDB ROUND
-        # (np.round is banker's and can flip ties)
-        r = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = r[ia, ib] >= NEAR_DUP_THRESHOLD
-        return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": r[ia, ib][keep]}
+        # STRIP-CHUNKED matmul: the similarity matrix is computed in
+        # (chunk x n) strips, never materialized whole — a label block
+        # of 22k vectors at sf10 would otherwise be a 3.9 GB dense
+        # matrix PER TASK (measured: the full x @ x.T OOM-killed the
+        # 48g JVM at sf10). Work stays O(n^2) — this is the declared
+        # exact brute-force baseline; m6/m9/q96 are the sub-quadratic
+        # tiers — but memory is bounded by the strip.
+        chunk = 2048
+        cols: dict[str, list] = {"id_a": [], "id_b": [], "cosine": []}
+        for lo in range(0, len(ids), chunk):
+            hi = min(lo + chunk, len(ids))
+            s = (x[lo:hi] @ x.T) / np.outer(n[lo:hi], n)
+            # half-away-from-zero 6dp, matching F.round / DuckDB ROUND
+            # (np.round is banker's and can flip ties)
+            r = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
+            for k in range(hi - lo):
+                i = lo + k
+                row = r[k, i + 1 :]
+                sel = np.nonzero(row >= NEAR_DUP_THRESHOLD)[0]
+                if sel.size:
+                    cols["id_a"].extend([ids[i]] * sel.size)
+                    cols["id_b"].extend(ids[i + 1 + sel])
+                    cols["cosine"].extend(row[sel])
+        return pd.DataFrame(cols, columns=["id_a", "id_b", "cosine"]).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
         )
 
     return (
@@ -610,11 +627,23 @@ def q96_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
         n = np.linalg.norm(x, axis=1)
-        s = (x @ x.T) / np.outer(n, n)
-        # half-away-from-zero 6dp (np.round is banker's — q31's rule)
-        r = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
-        ia, ib = np.triu_indices(len(ids), k=1)
-        dropped = np.unique(ids[ib[r[ia, ib] >= NEAR_DUP_THRESHOLD]])
+        # strip-chunked like q31: the full n x n similarity matrix PLUS
+        # triu_indices (two n²/2 int64 arrays) is gigabytes per task
+        # once clusters reach ~20k members (OOM-measured at sf10);
+        # strips bound memory while the work stays the declared
+        # exact-within-cluster O(n²)
+        chunk = 2048
+        hit = np.zeros(len(ids), dtype=bool)  # "has a smaller-id near-dup"
+        for lo in range(0, len(ids), chunk):
+            hi = min(lo + chunk, len(ids))
+            s = (x[lo:hi] @ x.T) / np.outer(n[lo:hi], n)
+            # half-away-from-zero 6dp (np.round is banker's — q31's rule)
+            r = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
+            for k in range(hi - lo):
+                i = lo + k
+                row = r[k, i + 1 :]
+                hit[i + 1 :] |= row >= NEAR_DUP_THRESHOLD
+        dropped = ids[hit]
         return pd.DataFrame(
             {
                 "cluster_id": pdf["cluster_id"].iloc[:1].repeat(len(dropped)),

@@ -72,6 +72,14 @@ def get_spark(app_name: str = "developing_img_etl_spark", *, cpus: int | None = 
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
         )
     )
+    # Shuffle-spill directory override (SPARK_GRAFT_LOCAL_DIR): the
+    # default /tmp is reaped by the sandbox under long sf10 runs — the
+    # blockmgr dir vanished under a live JVM mid-shuffle. Honored only
+    # at JVM start (a getOrCreate reuse keeps the first value).
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
