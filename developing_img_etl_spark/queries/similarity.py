@@ -1551,8 +1551,12 @@ def q126_matryoshka_rank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = scored.select(
         "query_id",
         "vec_id",
-        F.row_number().over(wt).alias("rk_t"),
-        F.row_number().over(wf).alias("rk_f"),
+        # LONG ranks: row_number() is int32 and the Spearman d² below
+        # reaches (n-1)² ≈ 4e10 at sf10's n = 200k corpus — an int32
+        # multiply overflow the sf10 spot-check caught (sf1's n = 20k
+        # stayed just under 2^31)
+        F.row_number().over(wt).cast("long").alias("rk_t"),
+        F.row_number().over(wf).cast("long").alias("rk_f"),
     ).localCheckpoint(eager=False)  # feeds the rho agg and both top-K legs
     rho = ranked.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n"),
