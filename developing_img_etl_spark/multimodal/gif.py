@@ -53,14 +53,26 @@ def gif_dims(data: bytes) -> tuple[int, int] | None:
 # 4096 entries (12-bit codes).
 # --------------------------------------------------------------------------
 def _lzw_decode(min_code_size: int, data: bytes) -> bytearray | None:
+    """LZW decode with the table stored as (start, len) SPANS into the
+    output buffer (r8): every multi-byte entry the decoder can ever
+    reference is already a contiguous substring of what it has written
+    (entry k = previous output + first byte of the output that followed
+    it), so table entries need no byte storage at all — emitting is one
+    ``out += out[s:s+l]`` slice and the per-code bytes-concat allocs of
+    the previous list-of-bytes table are gone. Byte-for-byte the same
+    decoded stream (round-trip property tests + m17 hash)."""
     clear = 1 << min_code_size
     eoi = clear + 1
+    max_table = 1 << _MAX_CODE_BITS
     code_size = min_code_size + 1
-    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    starts = [0] * max_table
+    lens = [0] * max_table
+    next_code = eoi + 1
     out = bytearray()
     acc = 0
     nbits = 0
-    prev: bytes | None = None
+    prev_start = 0
+    prev_len = 0  # 0 ⇔ no previous entry (start of stream / after clear)
     for byte in data:
         acc |= byte << nbits
         nbits += 8
@@ -69,30 +81,53 @@ def _lzw_decode(min_code_size: int, data: bytes) -> bytearray | None:
             acc >>= code_size
             nbits -= code_size
             if code == clear:
-                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                next_code = eoi + 1
                 code_size = min_code_size + 1
-                prev = None
+                prev_len = 0
                 continue
             if code == eoi:
                 return out
-            if code < len(table):
-                entry = table[code]
-            elif code == len(table) and prev is not None:
-                entry = prev + prev[:1]  # the cScSc case
+            cur_start = len(out)
+            if code < clear:
+                out.append(code)
+                cur_len = 1
+            elif eoi < code < next_code:
+                s, cur_len = starts[code], lens[code]
+                out += out[s : s + cur_len]
+            elif code == next_code and prev_len:
+                # the cScSc case: prev + prev[0]
+                out += out[prev_start : prev_start + prev_len]
+                out.append(out[prev_start])
+                cur_len = prev_len + 1
             else:
                 return None  # corrupt stream
-            out += entry
-            if prev is not None and len(table) < (1 << _MAX_CODE_BITS):
-                table.append(prev + entry[:1])
-            if len(table) == (1 << code_size) and code_size < _MAX_CODE_BITS:
+            if prev_len and next_code < max_table:
+                # new entry = prev + cur[0]; prev sits at prev_start and
+                # cur[0] is the byte right after it — one contiguous span
+                starts[next_code] = prev_start
+                lens[next_code] = prev_len + 1
+                next_code += 1
+            if next_code == (1 << code_size) and code_size < _MAX_CODE_BITS:
                 code_size += 1
-            prev = entry
+            prev_start, prev_len = cur_start, cur_len
     return out  # stream ended without EOI: tolerate (common in the wild)
 
 
 def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """Greedy LZW over a (prefix_code, next_byte) -> code trie.
+
+    r8 rework (VERDICT r7 #4): the original kept the dictionary keyed
+    by the match BYTESTRING and rebuilt ``run + bytes([b])`` on every
+    input byte — O(match_len) allocation per step, quadratic over long
+    matches, the m17 sf10 bottleneck (93 s vs DuckDB's 9 s). The trie
+    keyed on int pairs is the textbook O(1)-per-byte formulation and
+    emits the BYTE-IDENTICAL code stream (a string in the old table
+    ≡ the trie path of its codes), verified by the round-trip property
+    tests. Bit-packing moved from per-input-byte to per-emitted-code.
+    """
     clear = 1 << min_code_size
     eoi = clear + 1
+    max_table = 1 << _MAX_CODE_BITS
     out = bytearray()
     acc = 0
     nbits = 0
@@ -107,30 +142,31 @@ def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
             acc >>= 8
             nbits -= 8
 
-    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    table: dict[int, int] = {}  # key = prev_code << 8 | next_byte
     next_code = eoi + 1
     emit(clear)
-    run = b""
-    for b in indices:
-        cand = run + bytes([b])
-        if cand in table:
-            run = cand
-            continue
-        emit(table[run])
-        # GIF width rule: grow when the NEXT assigned code no longer fits
-        if next_code < (1 << _MAX_CODE_BITS):
-            table[cand] = next_code
-            if next_code == (1 << code_size) and code_size < _MAX_CODE_BITS:
-                code_size += 1
-            next_code += 1
-        else:  # dictionary full: reset (matches every mainstream encoder)
-            emit(clear)
-            table = {bytes([i]): i for i in range(clear)}
-            next_code = eoi + 1
-            code_size = min_code_size + 1
-        run = bytes([b])
-    if run:
-        emit(table[run])
+    if indices:
+        cur = indices[0]
+        for b in indices[1:]:
+            nxt = table.get((cur << 8) | b)
+            if nxt is not None:
+                cur = nxt
+                continue
+            emit(cur)
+            # GIF width rule: grow when the NEXT assigned code no
+            # longer fits
+            if next_code < max_table:
+                table[(cur << 8) | b] = next_code
+                if next_code == (1 << code_size) and code_size < _MAX_CODE_BITS:
+                    code_size += 1
+                next_code += 1
+            else:  # dictionary full: reset (matches mainstream encoders)
+                emit(clear)
+                table.clear()
+                next_code = eoi + 1
+                code_size = min_code_size + 1
+            cur = b
+        emit(cur)
     emit(eoi)
     if nbits:
         out.append(acc & 0xFF)
@@ -246,15 +282,18 @@ def gif_encode(arr: np.ndarray) -> bytes:
         raise ValueError(f"gif_encode expects (h, w, 3) uint8, got {arr.shape} {arr.dtype}")
     h, w = arr.shape[:2]
     flat = arr.reshape(-1, 3)
-    palette = np.unique(flat, axis=0)  # sorted lexicographically — deterministic
-    if len(palette) > 256:
-        raise ValueError(f"gif_encode: {len(palette)} distinct colors > 256 (quantize first)")
-    # index of each pixel in the sorted palette
+    # one int32 key per pixel; np.unique on the keys is a single flat
+    # sort and its order IS the lexicographic RGB order, so the palette
+    # derived from it is identical to np.unique(flat, axis=0) (which
+    # paid a second void-view sort) — r8 m17 hot-path trim
     keys = flat[:, 0].astype(np.int32) * 65536 + flat[:, 1].astype(np.int32) * 256 + flat[:, 2]
-    pal_keys = (
-        palette[:, 0].astype(np.int32) * 65536 + palette[:, 1].astype(np.int32) * 256 + palette[:, 2]
-    )
-    indices = np.searchsorted(pal_keys, keys).astype(np.uint8).tobytes()
+    pal_keys, indices8 = np.unique(keys, return_inverse=True)
+    if len(pal_keys) > 256:
+        raise ValueError(f"gif_encode: {len(pal_keys)} distinct colors > 256 (quantize first)")
+    palette = np.stack(
+        [pal_keys >> 16, (pal_keys >> 8) & 0xFF, pal_keys & 0xFF], axis=1
+    ).astype(np.uint8)
+    indices = indices8.astype(np.uint8).tobytes()
     # GCT size: smallest 2^(k+1) >= max(len(palette), 2); min_code_size >= 2
     k = 0
     while (2 << k) < max(len(palette), 2):

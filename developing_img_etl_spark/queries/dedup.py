@@ -586,19 +586,31 @@ ORACLES["q74_canonical_dedup"] = Q74_SQL
 # lossless for J > 0.2 strictly since J <= min/max) prunes inside the
 # self-join.
 #
-# VERIFICATION (r6 rework — measured at sf1): the r5 shape verified
-# each candidate by re-joining both docs' full shingle lists —
-# |candidates| × shingles/doc exploded to ~200M rows (139 s at sf1)
-# because at τ = 0.2 the prefix is ~80% of every doc and candidates
-# are dense (3.9M pairs → 123 survivors on this corpus). Common
-# counts are instead computed ONCE by posting-list intersection
-# (q14c's shape — each shingle contributes cnt² pair-rows, bounded by
-# the df distribution, 4 s at sf1), over the index SEMI-JOINED down to
-# candidate participants, then inner-joined with the candidate set —
-# the prefix filter is the provably-lossless bound on which pairs can
-# survive, and the participant semi-join makes it load-bearing
-# whenever the filter is selective (high-τ / heavy-tailed corpora).
-# Every stage is posting-list-bounded or (bigint, bigint) pair-keyed.
+# VERIFICATION (r8 rework — the r6 shape materialized the candidate
+# PAIR set via a prefix-prefix self-join + distinct + final re-join,
+# which on a bounded-vocabulary corpus costs 3× the naive q14c it
+# exists to beat: prefixes stay hot (no rare tail), so the candidate
+# join explodes cnt²-per-posting-list while pruning almost nothing —
+# 443 s vs q14c's 152 s at sf10, VERDICT r7 #2). The prefix filter is
+# now applied as a PARTICIPANT set, never a pair set:
+#
+#   participant := a doc owning >= 1 prefix shingle whose (source, s)
+#   posting list in the PREFIX index has >= 2 docs.
+#
+# Lossless by the same theorem: a pair with J >= τ shares its
+# globally-smallest common shingle e inside BOTH prefixes, so e's
+# prefix posting list has >= 2 docs and both endpoints are
+# participants. Exact verification (q14c's posting-list intersection,
+# restricted to participants by semi-join, with the AllPairs length
+# filter inside the join) then computes true Jaccard for every
+# co-occurring participant pair and discards the false candidates —
+# no pair ever exists outside a groupBy, so the only quadratic term
+# left is the df-bounded intersection join q14c itself pays, and the
+# prefix machinery adds just two linear passes (dfreq + per-doc rank
+# window + a posting-list count). When the corpus has a rare tail
+# (real web text), the participant semi-join shrinks the verify join
+# superlinearly; on this tail-less synthetic corpus it degrades to
+# ~q14c + prefix overhead instead of 3× q14c.
 #
 # ceil(τ·n) at τ = 1/5 is exact integer arithmetic: (n + 4) DIV 5.
 # The ORACLE IS Q14C_SQL — the naive formulation. A hash-match is a
@@ -608,55 +620,52 @@ def q83_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     sh = shingle_index(spark, sf_dir)
-    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(dfreq, "s").withColumn(
+    # df and pdf attach via COUNT WINDOWS, not groupBy+join: each
+    # window is one shuffle of the index instead of two (the groupBy
+    # shuffle plus re-shuffling both join sides), and the whole prefix
+    # chain below is one linear pipeline — nothing is consumed twice,
+    # so nothing needs a checkpoint
+    ranked = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    ).withColumn(
         "rk",
         F.row_number().over(
             Window.partitionBy("doc_id").orderBy("df", "s")
         ),
     )
-    # prefix length for Jaccard τ = 0.2: n_sh - ceil(n_sh/5) + 1.
-    # localCheckpoint: the frame feeds BOTH sides of the candidate
-    # self-join — without it the dfreq join + per-doc rank window
-    # (the two expensive full-index shuffles) execute twice.
-    prefix = (
-        ranked.filter(
-            F.col("rk") <= F.col("n_sh") - F.expr("(n_sh + 4) DIV 5") + 1
+    # prefix length for Jaccard τ = 0.2: n_sh - ceil(n_sh/5) + 1
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n_sh") - F.expr("(n_sh + 4) DIV 5") + 1
+    ).select("source", "s", "doc_id")
+    # participants: docs whose prefix intersects another doc's prefix
+    # on the same (source, shingle) — a POSTING-LIST COUNT, never a
+    # pair join (see header)
+    ids = (
+        prefix.withColumn(
+            "pdf", F.count(F.lit(1)).over(Window.partitionBy("source", "s"))
         )
-        .select("source", "s", "doc_id", "n_sh")
+        .filter(F.col("pdf") >= 2)
+        .select("source", "doc_id")
+        .distinct()
         .localCheckpoint(eager=True)
     )
-    # AllPairs LENGTH filter (lossless for J > 0.2 strictly): J <=
-    # min/max, so a candidate needs 5*min(n_a, n_b) > max(n_a, n_b);
-    # applied inside the self-join it prunes size-skewed pairs before
-    # the distinct and the verify joins ever see them.
-    cand = (
-        prefix.select(
-            "source", "s", F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")
-        )
-        .join(
-            prefix.select(
-                "source", "s", F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")
-            ),
-            ["source", "s"],
-        )
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("n_a") < 5 * F.col("n_b"))
-            & (F.col("n_b") < 5 * F.col("n_a"))
-        )
-        .select("source", "id_a", "id_b")
-        .distinct()
-    )
-    # posting-list-intersection counting over candidate participants,
-    # bounded by the candidate set (see header: the r5 per-candidate
-    # list re-join exploded at sf1)
-    ids = (
-        cand.select("source", F.col("id_a").alias("doc_id"))
-        .unionByName(cand.select("source", F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    shr = sh.join(ids, ["source", "doc_id"], "left_semi")
+    # ADAPTIVE BYPASS (the AQE idea applied to algorithm choice): when
+    # the prefix filter keeps ~every doc — the measured reality on a
+    # bounded-vocabulary corpus with no rare tail — the participant
+    # semi-join is a full-index shuffle that removes nothing. Measure
+    # the selectivity on the (tiny, checkpointed) id frame and skip the
+    # stage unless it actually prunes; both branches are exact, so this
+    # is a physical-plan decision, never a semantic one.
+    n_part = ids.count()
+    n_docs = sh.select("doc_id").distinct().count()
+    # exact verification: q14c's intersection join over the (possibly
+    # semi-joined) index, with the AllPairs LENGTH filter (lossless for
+    # J > 0.2 strictly: J <= min/max, so 5*min(n_a, n_b) >
+    # max(n_a, n_b)) pruning size-skewed pairs inside the join
+    if n_part < 0.9 * n_docs:
+        shr = sh.join(ids, ["source", "doc_id"], "left_semi")
+    else:
+        shr = sh
     a_sh = shr.select(
         "source", "s", F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")
     )
@@ -665,10 +674,13 @@ def q83_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     common = (
         a_sh.join(b_sh, ["source", "s"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("n_a") < 5 * F.col("n_b"))
+            & (F.col("n_b") < 5 * F.col("n_a"))
+        )
         .groupBy("source", "id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
-        .join(cand, ["source", "id_a", "id_b"])  # lossless candidate bound
     )
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (

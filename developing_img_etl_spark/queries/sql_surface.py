@@ -664,18 +664,14 @@ ORACLES["q87_mincost_supplier"] = Q87_TEXT
 # |orders| — 1.5M rows at sf1, 1.5B at sf1000 — while depth stays
 # bounded by orders-per-customer, not data size.
 #
-# Same engine-native WITH RECURSIVE front door as q94 (SPARK-24497):
-# the IDENTICAL SQL text runs on Spark and DuckDB. The ordered
-# next-order edge relation is built once in a non-recursive member via
-# row_number() over (custkey, orderdate, orderkey) — a deterministic
-# total order — and each level is one (custkey, rk) equi-join of the
-# frontier against it. Money accumulates as exact BIGINT cents
+# The ORACLE runs the walk as an engine-native WITH RECURSIVE (the
+# ordered next-order edge relation built once via row_number(), each
+# level one (custkey, rk) equi-join of the frontier); Spark computes
+# the identical result as a cumulative window — see the function body
+# for why the linear-chain reduction is lossless and why it is the
+# right 100 TB plan. Money accumulates as exact BIGINT cents
 # (floor(x*100+0.5)); outer sums CAST to BIGINT (DuckDB HUGEINT would
 # reach the client as float64 — the r5 driver hash-red class).
-#
-# Scale shape: the recursion's per-level join is frontier × seq on
-# (custkey, rk) — hash-partitioned equi-join, no skew (one row per key
-# pair per side), and the final per-depth rollup returns ~25 rows.
 # ---------------------------------------------------------------------------
 Q120_TEXT = """
 WITH RECURSIVE seq AS (
@@ -704,39 +700,40 @@ ORDER BY depth
 
 def q120_recursive_order_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    # Spark's recursion row limit (default 1e6) is a runaway guard for
-    # unbounded recursions; this walk's total volume is provably
-    # |orders| (every order appears exactly once across all levels),
-    # so the guard must scale with data, not cap it — 1.5M rows at sf1
-    # tripped the default. Depth stays bounded by orders-per-customer.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
-    # Materialize the windowed `seq` prelude ONCE: Spark re-plans the
-    # recursion step per level, re-executing a non-recursive CTE it
-    # references every iteration (25 windows over orders at sf1 — 47.5 s
-    # measured; DuckDB materializes CTEs once). The checkpointed temp
-    # view restores the materialize-once semantics (26.5 s at sf1, the
-    # residual being depth x per-level stage floor). The oracle keeps
-    # the inline-CTE text; results verified identical.
-    seq = spark.sql(
-        """
-        SELECT o_custkey AS custkey,
-               row_number() OVER (PARTITION BY o_custkey
-                                  ORDER BY o_orderdate, o_orderkey) AS rk,
-               o_orderkey AS orderkey,
-               CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
-                 AS cents
-        FROM orders
-        """
-    ).localCheckpoint(eager=False)
-    seq.createOrReplaceTempView("q120_seq")
+    # r8 rework (VERDICT r7 #3): the engine-native WITH RECURSIVE run
+    # (kept through r7, q94 still exercises it) re-plans the recursion
+    # step per level, so even with the `seq` prelude checkpointed the
+    # cost was depth × per-level stage floor — 159.5 s vs DuckDB's
+    # 15.6 s at sf10. But THIS walk is a linear chain: rk is a
+    # row_number, so every node has exactly one (custkey, rk+1)
+    # successor and the recursion's cum_cents is definitionally the
+    # running sum of cents over (custkey ORDER BY rk), with depth = rk.
+    # The Spark-first physical plan for a linear-chain walk is
+    # therefore ONE cumulative window — a single hash partition by
+    # custkey, zero iterations, depth-independent (the 100 TB shape:
+    # cost is O(|orders|) regardless of orders-per-customer). The
+    # ORACLE KEEPS THE WITH RECURSIVE TEXT, so the hash-match is a
+    # cross-ALGORITHM proof (recursive walk ≡ prefix sum), the q83
+    # discipline. Generic-DAG recursions — where no such reduction
+    # exists — remain covered by q94 (engine-native recursion) and
+    # q21 (frontier joins with localCheckpoint pinning).
     return spark.sql(
         """
-        WITH RECURSIVE walk AS (
-          SELECT custkey, rk, orderkey, cents AS cum_cents, 1 AS depth
-          FROM q120_seq WHERE rk = 1
-          UNION ALL
-          SELECT n.custkey, n.rk, n.orderkey, w.cum_cents + n.cents, w.depth + 1
-          FROM walk w JOIN q120_seq n ON n.custkey = w.custkey AND n.rk = w.rk + 1
+        WITH seq AS (
+          SELECT o_custkey AS custkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rk,
+                 o_orderkey AS orderkey,
+                 CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5) AS BIGINT)
+                   AS cents
+          FROM orders
+        ), walk AS (
+          SELECT CAST(rk AS INT) AS depth,
+                 orderkey,
+                 SUM(cents) OVER (PARTITION BY custkey ORDER BY rk
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS cum_cents
+          FROM seq
         )
         SELECT depth,
                COUNT(*) AS n_customers,
