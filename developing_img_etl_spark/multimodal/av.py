@@ -7,17 +7,20 @@ this container, so the deterministic fake formats —
 `FAKEAUD:{rate}:{n_samples}:` and `FAKEVID:{w}:{h}:{fps}:{n_frames}:`
 headers — carry the plumbing contract (BinaryType columns, Arrow batch
 shape, null-on-unreadable guard semantics, the mapInPandas
-row-explosion for frame sampling, typed metadata structs). The AUDIO
-path additionally has a REAL container format: RIFF/WAV 16-bit PCM
-(wav.py, stdlib-only), routed ahead of the fake seam below exactly as
-BMP/PNG are routed ahead of FAKEIMG in image.py — real WAV bytes
-decode for real; other real formats (mp3/flac/mp4) hit the decoder
-seam (soundfile / PyAV would slot in at _decode_*) and until one is
-importable return null (the M3 guard), never a wrong answer.
+row-explosion for frame sampling, typed metadata structs). BOTH paths
+additionally have a REAL container format routed ahead of the fake
+seam exactly as BMP/PNG are routed ahead of FAKEIMG in image.py:
+RIFF/WAV 16-bit PCM for audio (wav.py) and RIFF MJPEG-in-AVI for
+video (avi.py, r8) — real WAV/AVI bytes decode for real; other real
+formats (mp3/flac/mp4/mkv) hit the decoder seam (soundfile / PyAV
+would slot in at _decode_*) and until one is importable return null
+(the M3 guard), never a wrong answer.
 
-Frame sampling emits frames as FAKEIMG bytes, so the image UDF surface
-(image_dims, compress_image) composes directly with sampled frames —
-the video path IS the image path after sampling.
+Frame sampling emits frames as FAKEIMG bytes on the fake path and as
+the raw per-frame JPEG payloads on the AVI path, so the image UDF
+surface (image_dims, compress_image, jpeg decode) composes directly
+with sampled frames — the video path IS the image path after
+sampling.
 
 Scale: all metadata/feature extraction is map-side (no shuffle touches
 the binary payload); frame sampling multiplies rows map-side before
@@ -72,8 +75,14 @@ def _decode_video_meta(data: bytes | None) -> tuple[int, int, int, int] | None:
     if data is None:
         return None
     data = bytes(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        # real container format: MJPEG-in-AVI (avi.py), routed ahead of
+        # the fake seam exactly as WAV is for FAKEAUD above
+        from .avi import avi_meta
+
+        return avi_meta(data)
     if not data.startswith(_VID_MAGIC):
-        return None  # real decoder seam: av.open would go here
+        return None  # seam for further real decoders (mp4/mkv): av.open here
     try:
         parts = data.split(b":", 5)
         return int(parts[1]), int(parts[2]), int(parts[3]), int(parts[4])
@@ -163,6 +172,8 @@ def sample_frames(
     )
 
     def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .avi import avi_frames
+
         for pdf in batches:
             rows = []
             for vid, data in zip(pdf[id_col], pdf[content_col]):
@@ -170,6 +181,17 @@ def sample_frames(
                 if meta is None:
                     continue
                 w, h, _fps, n = meta
+                raw = bytes(data)
+                if raw[:4] == b"RIFF":
+                    # real MJPEG AVI: each '00dc' payload is a complete
+                    # JPEG, so the sampled frame IS the payload — no
+                    # re-encode, and skipped frames are never decoded
+                    payloads = avi_frames(raw)
+                    if payloads is None:
+                        continue
+                    for idx in range(0, min(n, len(payloads)), every_n):
+                        rows.append((vid, idx, w, h, payloads[idx]))
+                    continue
                 for idx in range(0, n, every_n):
                     rows.append(
                         (vid, idx, w, h, make_fake_image(w, h, seed=b"%d:%d" % (vid, idx)))

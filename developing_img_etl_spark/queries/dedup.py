@@ -609,8 +609,10 @@ ORACLES["q74_canonical_dedup"] = Q74_SQL
 # prefix machinery adds just two linear passes (dfreq + per-doc rank
 # window + a posting-list count). When the corpus has a rare tail
 # (real web text), the participant semi-join shrinks the verify join
-# superlinearly; on this tail-less synthetic corpus it degrades to
-# ~q14c + prefix overhead instead of 3× q14c.
+# superlinearly; on a tail-less corpus the df-histogram probe in the
+# body detects that the filter cannot prune and skips straight to
+# verification, so the worst case is ~q14c + one groupBy, never
+# 3× q14c.
 #
 # ceil(τ·n) at τ = 1/5 is exact integer arithmetic: (n + 4) DIV 5.
 # The ORACLE IS Q14C_SQL — the naive formulation. A hash-match is a
@@ -620,52 +622,53 @@ def q83_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     sh = shingle_index(spark, sf_dir)
-    # df and pdf attach via COUNT WINDOWS, not groupBy+join: each
-    # window is one shuffle of the index instead of two (the groupBy
-    # shuffle plus re-shuffling both join sides), and the whole prefix
-    # chain below is one linear pipeline — nothing is consumed twice,
-    # so nothing needs a checkpoint
-    ranked = sh.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("s"))
-    ).withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("df", "s")
-        ),
-    )
-    # prefix length for Jaccard τ = 0.2: n_sh - ceil(n_sh/5) + 1
-    prefix = ranked.filter(
-        F.col("rk") <= F.col("n_sh") - F.expr("(n_sh + 4) DIV 5") + 1
-    ).select("source", "s", "doc_id")
-    # participants: docs whose prefix intersects another doc's prefix
-    # on the same (source, shingle) — a POSTING-LIST COUNT, never a
-    # pair join (see header)
-    ids = (
-        prefix.withColumn(
-            "pdf", F.count(F.lit(1)).over(Window.partitionBy("source", "s"))
+    # per-(source, s) document frequency: pairs only form within a
+    # source (the blocking key), so a PER-SOURCE total order is a valid
+    # order for the prefix theorem — and this one frame then serves
+    # both the adaptive probe and, when it runs, the prefix ordering
+    dfreq = sh.groupBy("source", "s").agg(F.count(F.lit(1)).alias("df"))
+    # ADAPTIVE BYPASS (the AQE idea applied to algorithm choice),
+    # decided from the df HISTOGRAM before any prefix work: when
+    # ~every index row sits in a shared posting list — the measured
+    # reality on a bounded-vocabulary corpus with no rare tail (sf1:
+    # participants = 100% of docs) — the filter cannot prune, and
+    # building it (two full-index window shuffles + a semi-join) is
+    # pure overhead on top of the verification it cannot shrink. Both
+    # branches are exact, so this is a physical-plan decision, never a
+    # semantic one; the prefix path is pinned by the sparse-corpus
+    # pytest (test_misc_surface.py), where it prunes hard.
+    tot, shared = dfreq.agg(
+        F.sum("df"), F.sum(F.when(F.col("df") >= 2, F.col("df")))
+    ).first()
+    if shared is not None and shared >= 0.95 * tot:
+        shr = sh  # prefix filter provably near-useless here: skip it
+    else:
+        ranked = sh.join(dfreq, ["source", "s"]).withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "s")
+            ),
         )
-        .filter(F.col("pdf") >= 2)
-        .select("source", "doc_id")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    # ADAPTIVE BYPASS (the AQE idea applied to algorithm choice): when
-    # the prefix filter keeps ~every doc — the measured reality on a
-    # bounded-vocabulary corpus with no rare tail — the participant
-    # semi-join is a full-index shuffle that removes nothing. Measure
-    # the selectivity on the (tiny, checkpointed) id frame and skip the
-    # stage unless it actually prunes; both branches are exact, so this
-    # is a physical-plan decision, never a semantic one.
-    n_part = ids.count()
-    n_docs = sh.select("doc_id").distinct().count()
+        # prefix length for Jaccard τ = 0.2: n_sh - ceil(n_sh/5) + 1
+        prefix = ranked.filter(
+            F.col("rk") <= F.col("n_sh") - F.expr("(n_sh + 4) DIV 5") + 1
+        ).select("source", "s", "doc_id")
+        # participants: docs whose prefix intersects another doc's
+        # prefix on the same (source, shingle) — a POSTING-LIST COUNT
+        # window, never a pair join (see header)
+        ids = (
+            prefix.withColumn(
+                "pdf", F.count(F.lit(1)).over(Window.partitionBy("source", "s"))
+            )
+            .filter(F.col("pdf") >= 2)
+            .select("source", "doc_id")
+            .distinct()
+        )
+        shr = sh.join(ids, ["source", "doc_id"], "left_semi")
     # exact verification: q14c's intersection join over the (possibly
     # semi-joined) index, with the AllPairs LENGTH filter (lossless for
     # J > 0.2 strictly: J <= min/max, so 5*min(n_a, n_b) >
     # max(n_a, n_b)) pruning size-skewed pairs inside the join
-    if n_part < 0.9 * n_docs:
-        shr = sh.join(ids, ["source", "doc_id"], "left_semi")
-    else:
-        shr = sh
     a_sh = shr.select(
         "source", "s", F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")
     )

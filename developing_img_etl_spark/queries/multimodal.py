@@ -1139,3 +1139,166 @@ def m19_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["m19_phash_dedup"] = m19_phash_dedup
 # approximate (DCT thresholding) → rows-only; recall/precision pytest
+
+
+# --------------------------------------------------------------------------
+# M20 — REAL video frame sampling: MJPEG-in-AVI (multimodal/avi.py,
+# the RIFF walk of wav.py composed with the baseline JPEG codec of
+# jpeg.py) generated per part row, routed through the SAME
+# sample_frames surface m11 drives over FAKEVID — the last fake
+# decoder seam now has a real-bytes twin. JPEG is lossy, so decoded
+# pixels are not SQL arithmetic; the m18 discipline applies: the
+# oracle checks what IS exact — container metadata (w/h/fps/n_frames
+# from the AVI headers), the sampled-index set (every_n = 2 → indices
+# 0,2,4,..., count ceil(n/2), sum k(k-1)), the per-frame dimension
+# contract (JPEG SOF of each emitted payload == container dims), and
+# a per-frame FIDELITY GATE (mean |decoded − expected photo| <= the
+# m18 bound; measured max 8.0 on this corpus, a mismatched frame
+# scores ~85). Pixel arithmetic itself is pinned by avi/jpeg pytest.
+# Corrupt rows carry a RIFF header whose AVI body is garbage — the
+# guard exercised inside the chunk walker; they surface as
+# 'unreadable' with zero sampled frames, never a wrong answer.
+# Scale shape: generation, frame explosion, dim parse, and the
+# fidelity decode are ALL map-side (frame bytes never shuffle); the
+# only shuffles carry (video_id, small longs/bools).
+# --------------------------------------------------------------------------
+_AVI_FIDELITY_BOUND = 32.0
+
+
+@pandas_udf(T.BinaryType())
+def _gen_avi(w: pd.Series, h: pd.Series, fps: pd.Series, n: pd.Series, seed: pd.Series) -> pd.Series:
+    from ..multimodal.avi import make_avi
+
+    return pd.Series(
+        [
+            None
+            if pd.isna(a)
+            else make_avi(int(a), int(b), int(f), int(k), int(s))
+            for a, b, f, k, s in zip(w, h, fps, n, seed)
+        ],
+        dtype=object,
+    )
+
+
+@pandas_udf(
+    T.StructType(
+        [
+            T.StructField("dims_ok", T.BooleanType()),
+            T.StructField("fidelity_ok", T.BooleanType()),
+        ]
+    )
+)
+def _avi_frame_checks(
+    frame: pd.Series, w: pd.Series, h: pd.Series, vid: pd.Series, idx: pd.Series
+) -> pd.DataFrame:
+    from ..multimodal.jpeg import jpeg_decode, jpeg_dims, make_photo
+
+    rows = []
+    for b, ow, oh, v, i in zip(frame, w, h, vid, idx):
+        payload = bytes(b)
+        dims = jpeg_dims(payload)
+        dims_ok = dims == (int(ow), int(oh))
+        dec = jpeg_decode(payload)
+        if dec is None:
+            rows.append((dims_ok, False))
+            continue
+        # the corpus seed is derived from the id (make_avi contract)
+        expected = make_photo(int(ow), int(oh), (int(v) % 251 + 31 * int(i)) % 251)
+        err = float(np.abs(dec.astype(np.int64) - expected.astype(np.int64)).mean())
+        rows.append((dims_ok, err <= _AVI_FIDELITY_BOUND))
+    return pd.DataFrame(rows, columns=["dims_ok", "fidelity_ok"])
+
+
+def _avi_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # every 25th part: each video is n_frames full JPEG encode+decode
+    # passes — the per-row cost of m18 multiplied by the frame count
+    part = _widen(load(spark, sf_dir, "part").filter(F.col("p_partkey") % 25 == 0))
+    corrupt = F.col("p_partkey") % 97 == 0
+    w = (16 + F.pmod(F.col("p_size"), F.lit(12)) * 4).cast("int")
+    h = (12 + F.pmod(F.col("p_size"), F.lit(8)) * 4).cast("int")
+    fps = (12 + F.pmod(F.col("p_size"), F.lit(3)) * 6).cast("int")
+    n = (3 + F.pmod(F.col("p_size"), F.lit(6))).cast("int")
+    seed = F.pmod(F.col("p_partkey"), F.lit(251)).cast("int")
+    return part.select(
+        F.col("p_partkey").alias("video_id"),
+        F.when(corrupt, F.lit(b"RIFF\x00\x00\x00\x00AVI corrupt-body"))
+        .otherwise(_gen_avi(w, h, fps, n, seed))
+        .alias("content"),
+    )
+
+
+def m20_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.av import sample_frames, video_metadata
+
+    vids = _avi_corpus(spark, sf_dir)
+    meta = vids.select(
+        "video_id", video_metadata(F.col("content")).alias("m")
+    )
+    frames = sample_frames(vids, id_col="video_id", every_n=2)
+    checked = frames.select(
+        "video_id",
+        "frame_idx",
+        _avi_frame_checks(
+            F.col("frame"), F.col("width"), F.col("height"),
+            F.col("video_id"), F.col("frame_idx"),
+        ).alias("c"),
+    )
+    per_vid = checked.groupBy("video_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("frame_idx").cast("long").alias("idx_sum"),
+        F.min("c.dims_ok").alias("dims_ok"),
+        F.min("c.fidelity_ok").alias("fidelity_ok"),
+    )
+    return (
+        meta.join(per_vid, "video_id", "left")
+        .select(
+            F.col("video_id").alias("p_partkey"),
+            F.when(F.col("m.width").isNull(), F.lit("unreadable"))
+            .otherwise(F.lit("ok"))
+            .alias("status"),
+            F.col("m.width").alias("width"),
+            F.col("m.height").alias("height"),
+            F.col("m.fps").alias("fps"),
+            F.col("m.n_frames").alias("n_frames"),
+            "n_sampled",
+            "idx_sum",
+            "dims_ok",
+            "fidelity_ok",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+M20_SQL = """
+WITH base AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 97 = 0 THEN NULL
+              ELSE CAST(16 + (p_size % 12) * 4 AS INT) END AS w,
+         CASE WHEN p_partkey % 97 = 0 THEN NULL
+              ELSE CAST(12 + (p_size % 8) * 4 AS INT) END AS h,
+         CAST(12 + (p_size % 3) * 6 AS INT) AS fps,
+         CAST(3 + p_size % 6 AS INT) AS n
+  FROM part
+  WHERE p_partkey % 25 = 0
+)
+SELECT p_partkey,
+       CASE WHEN w IS NULL THEN 'unreadable' ELSE 'ok' END AS status,
+       w AS width,
+       h AS height,
+       CASE WHEN w IS NULL THEN NULL ELSE fps END AS fps,
+       CASE WHEN w IS NULL THEN NULL ELSE n END AS n_frames,
+       -- every_n = 2 samples indices 0,2,4,...: count = ceil(n/2) = k
+       CAST(CASE WHEN w IS NULL THEN NULL ELSE (n + 1) // 2 END AS BIGINT)
+         AS n_sampled,
+       -- sum of 0+2+...+2(k-1) = k*(k-1)
+       CAST(CASE WHEN w IS NULL THEN NULL
+                 ELSE ((n + 1) // 2) * ((n + 1) // 2 - 1) END AS BIGINT)
+         AS idx_sum,
+       CASE WHEN w IS NULL THEN NULL ELSE TRUE END AS dims_ok,
+       CASE WHEN w IS NULL THEN NULL ELSE TRUE END AS fidelity_ok
+FROM base
+ORDER BY p_partkey
+"""
+
+QUERIES["m20_avi_frame_sample"] = m20_avi_frame_sample
+ORACLES["m20_avi_frame_sample"] = M20_SQL

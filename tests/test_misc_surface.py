@@ -699,3 +699,40 @@ def test_q88_fingerprint_null_fields_cross_engine(spark, tmp_path):
     # different split: fingerprints over the two groups must differ
     rows = {r.nationkey: r.checksum for r in q88_table_fingerprint(spark, sf).collect()}
     assert rows[7] != rows[8]
+
+
+def test_q83_prefix_path_prunes_sparse_corpus(spark, tmp_path):
+    """On a rare-tail corpus the adaptive probe must take the PREFIX
+    branch (not the bypass) and still equal the naive q14c result —
+    the sparse-side pin for q83's plan choice."""
+    import duckdb
+
+    from developing_img_etl_spark.queries.dedup import (
+        Q14C_SQL,
+        q83_prefix_filter_jaccard,
+    )
+
+    sf = str(tmp_path)
+    rows = []
+    # 40 docs with fully unique vocabularies (no shared shingles at
+    # all) + 2 genuine near-duplicates: shared posting lists carry a
+    # tiny fraction of index rows, so the probe must choose the prefix
+    # branch, and the participant set must collapse to the dup pair
+    for i in range(40):
+        text = " ".join(f"tok{i}x{j}" for j in range(12))
+        rows.append((i, text, "en", "web", len(text)))
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows.append((100, dup, "en", "web", len(dup)))
+    rows.append((101, dup + " extra", "en", "web", len(dup) + 6))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    got = [tuple(r) for r in q83_prefix_filter_jaccard(spark, sf).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    exp = [tuple(r) for r in con.execute(Q14C_SQL).fetchall()]
+    assert got == exp
+    assert [(a, b) for _, a, b, _ in got] == [(100, 101)]
