@@ -227,8 +227,24 @@ def contaminated_ids(
         if probes_shingled is not None
         else shingle_rows(probes, id_col=probe_id_col, text_col=text_col, n=n)
     ).select(F.col("doc_id").alias("probe_id"), "s")
+    # Partition the corpus side by doc_id BEFORE the (broadcast) probe
+    # join (r8, VERDICT r7 #5): the join output is pair rows — ~10× the
+    # index (242M at sf10, 91% DISTINCT pairs, so partial aggregation
+    # compresses nothing) — and HashPartitioning(doc_id) satisfies the
+    # (doc_id, probe_id) clustering AND every downstream doc_id
+    # aggregation, so the pair count, the >= min_common filter, and the
+    # flagged-id distinct all run EXCHANGE-FREE: the only shuffle in
+    # the whole operator is this linear repartition of the index
+    # (26M rows), instead of shuffling the pair set. Width = 4× default
+    # parallelism so each task's pair hash table stays small (the group
+    # count ≈ the pair count; 32 tasks → 6.8M keys/task and spill,
+    # 128 → 1.7M; measured 29 s → 8 s at sf10, DuckDB-parity). The
+    # probe side is broadcast (AQE does it here; a real benchmark set
+    # is fixed-size, so it broadcasts at any SF).
+    n_parts = d_sh.sparkSession.sparkContext.defaultParallelism * 4
     return (
-        d_sh.join(p_sh, "s")
+        d_sh.repartition(n_parts, F.col("doc_id"))
+        .join(p_sh, "s")
         .filter(F.col("doc_id") != F.col("probe_id"))
         .groupBy("doc_id", "probe_id")
         .agg(F.count(F.lit(1)).alias("n_common"))

@@ -298,14 +298,20 @@ ORACLES["q94_recursive_cte"] = Q94_SQL
 # (85*s) DIV 100) so every engine computes bit-identical ranks — FP
 # PageRank can never hash-match across engines, integer PageRank must.
 # The graph is symmetrized (both edge directions) so no node dangles.
-# Scale shape (VERDICT r3 exchange-fusion): the degree is folded into
-# the edge list ONCE (edges ⋈ deg, pre-partitioned by src and
-# localCheckpoint'd — LogicalRDD keeps the hash partitioning), so each
-# iteration is exactly (small rank exchange on node) + (contribution
-# exchange on dst): two exchanges, one join, one agg — the edge side is
-# never re-shuffled after round 0. The rank-update formula is fused
-# into the aggregate's output projection. Round count is fixed (3),
-# not data-dependent.
+# Scale shape (r8 rework, VERDICT r7 #5): the r3 shape annotated edges
+# with the degree and pre-partitioned them, but every iteration still
+# planned as a SortMergeJoin — Spark re-EXCHANGED and re-SORTED the
+# full edge list per round (plan-audited), which is where the sf10
+# 127 s went. Now (a) the per-node contribution r DIV d is folded
+# BEFORE the edge join (rank ⋈ deg is a node-sized join; the big join
+# carries only (src, dst) × (src, c)), and (b) both per-round joins
+# carry SHUFFLE_HASH hints: a shuffled hash join never sorts either
+# side, the checkpointed edge list's hash partitioning is reused
+# as-is, and only the node-sized contribution frame moves. Each
+# iteration is exactly (node-sized contrib exchange) + (contribution
+# agg exchange on dst) with map-side partial aggregation; at 1000
+# executors the per-partition hash build is the node frame / n_parts —
+# the memory-safe side. Round count is fixed (3), not data-dependent.
 # ---------------------------------------------------------------------------
 _PR_ITERS = 3
 
@@ -318,22 +324,25 @@ def q39_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     edges = (
         e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .localCheckpoint(eager=True)
-    )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(eager=True)
-    # degree-annotated edges, hash-partitioned on the per-round join key
-    e_deg = (
-        edges.join(deg, "src")
-        .select("src", "dst", "d")
         .repartition(F.col("src"))
+        .localCheckpoint(eager=True)  # pinned + hash-partitioned on the join key
+    )
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .withColumnRenamed("src", "node")
         .localCheckpoint(eager=True)
     )
-    rank = deg.select(F.col("src").alias("node"), F.lit(1_000_000).alias("r"))
+    rank = deg.select("node", F.lit(1_000_000).alias("r"))
     for _ in range(_PR_ITERS):
+        contrib = (
+            rank.join(deg.hint("shuffle_hash"), "node")
+            .select(F.col("node").alias("src"), F.expr("r DIV d").alias("c"))
+        )
         rank = (
-            e_deg.join(rank, e_deg.src == rank.node)
+            edges.join(contrib.hint("shuffle_hash"), "src")
             .groupBy("dst")
-            .agg(F.sum(F.expr("r DIV d")).alias("s"))
+            .agg(F.sum("c").alias("s"))
             .select(
                 F.col("dst").alias("node"),
                 (F.lit(150_000) + F.expr("(85 * s) DIV 100")).alias("r"),

@@ -1,12 +1,14 @@
-"""sf10 spot-correctness: hash-compare a representative query slice
-against DuckDB at the fourth decade.
+"""sf10 spot-correctness: hash-compare every query whose DuckDB oracle
+finishes at the fourth decade.
 
-SF1_CORRECTNESS.json certifies all 179 queries at sf1; the sf10 probe
-certifies THROUGHPUT at sf10 but not values. This script closes that
-gap for a representative slice — one query per major family, chosen so
-both engines finish comfortably at sf10 (the families whose oracles
-DNF at sf10 are exactly the ones whose Spark results were certified at
-sf0.01/0.1/1 and whose sf10 runs completed on the Spark side).
+SF1_CORRECTNESS.json certifies all queries at sf1; the sf10 probe
+certifies THROUGHPUT at sf10 but not values. r7 closed the gap for a
+15-query representative slice; r8 widens it to the FULL set of
+SF10_PROBE data-proportional queries whose oracle finished under the
+probe cap (27 of 36 — the 9 DNFs are the near-dup pair-generation
+family, value-certified at sf0.01/0.1/1), plus the original slice's
+floor-bound members. Resumable: a progress ledger keeps MATCH rows
+across interrupted runs; FAIL rows always re-run.
 
 Writes SF10_SPOTCHECK.json. Usage: python scripts/sf10_spotcheck.py
 """
@@ -14,6 +16,7 @@ Writes SF10_SPOTCHECK.json. Usage: python scripts/sf10_spotcheck.py
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -22,11 +25,9 @@ sys.path.insert(0, "/root/repo/tests")
 
 SF = "/root/repo/testdata/sf10"
 OUT = "/root/repo/SF10_SPOTCHECK.json"
+PROGRESS = "/root/repo/SF10_SPOT_PROGRESS.jsonl"
 
-# one per family: relational agg, join chain, window, percentiles,
-# text stats, TF-IDF, dedup-exact, sketch (HLL), quantile sketch,
-# similarity (matryoshka), evaluation (AUC, covariance), novelty,
-# sampling, behavior
+# the r7 representative slice (one per major family) ...
 NAMES = [
     "q2_grouped_agg",
     "q3_join_chain",
@@ -43,6 +44,33 @@ NAMES = [
     "q132_novelty_scan",
     "q57_group_topk_sample",
     "q127_linear_attribution",
+    # ... widened (r8) to every SF10_PROBE query whose oracle finished
+    "m14_png_compress",
+    "m17_gif_compress",
+    "q110_retrieval_eval",
+    "q119_kmeans_fixed_point",
+    "q11b_asof_join",
+    "q120_recursive_order_walk",
+    "q14c_ngram_jaccard_pairs",
+    "q19_stage_dependency_dates",
+    "q21_dependency_closure",
+    "q24_udaf_grouped_agg",
+    "q27_decontamination",
+    "q31_cosine_near_dups",
+    "q39_pagerank",
+    "q48_edit_distance_pairs",
+    "q53_winnowing_fingerprints",
+    "q61_bloom_semijoin_reduction",
+    "q63_repeated_ngram_overlap",
+    "q82_triangle_count",
+    "q83_prefix_filter_jaccard",
+    "q86_capped_sessions",
+    "q87_mincost_supplier",
+    "q93_rrf_hybrid_retrieval",
+    "q96_semdedup",
+    "q9b_scalar_dates_math",
+    # r8 additions outside the probe subset
+    "m20_avi_frame_sample",
 ]
 
 
@@ -52,12 +80,28 @@ def main() -> int:
     from developing_img_etl_spark.queries import all_oracles, all_queries
     from developing_img_etl_spark.session import get_spark
 
+    statuses: dict[str, str] = {}
+    secs: dict[str, float] = {}
+    if os.path.exists(PROGRESS):
+        with open(PROGRESS) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if rec.get("status") == "MATCH":
+                    statuses[rec["name"]] = "MATCH"
+                    secs[rec["name"]] = rec.get("s", 0.0)
+        if statuses:
+            print(f"resuming: {len(statuses)} MATCH rows kept", flush=True)
+
     spark = get_spark("sf10-spot", cpus=32)
     spark.conf.set("spark.sql.shuffle.partitions", "64")
     qs, oracles = all_queries(), all_oracles()
-    statuses: dict[str, str] = {}
     failures: list[str] = []
     for name in NAMES:
+        if statuses.get(name) == "MATCH":
+            continue
         t0 = time.time()
         try:
             assert_matches(qs[name](spark, SF), oracles[name], SF)
@@ -65,9 +109,19 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             statuses[name] = f"FAIL: {type(e).__name__}: {e}"
             failures.append(name)
-        print(f"  {name}: {statuses[name]}  [{time.time() - t0:.1f}s]", flush=True)
+        secs[name] = round(time.time() - t0, 1)
+        with open(PROGRESS, "a") as f:
+            f.write(
+                json.dumps({"name": name, "status": statuses[name][:200], "s": secs[name]})
+                + "\n"
+            )
+        print(f"  {name}: {statuses[name]}  [{secs[name]:.1f}s]", flush=True)
     with open(OUT, "w") as f:
-        json.dump({"sf_dir": SF, "statuses": statuses, "failures": failures}, f, indent=1)
+        json.dump(
+            {"sf_dir": SF, "statuses": statuses, "seconds": secs, "failures": failures},
+            f,
+            indent=1,
+        )
     print("ALL GREEN" if not failures else f"FAILURES: {failures}", flush=True)
     return 1 if failures else 0
 
