@@ -1816,3 +1816,145 @@ ORDER BY rk
 
 QUERIES["st16_streaming_cms_counts"] = st16_streaming_cms_counts
 ORACLES["st16_streaming_cms_counts"] = _st16_sql()
+
+
+# ---------------------------------------------------------------------------
+# ST17 (r8) — streaming EXACT quantiles via an additive value-histogram
+# registry.
+#
+# The quantile operators so far are batch (q22 exact percentiles, q113
+# KLL-style sketch); the streaming tier was missing the shape a
+# monitoring pipeline actually runs: per-event-type latency/value
+# percentiles maintained incrementally. Sketches (t-digest/KLL) are
+# NOT additive-exact, so instead of a mergeable approximation this
+# uses the property the corpus actually has — values are cent-quantized
+# doubles, a BOUNDED INTEGER DOMAIN — and keeps the exact per-(type,
+# cent) histogram, which IS additive: per micro-batch the sink appends
+# partial (batch_id, event_type, value_cents, cnt) rows; the read side
+# reconciles per (batch_id, type, v) with MAX (the st16 txn-marker
+# discipline — replayed partials are bit-identical) then SUMs across
+# batches, and exact quantiles fall out of one cumulative window over
+# the bounded histogram: pct-th percentile = min v with cum(v) >=
+# ceil(pct·n/100) — the explicit rank definition, written out
+# IDENTICALLY in the oracle so no engine's percentile_disc semantics
+# are trusted.
+#
+# Same two-semantics contract as st16: duplicate DELIVERY (two staged
+# copies, one batch each) legitimately doubles every histogram count
+# (quantiles are invariant to uniform doubling — the oracle doubles
+# and the values must not move, which is itself a property check);
+# crash-REPLAY of batch 0 through the sink must be absorbed by the
+# marker reconciliation.
+#
+# Scale shape: per-batch cell extraction is one (type, cent) agg —
+# map-side combine does the heavy lifting; the registry grows
+# |distinct cents per type| rows per batch (~20k at sf0.1 —
+# kilobytes); quantile extraction windows over the bounded histogram,
+# never the event stream.
+# ---------------------------------------------------------------------------
+
+_ST17_PCTS = (1, 5, 25, 50, 75, 95, 99)
+
+
+def st17_streaming_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="st17_")
+    src, reg, ckpt = f"{work}/src", f"{work}/reg", f"{work}/ckpt"
+    _link_events_into(sf_dir, src, n_copies=2)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        cells = (
+            batch_df.filter(F.col("value").isNotNull())
+            .select(
+                "event_type",
+                F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("v"),
+            )
+            .groupBy("event_type", "v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        cells.select(
+            F.lit(batch_id).cast("long").alias("batch_id"), "event_type", "v", "cnt"
+        ).write.mode("append").parquet(reg)
+
+    stream = _raw_events_stream(spark, sf_dir, src, max_files_per_trigger=1)
+
+    def drain() -> None:
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drained(q)
+
+    with _stream_shuffle(spark):
+        drain()
+        drain()  # checkpoint restart: no new batches, registry untouched
+
+    # crash-replay: batch 0's file through the sink AGAIN with the same
+    # batch_id — MAX-reconciliation below must absorb the duplicate
+    from ..catalog import normalize_event_ts
+
+    sink(normalize_event_ts(spark.read.parquet(f"{src}/00-events.parquet")), 0)
+
+    from pyspark.sql import Window
+
+    hist = (
+        spark.read.parquet(reg)
+        .groupBy("batch_id", "event_type", "v")
+        .agg(F.max("cnt").alias("cnt"))  # replayed partials are identical
+        .groupBy("event_type", "v")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    cum = hist.select(
+        "event_type",
+        "v",
+        F.sum("cnt").over(Window.partitionBy("event_type").orderBy("v")).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    pcts = cum.select(
+        "event_type",
+        "v",
+        "cum",
+        "n",
+        F.explode(F.array(*[F.lit(p) for p in _ST17_PCTS])).alias("pct"),
+    )
+    return (
+        pcts.filter(F.col("cum") >= F.expr("(pct * n + 99) DIV 100"))
+        .groupBy("event_type", "pct")
+        .agg(F.max("n").cast("long").alias("n"), F.min("v").cast("long").alias("value_cents"))
+        .select("event_type", F.col("pct").cast("long").alias("pct"), "n", "value_cents")
+        .orderBy("event_type", "pct")
+    )
+
+
+_ST17_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+),
+hist AS (
+  -- doubled delivery: every event arrives twice (two staged copies)
+  SELECT event_type, v, 2 * COUNT(*) AS cnt FROM ev GROUP BY event_type, v
+),
+cum AS (
+  SELECT event_type, v,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist
+),
+p AS (SELECT UNNEST([{", ".join(str(p) for p in _ST17_PCTS)}]) AS pct)
+SELECT event_type,
+       CAST(pct AS BIGINT) AS pct,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MIN(v) AS BIGINT) AS value_cents
+FROM cum, p
+WHERE cum >= (pct * n + 99) // 100
+GROUP BY event_type, pct
+ORDER BY event_type, pct
+"""
+
+QUERIES["st17_streaming_exact_quantiles"] = st17_streaming_exact_quantiles
+ORACLES["st17_streaming_exact_quantiles"] = _ST17_SQL

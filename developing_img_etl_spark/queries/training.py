@@ -2476,3 +2476,176 @@ ORDER BY digit
 
 QUERIES["q106_benford_audit"] = q106_benford_audit
 ORACLES["q106_benford_audit"] = Q106_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q133 (r8) — ZONE-MAP data-skipping audit: the metadata computation
+# behind every warehouse's "files skipped" number (Snowflake
+# micro-partition pruning, Delta/Iceberg file stats, ORC/Parquet
+# row-group min/max), made a first-class operator. Two LAYOUTS of
+# lineitem are modeled arithmetically — no global sort, so the audit
+# itself is scale-safe:
+#
+#   natural   zone = (l_orderkey·8 + l_linenumber) DIV 4096 — the
+#             insert-order surrogate (orderkeys are generation-ordered),
+#             i.e. what you get WITHOUT clustering;
+#   clustered zone = days(l_shipdate since 1995-01-01) DIV 7 — weekly
+#             CLUSTER BY shipdate value partitions (q38's z-order is
+#             the multi-column generalization).
+#
+# For each layout the operator maintains per-zone (n_rows, min_day,
+# max_day) — the zone map — then evaluates a fixed predicate suite of
+# ship-date ranges: a zone is PRUNED iff max < lo OR min > hi (the
+# standard min/max test; lossless). Reported per (layout, predicate):
+# zones pruned, rows scanned by surviving zones, true matching rows,
+# and the scan amplification ×1000 — the number that quantifies why
+# the clustered layout wins (natural zones straddle the full date
+# range, so nothing prunes; clustered zones prune ~proportionally to
+# the predicate). EXACT integer arithmetic end to end.
+#
+# Scale shape: one pass over lineitem computes (day, both zone ids);
+# the two zone-map aggregations are map-side-combined groupBys onto
+# bounded frames (zones ≪ rows); predicates are a 4-row broadcast;
+# everything after the zone maps is dim-scale.
+# ---------------------------------------------------------------------------
+
+_Q133_EPOCH = "1995-01-01"
+_Q133_PREDS = (  # (pred_id, lo, hi) as ISO dates, inclusive
+    (1, "1996-01-01", "1996-03-31"),
+    (2, "1998-06-01", "1998-06-07"),
+    (3, "1995-01-01", "2002-01-01"),
+    (4, "2001-10-01", "2001-12-31"),
+)
+
+
+def q133_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    li = load(spark, sf_dir, "lineitem")
+    day = F.datediff(F.col("l_shipdate").cast("date"), F.lit(_Q133_EPOCH).cast("date"))
+    base = li.select(
+        day.alias("day"),
+        ((F.col("l_orderkey") * 8 + F.col("l_linenumber")) / 4096)
+        .cast("long")
+        .alias("z_nat"),
+    ).withColumn("z_clu", F.expr("day DIV 7"))
+    zones = (
+        base.groupBy(F.lit("natural").alias("layout"), F.col("z_nat").alias("z"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+        .unionByName(
+            base.groupBy(F.lit("clustered").alias("layout"), F.col("z_clu").alias("z"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("day").alias("min_day"),
+                F.max("day").alias("max_day"),
+            )
+        )
+    )
+    epoch = _dt.date.fromisoformat(_Q133_EPOCH)
+    preds = spark.createDataFrame(
+        [
+            (
+                pid,
+                (_dt.date.fromisoformat(lo) - epoch).days,
+                (_dt.date.fromisoformat(hi) - epoch).days,
+            )
+            for pid, lo, hi in _Q133_PREDS
+        ],
+        "pred_id long, lo_d int, hi_d int",
+    )
+    audited = zones.crossJoin(F.broadcast(preds)).withColumn(
+        "pruned",
+        ((F.col("max_day") < F.col("lo_d")) | (F.col("min_day") > F.col("hi_d"))).cast(
+            "long"
+        ),
+    )
+    matches = (
+        base.crossJoin(F.broadcast(preds))
+        .filter((F.col("day") >= F.col("lo_d")) & (F.col("day") <= F.col("hi_d")))
+        .groupBy("pred_id")
+        .agg(F.count(F.lit(1)).alias("matching_rows"))
+    )
+    return (
+        audited.groupBy("layout", "pred_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_zones"),
+            F.sum("pruned").cast("long").alias("n_pruned"),
+            F.sum(F.when(F.col("pruned") == 0, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("scanned_rows"),
+        )
+        .join(matches, "pred_id", "left")
+        .select(
+            "layout",
+            "pred_id",
+            "n_zones",
+            "n_pruned",
+            "scanned_rows",
+            F.coalesce("matching_rows", F.lit(0)).cast("long").alias("matching_rows"),
+            F.expr(
+                "CAST(scanned_rows * 1000 DIV GREATEST(COALESCE(matching_rows, 0), 1)"
+                " AS BIGINT)"
+            ).alias("scan_amp_x1000"),
+        )
+        .orderBy("layout", "pred_id")
+    )
+
+
+def _q133_sql() -> str:
+    pred_rows = ", ".join(
+        f"({pid}, DATE '{lo}', DATE '{hi}')" for pid, lo, hi in _Q133_PREDS
+    )
+    return f"""
+WITH base AS (
+  SELECT datediff('day', DATE '{_Q133_EPOCH}', CAST(l_shipdate AS DATE)) AS day,
+         (l_orderkey * 8 + l_linenumber) // 4096 AS z_nat
+  FROM lineitem
+),
+base2 AS (SELECT day, z_nat, day // 7 AS z_clu FROM base),
+zones AS (
+  SELECT 'natural' AS layout, z_nat AS z, COUNT(*) AS n_rows,
+         MIN(day) AS min_day, MAX(day) AS max_day
+  FROM base2 GROUP BY z_nat
+  UNION ALL
+  SELECT 'clustered' AS layout, z_clu AS z, COUNT(*) AS n_rows,
+         MIN(day) AS min_day, MAX(day) AS max_day
+  FROM base2 GROUP BY z_clu
+),
+preds AS (
+  SELECT pred_id,
+         datediff('day', DATE '{_Q133_EPOCH}', lo) AS lo_d,
+         datediff('day', DATE '{_Q133_EPOCH}', hi) AS hi_d
+  FROM (VALUES {pred_rows}) AS t(pred_id, lo, hi)
+),
+audited AS (
+  SELECT z.layout, p.pred_id, z.n_rows,
+         CASE WHEN z.max_day < p.lo_d OR z.min_day > p.hi_d THEN 1 ELSE 0 END AS pruned
+  FROM zones z CROSS JOIN preds p
+),
+matches AS (
+  SELECT p.pred_id, COUNT(*) AS matching_rows
+  FROM base2 b JOIN preds p ON b.day BETWEEN p.lo_d AND p.hi_d
+  GROUP BY p.pred_id
+)
+SELECT a.layout,
+       CAST(a.pred_id AS BIGINT) AS pred_id,
+       CAST(COUNT(*) AS BIGINT) AS n_zones,
+       CAST(SUM(a.pruned) AS BIGINT) AS n_pruned,
+       CAST(SUM(CASE WHEN a.pruned = 0 THEN a.n_rows ELSE 0 END) AS BIGINT)
+         AS scanned_rows,
+       CAST(COALESCE(MAX(m.matching_rows), 0) AS BIGINT) AS matching_rows,
+       CAST(SUM(CASE WHEN a.pruned = 0 THEN a.n_rows ELSE 0 END) * 1000
+            // GREATEST(COALESCE(MAX(m.matching_rows), 0), 1) AS BIGINT)
+         AS scan_amp_x1000
+FROM audited a LEFT JOIN matches m ON a.pred_id = m.pred_id
+GROUP BY a.layout, a.pred_id
+ORDER BY a.layout, a.pred_id
+"""
+
+
+QUERIES["q133_zonemap_skipping"] = q133_zonemap_skipping
+ORACLES["q133_zonemap_skipping"] = _q133_sql()
