@@ -2649,3 +2649,123 @@ ORDER BY a.layout, a.pred_id
 
 QUERIES["q133_zonemap_skipping"] = q133_zonemap_skipping
 ORACLES["q133_zonemap_skipping"] = _q133_sql()
+
+
+# ---------------------------------------------------------------------------
+# Q134 (r8) — ANALYZE-style table profile: the statistics-collection
+# operator every optimizer and data-quality gate runs first (ANALYZE
+# TABLE / dbt source freshness / Deequ profiles): per column — row
+# count, nulls, exact distinct count, canonical min/max rendering,
+# and mean length ×100 for text columns. EXACT end to end: the money
+# column renders as integer cents (floor(x·100+0.5), the q120 money
+# discipline) so no float ever reaches the hash.
+#
+# Scale shape: ONE pass over the table computes every stat in a
+# single aggregate row (the q131 many-sums idiom; the exact distinct
+# counts plan as one Expand + two-level agg — Spark's standard
+# multi-distinct strategy, still map-side-combined per column), then
+# a 5-row stack() to long form — no per-column rescans, no
+# data-proportional shuffle beyond the distinct aggregation itself.
+# ---------------------------------------------------------------------------
+def q134_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    agg = c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            e
+            for col, kind in (
+                ("c_custkey", "int"),
+                ("c_name", "str"),
+                ("c_nationkey", "int"),
+                ("c_acctbal", "money"),
+                ("c_mktsegment", "str"),
+            )
+            for e in (
+                F.count(F.col(col)).alias(f"{col}_nn"),
+                F.countDistinct(F.col(col)).alias(f"{col}_nd"),
+                (
+                    F.min(F.expr(f"CAST(floor({col} * 100 + 0.5) AS BIGINT)"))
+                    if kind == "money"
+                    else F.min(F.col(col))
+                )
+                .cast("string")
+                .alias(f"{col}_min"),
+                (
+                    F.max(F.expr(f"CAST(floor({col} * 100 + 0.5) AS BIGINT)"))
+                    if kind == "money"
+                    else F.max(F.col(col))
+                )
+                .cast("string")
+                .alias(f"{col}_max"),
+                (
+                    F.expr(f"SUM(length({col})) * 100 DIV COUNT({col})")
+                    if kind == "str"
+                    else F.lit(None).cast("long")
+                ).alias(f"{col}_len"),
+            )
+        ],
+    )
+    stack = ", ".join(
+        f"'{col}', {col}_nn, {col}_nd, {col}_min, {col}_max, {col}_len"
+        for col in ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    )
+    return (
+        agg.selectExpr(
+            "n_rows",
+            f"stack(5, {stack}) AS (col_name, n_nonnull, n_distinct, min_repr,"
+            " max_repr, avg_len_x100)",
+        )
+        .select(
+            "col_name",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            (F.col("n_rows") - F.col("n_nonnull")).cast("long").alias("n_null"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "min_repr",
+            "max_repr",
+            F.col("avg_len_x100").cast("long").alias("avg_len_x100"),
+        )
+        .orderBy("col_name")
+    )
+
+
+Q134_SQL = """
+WITH agg AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(c_custkey) AS k_nn, COUNT(DISTINCT c_custkey) AS k_nd,
+         CAST(MIN(c_custkey) AS VARCHAR) AS k_min, CAST(MAX(c_custkey) AS VARCHAR) AS k_max,
+         COUNT(c_name) AS nm_nn, COUNT(DISTINCT c_name) AS nm_nd,
+         MIN(c_name) AS nm_min, MAX(c_name) AS nm_max,
+         SUM(length(c_name)) * 100 // COUNT(c_name) AS nm_len,
+         COUNT(c_nationkey) AS nk_nn, COUNT(DISTINCT c_nationkey) AS nk_nd,
+         CAST(MIN(c_nationkey) AS VARCHAR) AS nk_min, CAST(MAX(c_nationkey) AS VARCHAR) AS nk_max,
+         COUNT(c_acctbal) AS ab_nn, COUNT(DISTINCT c_acctbal) AS ab_nd,
+         CAST(MIN(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS VARCHAR) AS ab_min,
+         CAST(MAX(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS VARCHAR) AS ab_max,
+         COUNT(c_mktsegment) AS ms_nn, COUNT(DISTINCT c_mktsegment) AS ms_nd,
+         MIN(c_mktsegment) AS ms_min, MAX(c_mktsegment) AS ms_max,
+         SUM(length(c_mktsegment)) * 100 // COUNT(c_mktsegment) AS ms_len
+  FROM customer
+)
+SELECT col_name,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_rows - n_nonnull AS BIGINT) AS n_null,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       min_repr, max_repr,
+       CAST(avg_len_x100 AS BIGINT) AS avg_len_x100
+FROM (
+  SELECT n_rows, 'c_custkey' AS col_name, k_nn AS n_nonnull, k_nd AS n_distinct,
+         k_min AS min_repr, k_max AS max_repr, NULL AS avg_len_x100 FROM agg
+  UNION ALL
+  SELECT n_rows, 'c_name', nm_nn, nm_nd, nm_min, nm_max, nm_len FROM agg
+  UNION ALL
+  SELECT n_rows, 'c_nationkey', nk_nn, nk_nd, nk_min, nk_max, NULL FROM agg
+  UNION ALL
+  SELECT n_rows, 'c_acctbal', ab_nn, ab_nd, ab_min, ab_max, NULL FROM agg
+  UNION ALL
+  SELECT n_rows, 'c_mktsegment', ms_nn, ms_nd, ms_min, ms_max, ms_len FROM agg
+)
+ORDER BY col_name
+"""
+
+QUERIES["q134_table_profile"] = q134_table_profile
+ORACLES["q134_table_profile"] = Q134_SQL
