@@ -1044,3 +1044,121 @@ ORDER BY touch_type
 
 QUERIES["q127_linear_attribution"] = q127_linear_attribution
 ORACLES["q127_linear_attribution"] = Q127_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q136 (r8) — A/B experiment audit: the 2×2 chi-square test an
+# experimentation pipeline runs per metric, in EXACT integer
+# arithmetic. Users are hash-split into two arms (user_id % 2 — an
+# A/A split by construction, so this doubles as the calibration audit
+# every experiment platform runs before trusting its pipeline: with
+# no true effect, chi² should be small for every metric). Per target
+# event type t, a user "converts" iff they emitted MORE than the
+# expected share of t-events — threshold thr_t = total_t DIV n_users
+# + 2, DERIVED FROM THE DATA (every user has every type on this
+# corpus, so a fixed ≥1 rule is vacuous; the data-derived margin
+# stays non-degenerate at every SF because events-per-user is
+# SF-stable). With the 2×2 table (a, b = conversions per arm; na,
+# nb = arm sizes):
+#
+#   chi2_e6 = 1e6 · N · (a·(nb−b) − b·(na−a))² DIV (na·nb·C·(N−C))
+#
+# (the standard Pearson form on counts — no floats anywhere); C = a+b,
+# N = na+nb. The (ad−bc)² product reaches ~1e24 at sf10, so the whole
+# numerator rides DECIMAL(38,0)/HUGEINT (exact to sf ~30, documented).
+# Degenerate margins (C = 0 or C = N) emit NULL.
+#
+# Scale shape: one (user, type) dedup agg + one per-user pivot agg,
+# both map-side-combined; the 2×2 algebra runs on a 5-row frame.
+# ---------------------------------------------------------------------------
+def q136_ab_test_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct().select(
+        "user_id", F.pmod(F.col("user_id"), F.lit(2)).alias("arm")
+    )
+    per_user = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    thr = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("total_t")).crossJoin(
+        F.broadcast(users.agg(F.count(F.lit(1)).alias("n_users")))
+    ).select("event_type", F.expr("total_t DIV n_users + 2").alias("thr"))
+    conv = (
+        per_user.join(F.broadcast(thr), "event_type")
+        .filter(F.col("n_t") >= F.col("thr"))
+        .join(users, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("b"),
+        )
+    )
+    arms = users.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nb"),
+    )
+    return (
+        conv.crossJoin(F.broadcast(arms))
+        .select(
+            "event_type",
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.col("a").cast("long").alias("conv_a"),
+            F.col("b").cast("long").alias("conv_b"),
+            F.expr("CAST(a * 1000000 DIV na AS BIGINT)").alias("rate_a_ppm"),
+            F.expr("CAST(b * 1000000 DIV nb AS BIGINT)").alias("rate_b_ppm"),
+            F.expr(
+                "CASE WHEN a + b = 0 OR a + b = na + nb THEN NULL ELSE"
+                " CAST(CAST(1000000 AS DECIMAL(38,0)) * (na + nb)"
+                " * (a * (nb - b) - b * (na - a)) * (a * (nb - b) - b * (na - a))"
+                " DIV (CAST(na AS DECIMAL(38,0)) * nb * (a + b) * (na + nb - a - b))"
+                " AS BIGINT) END"
+            ).alias("chi2_e6"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q136_SQL = """
+WITH users AS (
+  SELECT DISTINCT user_id, user_id % 2 AS arm FROM events
+),
+arms AS (
+  SELECT SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb
+  FROM users
+),
+per_user AS (
+  SELECT user_id, event_type, COUNT(*) AS n_t FROM events GROUP BY 1, 2
+),
+thr AS (
+  SELECT event_type,
+         COUNT(*) // (SELECT COUNT(*) FROM users) + 2 AS thr
+  FROM events GROUP BY event_type
+),
+conv AS (
+  SELECT p.event_type,
+         SUM(CASE WHEN u.arm = 0 THEN 1 ELSE 0 END) AS a,
+         SUM(CASE WHEN u.arm = 1 THEN 1 ELSE 0 END) AS b
+  FROM per_user p
+  JOIN thr t ON p.event_type = t.event_type AND p.n_t >= t.thr
+  JOIN users u USING (user_id)
+  GROUP BY p.event_type
+)
+SELECT event_type,
+       CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CAST(a AS BIGINT) AS conv_a,
+       CAST(b AS BIGINT) AS conv_b,
+       CAST(a * 1000000 // na AS BIGINT) AS rate_a_ppm,
+       CAST(b * 1000000 // nb AS BIGINT) AS rate_b_ppm,
+       CASE WHEN a + b = 0 OR a + b = na + nb THEN NULL ELSE
+         CAST(CAST(1000000 AS HUGEINT) * (na + nb)
+              * (a * (nb - b) - b * (na - a)) * (a * (nb - b) - b * (na - a))
+              // (CAST(na AS HUGEINT) * nb * (a + b) * (na + nb - a - b))
+              AS BIGINT) END AS chi2_e6
+FROM conv CROSS JOIN arms
+ORDER BY event_type
+"""
+
+QUERIES["q136_ab_test_audit"] = q136_ab_test_audit
+ORACLES["q136_ab_test_audit"] = Q136_SQL
