@@ -1162,3 +1162,139 @@ ORDER BY event_type
 
 QUERIES["q136_ab_test_audit"] = q136_ab_test_audit
 ORACLES["q136_ab_test_audit"] = Q136_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q137 (r8) — strict time-ordered FUNNEL: the product-analytics
+# primitive q70's path mining and q86's sessions don't cover — a user
+# advances view → click → purchase only if each step happens STRICTLY
+# AFTER the previous step's earliest completion (the "gated" funnel:
+# a purchase before any view does not count). Exact semantics:
+#
+#   t1(u) = min ts of 'view';
+#   t2(u) = min ts of 'click'    with t1 < ts <= t1 + 24h;
+#   t3(u) = min ts of 'purchase' with t2 < ts <= t2 + 24h
+#
+# — the CONVERSION-WINDOW semantics every product-analytics engine
+# implements (an unbounded gate is vacuous on a months-long corpus:
+# every active user eventually emits every type).
+#
+# Reported: users entering each step, step-over-step and cumulative
+# conversion in ppm, and median gate latency (t3 − t1) in seconds for
+# full converters — the latency via the exact histogram-rank idiom
+# (q130/st17), never a percentile builtin.
+#
+# Scale shape: three user-keyed min-aggregations chained by id-equi
+# joins (each map-side-combined, user_id-partitioned — the frames
+# after step 1 only shrink); the latency histogram is bounded by
+# distinct second-values; output is one row.
+# ---------------------------------------------------------------------------
+def q137_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.unix_timestamp("ts") <= F.unix_timestamp("t1") + 86400)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.unix_timestamp("ts") <= F.unix_timestamp("t2") + 86400)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t1").alias("t1"))
+    )
+    lat = t3.select(
+        (F.unix_timestamp("t3") - F.unix_timestamp("t1")).alias("lat_s")
+    )
+    hist = lat.groupBy("lat_s").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    med = (
+        hist.select(
+            "lat_s",
+            F.sum("cnt").over(Window.orderBy("lat_s")).alias("cum"),
+            F.sum("cnt").over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.col("cum") >= F.expr("(n + 1) DIV 2"))
+        .agg(F.min("lat_s").alias("median_lat_s"))
+    )
+    counts = (
+        t1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(t2.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(t3.agg(F.count(F.lit(1)).alias("n_purchase")))
+        .crossJoin(med)
+    )
+    return counts.select(
+        F.col("n_view").cast("long"),
+        F.col("n_click").cast("long"),
+        F.col("n_purchase").cast("long"),
+        F.expr("CAST(n_click * 1000000 DIV GREATEST(n_view, 1) AS BIGINT)").alias(
+            "step2_ppm"
+        ),
+        F.expr("CAST(n_purchase * 1000000 DIV GREATEST(n_click, 1) AS BIGINT)").alias(
+            "step3_ppm"
+        ),
+        F.expr("CAST(n_purchase * 1000000 DIV GREATEST(n_view, 1) AS BIGINT)").alias(
+            "full_ppm"
+        ),
+        F.col("median_lat_s").cast("long").alias("median_lat_s"),
+    )
+
+
+Q137_SQL = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2, MIN(t1.t1) AS t1
+  FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+   AND floor(epoch(e.ts)) <= floor(epoch(t1.t1)) + 86400
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3, MIN(t2.t1) AS t1
+  FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+   AND floor(epoch(e.ts)) <= floor(epoch(t2.t2)) + 86400
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+lat AS (
+  -- floor EACH term: Spark's unix_timestamp truncates per-timestamp,
+  -- and these ts carry sub-second parts (r8: 1-ulp median mismatch)
+  SELECT CAST(floor(epoch(t3)) - floor(epoch(t1)) AS BIGINT) AS lat_s FROM t3
+),
+hist AS (SELECT lat_s, COUNT(*) AS cnt FROM lat GROUP BY lat_s),
+med AS (
+  SELECT MIN(lat_s) AS median_lat_s
+  FROM (
+    SELECT lat_s,
+           SUM(cnt) OVER (ORDER BY lat_s) AS cum,
+           SUM(cnt) OVER () AS n
+    FROM hist
+  )
+  WHERE cum >= (n + 1) // 2
+)
+SELECT CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM t2) AS BIGINT) AS n_click,
+       CAST((SELECT COUNT(*) FROM t3) AS BIGINT) AS n_purchase,
+       CAST((SELECT COUNT(*) FROM t2) * 1000000
+            // GREATEST((SELECT COUNT(*) FROM t1), 1) AS BIGINT) AS step2_ppm,
+       CAST((SELECT COUNT(*) FROM t3) * 1000000
+            // GREATEST((SELECT COUNT(*) FROM t2), 1) AS BIGINT) AS step3_ppm,
+       CAST((SELECT COUNT(*) FROM t3) * 1000000
+            // GREATEST((SELECT COUNT(*) FROM t1), 1) AS BIGINT) AS full_ppm,
+       (SELECT median_lat_s FROM med) AS median_lat_s
+"""
+
+QUERIES["q137_funnel_steps"] = q137_funnel_steps
+ORACLES["q137_funnel_steps"] = Q137_SQL
