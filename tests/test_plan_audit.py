@@ -84,6 +84,17 @@ BNLJ_ALLOWED = {
     # disallowed assertion and the name belongs here again.
     "q15_selfjoin_adjacent",
     "q122_minhash_lsh_pairs",
+    # r8: q133 broadcasts the 4-row predicate-suite literal against the
+    # zone maps AND against lineitem (the q13 tiny-probe-set cross —
+    # evaluating a fixed predicate suite IS the operator)
+    "q133_zonemap_skipping",
+    # r8 1-row aggregate scalar crosses (structurally verified below):
+    # q135 joins three single-row stat frames; q136 crosses the 1-row
+    # arm-size frame (and the 1-row n_users frame inside thr); q137
+    # crosses the per-step 1-row funnel counts and the 1-row median
+    "q135_cardinality_audit",
+    "q136_ab_test_audit",
+    "q137_funnel_steps",
 }
 
 # no exemptions today: every declared query ships ids through hash
@@ -163,6 +174,9 @@ SCALAR_BNLJ = {
     "q118_importance_logratio",
     "q15_selfjoin_adjacent",
     "q122_minhash_lsh_pairs",
+    "q135_cardinality_audit",
+    "q136_ab_test_audit",
+    "q137_funnel_steps",
 }
 
 
