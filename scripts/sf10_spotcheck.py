@@ -75,10 +75,18 @@ NAMES = [
 
 
 def main() -> int:
+    import oracle_utils
     from oracle_utils import assert_matches
 
     from developing_img_etl_spark.queries import all_oracles, all_queries
     from developing_img_etl_spark.session import get_spark
+
+    # bound DuckDB and make it spill: the Spark JVM's persisted sf10
+    # caches already hold a big share of the box, and an uncapped
+    # DuckDB oracle OOMs natively (observed on q53's oracle, killing
+    # the whole pass — hence the resume ledger)
+    oracle_utils.DUCK_MEMORY_LIMIT = "16GB"
+    oracle_utils.DUCK_TEMP_DIR = "/root/repo/tmp/duck-spill"
 
     statuses: dict[str, str] = {}
     secs: dict[str, float] = {}
@@ -109,6 +117,16 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             statuses[name] = f"FAIL: {type(e).__name__}: {e}"
             failures.append(name)
+        finally:
+            # drop persisted frames between queries: each sf10 index
+            # (shingles, embeddings) is GBs and they accumulate across
+            # the 40-query pass, starving the oracle process; the
+            # shingle memo must drop too so the next consumer
+            # re-persists instead of silently recomputing uncached
+            from developing_img_etl_spark.queries import _shingle
+
+            spark.catalog.clearCache()
+            _shingle._CACHE.clear()
         secs[name] = round(time.time() - t0, 1)
         with open(PROGRESS, "a") as f:
             f.write(

@@ -33,6 +33,14 @@ class OracleTimeout(Exception):
 # surfaces as a recorded DNF instead of hanging the whole pass.
 ORACLE_CAP_S: float | None = None
 
+# optional DuckDB memory bound + spill dir; None = DuckDB's default
+# (~80% of RAM — fine for the sf0.01 driver gate, fatal at sf10 where
+# the Spark JVM's persisted caches already hold a large share of the
+# box: the r8 widened spotcheck died with a native OOM on q53's
+# oracle). Scale probes set this so the oracle spills instead.
+DUCK_MEMORY_LIMIT: str | None = None
+DUCK_TEMP_DIR: str | None = None
+
 
 def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
     import threading
@@ -40,6 +48,13 @@ def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
     timer = None
     try:
+        if DUCK_MEMORY_LIMIT is not None:
+            con.execute(f"SET memory_limit='{DUCK_MEMORY_LIMIT}'")
+        if DUCK_TEMP_DIR is not None:
+            import os as _os
+
+            _os.makedirs(DUCK_TEMP_DIR, exist_ok=True)
+            con.execute(f"SET temp_directory='{DUCK_TEMP_DIR}'")
         for name in TABLES:
             con.execute(
                 f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
