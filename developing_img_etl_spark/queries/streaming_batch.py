@@ -1958,3 +1958,177 @@ ORDER BY event_type, pct
 
 QUERIES["st17_streaming_exact_quantiles"] = st17_streaming_exact_quantiles
 ORACLES["st17_streaming_exact_quantiles"] = _ST17_SQL
+
+
+# ---------------------------------------------------------------------------
+# ST18 (r8) — streaming ZONE-MAP maintenance: q133's data-skipping
+# stats computed the way a lakehouse actually computes them — ON THE
+# WRITE PATH, per micro-batch (Delta/Iceberg attach per-file min/max
+# at commit time; this is that operator with the file = the daily
+# zone). Each batch appends its partial zone cells (batch_id, z,
+# n_rows, min_s, max_s); the read side MAX/MIN-reconciles per
+# (batch_id, z) — replayed partials are bit-identical, the st16
+# txn-marker discipline, needed because n_rows is ADDITIVE — then
+# merges across batches with the zone-map algebra (SUM n, MIN min,
+# MAX max) and evaluates q133's lossless prune test over a fixed
+# timestamp-range predicate suite. Doubled delivery doubles n_rows
+# and leaves min/max fixed (the algebraic/additive split inside ONE
+# state row); batch-0 crash-replay must not move the hash. Epochs are
+# floored per term (the q137 sub-second lesson).
+# ---------------------------------------------------------------------------
+
+_ST18_PREDS = (  # (pred_id, lo, hi) — inclusive UTC timestamp ranges
+    (1, "2024-01-05 00:00:00", "2024-01-07 23:59:59"),
+    (2, "2024-01-15 00:00:00", "2024-01-15 23:59:59"),
+    (3, "2024-01-01 00:00:00", "2024-01-31 23:59:59"),
+    (4, "2024-01-25 00:00:00", "2024-01-31 23:59:59"),
+)
+
+
+def st18_streaming_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="st18_")
+    src, reg, ckpt = f"{work}/src", f"{work}/reg", f"{work}/ckpt"
+    _link_events_into(sf_dir, src, n_copies=2)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        cells = (
+            batch_df.select(
+                F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").alias("s")
+            )
+            .select(F.expr("s DIV 86400").alias("z"), "s")
+            .groupBy("z")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("s").alias("min_s"),
+                F.max("s").alias("max_s"),
+            )
+        )
+        cells.select(
+            F.lit(batch_id).cast("long").alias("batch_id"), "z", "n_rows", "min_s", "max_s"
+        ).write.mode("append").parquet(reg)
+
+    stream = _raw_events_stream(spark, sf_dir, src, max_files_per_trigger=1)
+
+    def drain() -> None:
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drained(q)
+
+    with _stream_shuffle(spark):
+        drain()
+        drain()  # checkpoint restart: no new batches
+
+    from ..catalog import normalize_event_ts
+
+    sink(normalize_event_ts(spark.read.parquet(f"{src}/00-events.parquet")), 0)
+
+    zones = (
+        spark.read.parquet(reg)
+        .groupBy("batch_id", "z")
+        .agg(  # replayed partials are bit-identical
+            F.max("n_rows").alias("n_rows"),
+            F.min("min_s").alias("min_s"),
+            F.max("max_s").alias("max_s"),
+        )
+        .groupBy("z")
+        .agg(  # the zone-map merge algebra
+            F.sum("n_rows").alias("n_rows"),
+            F.min("min_s").alias("min_s"),
+            F.max("max_s").alias("max_s"),
+        )
+    )
+    import datetime as _dt
+
+    def _ep(iso: str) -> int:
+        return int(
+            _dt.datetime.fromisoformat(iso).replace(tzinfo=_dt.timezone.utc).timestamp()
+        )
+
+    preds = spark.createDataFrame(
+        [(pid, _ep(lo), _ep(hi)) for pid, lo, hi in _ST18_PREDS],
+        "pred_id long, lo_s long, hi_s long",
+    )
+    audited = zones.crossJoin(F.broadcast(preds)).withColumn(
+        "pruned",
+        ((F.col("max_s") < F.col("lo_s")) | (F.col("min_s") > F.col("hi_s"))).cast("long"),
+    )
+    matching = (
+        spark.read.parquet(src)
+        .select(F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").alias("s"))
+        .crossJoin(F.broadcast(preds))
+        .filter((F.col("s") >= F.col("lo_s")) & (F.col("s") <= F.col("hi_s")))
+        .groupBy("pred_id")
+        .agg(F.count(F.lit(1)).alias("matching_rows"))
+    )
+    return (
+        audited.groupBy("pred_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_zones"),
+            F.sum("pruned").cast("long").alias("n_pruned"),
+            F.sum(F.when(F.col("pruned") == 0, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("scanned_rows"),
+        )
+        .join(matching, "pred_id", "left")
+        .select(
+            "pred_id",
+            "n_zones",
+            "n_pruned",
+            "scanned_rows",
+            F.coalesce("matching_rows", F.lit(0)).cast("long").alias("matching_rows"),
+        )
+        .orderBy("pred_id")
+    )
+
+
+def _st18_sql() -> str:
+    pred_rows = ", ".join(
+        f"({pid}, TIMESTAMP '{lo}', TIMESTAMP '{hi}')" for pid, lo, hi in _ST18_PREDS
+    )
+    return f"""
+WITH base AS (
+  -- doubled delivery: every event arrives twice (two staged copies)
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM (SELECT ts FROM events UNION ALL SELECT ts FROM events)
+),
+zones AS (
+  SELECT s // 86400 AS z, COUNT(*) AS n_rows, MIN(s) AS min_s, MAX(s) AS max_s
+  FROM base GROUP BY 1
+),
+preds AS (
+  SELECT pred_id,
+         CAST(floor(epoch(lo)) AS BIGINT) AS lo_s,
+         CAST(floor(epoch(hi)) AS BIGINT) AS hi_s
+  FROM (VALUES {pred_rows}) AS t(pred_id, lo, hi)
+),
+audited AS (
+  SELECT p.pred_id, z.n_rows,
+         CASE WHEN z.max_s < p.lo_s OR z.min_s > p.hi_s THEN 1 ELSE 0 END AS pruned
+  FROM zones z CROSS JOIN preds p
+),
+matching AS (
+  SELECT p.pred_id, COUNT(*) AS matching_rows
+  FROM base b JOIN preds p ON b.s BETWEEN p.lo_s AND p.hi_s
+  GROUP BY p.pred_id
+)
+SELECT a.pred_id,
+       CAST(COUNT(*) AS BIGINT) AS n_zones,
+       CAST(SUM(a.pruned) AS BIGINT) AS n_pruned,
+       CAST(SUM(CASE WHEN a.pruned = 0 THEN a.n_rows ELSE 0 END) AS BIGINT)
+         AS scanned_rows,
+       CAST(COALESCE(MAX(m.matching_rows), 0) AS BIGINT) AS matching_rows
+FROM audited a LEFT JOIN matching m ON a.pred_id = m.pred_id
+GROUP BY a.pred_id
+ORDER BY a.pred_id
+"""
+
+
+QUERIES["st18_streaming_zonemap"] = st18_streaming_zonemap
+ORACLES["st18_streaming_zonemap"] = _st18_sql()

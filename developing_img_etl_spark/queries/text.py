@@ -1468,22 +1468,28 @@ def q132_novelty_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .classify import md5_prefix_int
 
     docs = load(spark, sf_dir, "documents")
-    # deliberately NOT pinned: the explode+md5 subtree feeds both split
-    # branches, but checkpointing it materializes the full (doc, gram,
-    # hash) expansion — ~5x the corpus — to disk; re-running the
-    # map-side scan per branch is cheaper at every SF (measured: the
-    # pin DOUBLES wall at sf0.1) and is the right trade at 100 TB
-    grams = docs.select(
-        "doc_id",
-        "source",
-        F.explode(TXT.shingles(F.col("text"), _Q132_N)).alias("g"),
-    ).select("doc_id", "source", md5_prefix_int(F.col("g"), 15).alias("h"))
+    # r8: split at the DOC level BEFORE shingling. The r7 shape built
+    # one (doc, gram, hash) frame and filtered it per branch — and
+    # since pinning that ~5× expansion costs more than recomputing it
+    # (measured r7), the corpus was tokenize+shingle+md5'd TWICE. The
+    # branches partition the corpus disjointly, so filtering docs
+    # first makes total shingling work exactly ONE corpus pass split
+    # 9:1 across the branches — same rows, half the map work, nothing
+    # to pin.
     is_eval = (
         md5_prefix_int(F.col("doc_id").cast("string"), 8) % _Q132_EVAL_MOD
         == _Q132_EVAL_REM
     )
-    train_h = grams.filter(~is_eval).select("h").distinct()
-    ev = grams.filter(is_eval)
+
+    def grams_of(d):
+        return d.select(
+            "doc_id",
+            "source",
+            F.explode(TXT.shingles(F.col("text"), _Q132_N)).alias("g"),
+        ).select("doc_id", "source", md5_prefix_int(F.col("g"), 15).alias("h"))
+
+    train_h = grams_of(docs.filter(~is_eval)).select("h").distinct()
+    ev = grams_of(docs.filter(is_eval))
     novel = ev.join(train_h, "h", "left_anti")
     per_doc = (
         ev.groupBy("doc_id", "source")
