@@ -2868,3 +2868,103 @@ FROM (SELECT COUNT(*) AS n_left, COUNT(DISTINCT {lk}) AS ndv_left FROM {lt}),
 
 QUERIES["q135_cardinality_audit"] = q135_cardinality_audit
 ORACLES["q135_cardinality_audit"] = _q135_sql()
+
+
+# ---------------------------------------------------------------------------
+# Q138 (r8) — CASCADE-DELETE audit (right-to-be-forgotten): the
+# compliance operator every lakehouse runs for GDPR/CCPA erasure —
+# given a deletion cohort (customers with c_custkey % 1009 == 0,
+# ~0.1%), purge them and everything reachable through their foreign
+# keys (orders via o_custkey, lineitem via the purged orderkeys), and
+# emit the audit row per table: rows before, rows deleted, rows after,
+# and a position-free survivor checksum (sum of key mod 2^20 terms —
+# overflow-free, the q15 discipline) that proves the survivor set is
+# exactly the anti-join complement. Deletes are expressed as
+# ANTI-JOINS (the only scalable shape — never row-at-a-time), and the
+# lineitem cascade anti-joins on the PURGED order set, not the cohort,
+# so the audit also checks FK transitivity.
+#
+# Scale shape: cohort is a key-only broadcast; each table pays one
+# scan + one (broadcastable) anti-join + one aggregate; output 3 rows.
+# ---------------------------------------------------------------------------
+_Q138_MOD = 1009
+
+
+def q138_cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cohort = cust.filter(F.pmod(F.col("c_custkey"), F.lit(_Q138_MOD)) == 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    purged_orders = orders.join(
+        F.broadcast(cohort), orders.o_custkey == F.col("k"), "left_semi"
+    ).select(F.col("o_orderkey").alias("ok"))
+
+    def audit(table, df, key_col, del_keys, join_col):
+        kept = df.join(F.broadcast(del_keys), F.col(join_col) == del_keys[0], "left_anti")
+        total = df.agg(F.count(F.lit(1)).alias("n_before"))
+        kept_agg = kept.agg(
+            F.count(F.lit(1)).alias("n_after"),
+            F.sum(F.pmod(F.col(key_col), F.lit(1 << 20))).alias("survivor_checksum"),
+        )
+        return total.crossJoin(kept_agg).select(
+            F.lit(table).alias("table_name"),
+            F.col("n_before").cast("long"),
+            (F.col("n_before") - F.col("n_after")).cast("long").alias("n_deleted"),
+            F.col("n_after").cast("long"),
+            F.coalesce(F.col("survivor_checksum"), F.lit(0))
+            .cast("long")
+            .alias("survivor_checksum"),
+        )
+
+    out = (
+        audit("customer", cust, "c_custkey", cohort, "c_custkey")
+        .unionByName(audit("orders", orders, "o_orderkey", cohort, "o_custkey"))
+        .unionByName(audit("lineitem", li, "l_orderkey", purged_orders, "l_orderkey"))
+    )
+    return out.orderBy("table_name")
+
+
+Q138_SQL = f"""
+WITH cohort AS (
+  SELECT c_custkey AS k FROM customer WHERE c_custkey % {_Q138_MOD} = 0
+),
+purged_orders AS (
+  SELECT o_orderkey AS ok FROM orders WHERE o_custkey IN (SELECT k FROM cohort)
+),
+c_kept AS (
+  SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT k FROM cohort)
+),
+o_kept AS (
+  SELECT o_orderkey FROM orders WHERE o_custkey NOT IN (SELECT k FROM cohort)
+),
+l_kept AS (
+  SELECT l_orderkey FROM lineitem
+  WHERE l_orderkey NOT IN (SELECT ok FROM purged_orders)
+)
+SELECT 'customer' AS table_name,
+       CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_before,
+       CAST((SELECT COUNT(*) FROM customer) - COUNT(*) AS BIGINT) AS n_deleted,
+       CAST(COUNT(*) AS BIGINT) AS n_after,
+       CAST(COALESCE(SUM(c_custkey % 1048576), 0) AS BIGINT) AS survivor_checksum
+FROM c_kept
+UNION ALL
+SELECT 'lineitem',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem) - COUNT(*) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(l_orderkey % 1048576), 0) AS BIGINT)
+FROM l_kept
+UNION ALL
+SELECT 'orders',
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders) - COUNT(*) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(o_orderkey % 1048576), 0) AS BIGINT)
+FROM o_kept
+ORDER BY table_name
+"""
+
+QUERIES["q138_cascade_delete_audit"] = q138_cascade_delete_audit
+ORACLES["q138_cascade_delete_audit"] = Q138_SQL
