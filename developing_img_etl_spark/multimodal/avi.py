@@ -143,6 +143,7 @@ def avi_meta(data: bytes) -> tuple[int, int, int, int] | None:
         return None
     w = h = n = None
     fps = None
+    strf_ok = False
     for cid, body, size in _walk(data, 12, len(data)):
         if cid != b"LIST" or data[body : body + 4] != b"hdrl":
             continue
@@ -156,14 +157,21 @@ def avi_meta(data: bytes) -> tuple[int, int, int, int] | None:
                         if data[b3 : b3 + 4] != b"vids" or data[b3 + 4 : b3 + 8] != b"MJPG":
                             return None  # not an MJPEG video stream
                         scale, rate = struct.unpack_from("<II", data, b3 + 20)
-                        if scale <= 0 or rate <= 0 or rate % scale:
+                        if scale <= 0 or rate <= 0:
                             return None
-                        fps = rate // scale
+                        # reported fps is integral by contract; non-
+                        # integer rates (NTSC 30000/1001 = 29.97) round
+                        # to nearest instead of being rejected (ADVICE
+                        # r8) — the frame payloads are unaffected
+                        fps = (rate + scale // 2) // scale
                     elif c3 == b"strf" and s3 >= 40:
                         if data[b3 + 16 : b3 + 20] != b"MJPG":
                             return None
+                        strf_ok = True
         break
-    if not w or not h or n is None or fps is None:
+    # a valid MJPG strf must accompany strh (ADVICE r8): strh alone no
+    # longer gates acceptance, so a missing/short format chunk rejects
+    if not w or not h or n is None or fps is None or not strf_ok:
         return None
     return int(w), int(h), int(fps), int(n)
 

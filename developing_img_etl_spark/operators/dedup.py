@@ -239,12 +239,14 @@ def contaminated_ids(
     # parallelism so each task's pair hash table stays small (the group
     # count ≈ the pair count; 32 tasks → 6.8M keys/task and spill,
     # 128 → 1.7M; measured 29 s → 8 s at sf10, DuckDB-parity). The
-    # probe side is broadcast (AQE does it here; a real benchmark set
-    # is fixed-size, so it broadcasts at any SF).
+    # probe side is broadcast EXPLICITLY (ADVICE r8): if AQE ever chose
+    # a shuffle join on s instead, the s-exchange would destroy the
+    # doc_id partitioning and this repartition would become a wasted
+    # extra full-index shuffle — the hint pins the intent.
     n_parts = d_sh.sparkSession.sparkContext.defaultParallelism * 4
     return (
         d_sh.repartition(n_parts, F.col("doc_id"))
-        .join(p_sh, "s")
+        .join(F.broadcast(p_sh), "s")
         .filter(F.col("doc_id") != F.col("probe_id"))
         .groupBy("doc_id", "probe_id")
         .agg(F.count(F.lit(1)).alias("n_common"))

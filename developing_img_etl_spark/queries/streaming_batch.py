@@ -2060,7 +2060,9 @@ def st18_streaming_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("max_s") < F.col("lo_s")) | (F.col("min_s") > F.col("hi_s"))).cast("long"),
     )
     matching = (
-        spark.read.parquet(src)
+        # normalize like the sink/replay path: on Spark<4.1 the legacy
+        # INT64 read yields bigint ts and unix_timestamp() would null out
+        normalize_event_ts(spark.read.parquet(src))
         .select(F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").alias("s"))
         .crossJoin(F.broadcast(preds))
         .filter((F.col("s") >= F.col("lo_s")) & (F.col("s") <= F.col("hi_s")))

@@ -77,6 +77,7 @@ NAMES = [
 def main() -> int:
     import oracle_utils
     from oracle_utils import assert_matches
+    from query_fingerprint import build_fingerprints
 
     from developing_img_etl_spark.queries import all_oracles, all_queries
     from developing_img_etl_spark.session import get_spark
@@ -88,8 +89,17 @@ def main() -> int:
     oracle_utils.DUCK_MEMORY_LIMIT = "16GB"
     oracle_utils.DUCK_TEMP_DIR = "/root/repo/tmp/duck-spill"
 
+    qs0, oracles0 = all_queries(), all_oracles()
+    fps = build_fingerprints(qs0, oracles0)
+
+    # resume: kept MATCH rows must carry the CURRENT code fingerprint
+    # (ADVICE r8 — the sf1_gate staleness discipline): a query reworked
+    # after its sf10 MATCH re-runs instead of being silently skipped,
+    # so SF10_SPOTCHECK.json never certifies code that never ran.
+    # Legacy rows without a fingerprint are treated as stale.
     statuses: dict[str, str] = {}
     secs: dict[str, float] = {}
+    stale = 0
     if os.path.exists(PROGRESS):
         with open(PROGRESS) as f:
             for line in f:
@@ -98,10 +108,17 @@ def main() -> int:
                 except ValueError:
                     continue
                 if rec.get("status") == "MATCH":
-                    statuses[rec["name"]] = "MATCH"
-                    secs[rec["name"]] = rec.get("s", 0.0)
-        if statuses:
-            print(f"resuming: {len(statuses)} MATCH rows kept", flush=True)
+                    if rec.get("fp") == fps.get(rec["name"]):
+                        statuses[rec["name"]] = "MATCH"
+                        secs[rec["name"]] = rec.get("s", 0.0)
+                    else:
+                        stale += 1
+                        statuses.pop(rec["name"], None)
+        if statuses or stale:
+            print(
+                f"resuming: {len(statuses)} MATCH rows kept, {stale} stale re-run",
+                flush=True,
+            )
 
     spark = get_spark("sf10-spot", cpus=32)
     spark.conf.set("spark.sql.shuffle.partitions", "64")
@@ -130,7 +147,14 @@ def main() -> int:
         secs[name] = round(time.time() - t0, 1)
         with open(PROGRESS, "a") as f:
             f.write(
-                json.dumps({"name": name, "status": statuses[name][:200], "s": secs[name]})
+                json.dumps(
+                    {
+                        "name": name,
+                        "status": statuses[name][:200],
+                        "s": secs[name],
+                        "fp": fps.get(name),
+                    }
+                )
                 + "\n"
             )
         print(f"  {name}: {statuses[name]}  [{secs[name]:.1f}s]", flush=True)

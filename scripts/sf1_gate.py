@@ -24,6 +24,7 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
 
 import __spark_entry__ as entrymod
 from developing_img_etl_spark.session import get_spark
@@ -148,88 +149,13 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
-    # per-query code fingerprint: md5 over the source of the module
-    # defining the query fn PLUS every transitively-imported repo-local
-    # module (ADVICE r7: hashing only the defining module missed edits
-    # to shared helpers like _shingle.py / operators/cms.py that other
-    # modules import — the exact staleness gap one level deeper) + the
-    # oracle text. A kept green row whose fingerprint no longer matches
-    # is STALE (the implementation changed after it went green) and
-    # must re-run — r6 ADVICE: resume mode previously kept any non-FAIL
-    # status forever.
-    import ast
-    import hashlib
-    import importlib.util
-    import inspect
+    # per-query code fingerprint (transitive import closure + oracle
+    # text — see scripts/query_fingerprint.py, shared with the sf10
+    # spot-check ledger since r9): a kept green row whose fingerprint
+    # no longer matches is STALE and must re-run.
+    from query_fingerprint import build_fingerprints
 
-    _PKG = "developing_img_etl_spark"
-    _src_cache: dict[str, str | None] = {}
-
-    def _module_source(modname: str) -> str | None:
-        if modname not in _src_cache:
-            try:
-                spec = importlib.util.find_spec(modname)
-                path = spec.origin if spec else None
-                _src_cache[modname] = (
-                    open(path).read() if path and path.endswith(".py") else None
-                )
-            except (ImportError, OSError, ValueError, AttributeError):
-                _src_cache[modname] = None
-        return _src_cache[modname]
-
-    def _imported_names(modname: str, src: str) -> set[str]:
-        """Candidate module names imported anywhere in ``src`` (incl.
-        function-local imports), relative imports resolved against
-        ``modname``. `from pkg import x` yields both pkg and pkg.x —
-        non-module x just fails find_spec later and is skipped."""
-        out: set[str] = set()
-        for node in ast.walk(ast.parse(src)):
-            if isinstance(node, ast.Import):
-                out.update(a.name for a in node.names)
-            elif isinstance(node, ast.ImportFrom):
-                base = node.module or ""
-                if node.level:
-                    parent = modname.split(".")[: -node.level]
-                    base = ".".join([*parent, base] if base else parent)
-                if base:
-                    out.add(base)
-                out.update(f"{base}.{a.name}" for a in node.names if base)
-        return {n for n in out if n.split(".")[0] == _PKG}
-
-    def _closure_sources(root_mod: str) -> str:
-        seen: set[str] = set()
-        stack = [root_mod]
-        while stack:
-            m = stack.pop()
-            if m in seen:
-                continue
-            seen.add(m)
-            src = _module_source(m)
-            if src is not None:
-                stack.extend(_imported_names(m, src))
-        parts = []
-        for m in sorted(seen):
-            src = _module_source(m)
-            if src is not None:
-                parts.append(f"# === {m}\n{src}")
-        return "\n".join(parts)
-
-    def fingerprint(name: str) -> str:
-        fn = queries[name]
-        mod = inspect.getmodule(fn)
-        modname = getattr(mod, "__name__", "")
-        if modname.split(".")[0] == _PKG:
-            src = _closure_sources(modname)
-        else:
-            try:
-                src = inspect.getsource(mod)
-            except (OSError, TypeError):
-                src = repr(fn)
-        return hashlib.md5(
-            (src + "\x00" + oracles.get(name, "")).encode()
-        ).hexdigest()
-
-    fps = {name: fingerprint(name) for name in queries}
+    fps = build_fingerprints(queries, oracles)
     # resumable: green statuses from a previous pass are kept only if
     # their code fingerprint is unchanged; FAIL rows, stale rows, and
     # queries not yet recorded re-run (a full-from-scratch pass =

@@ -95,6 +95,9 @@ BNLJ_ALLOWED = {
     "q135_cardinality_audit",
     "q136_ab_test_audit",
     "q137_funnel_steps",
+    # q138: the 1-row kept-rows aggregate crossed with the 1-row
+    # pre-delete total (same pattern as q135–q137)
+    "q138_cascade_delete_audit",
 }
 
 # no exemptions today: every declared query ships ids through hash
@@ -177,6 +180,7 @@ SCALAR_BNLJ = {
     "q135_cardinality_audit",
     "q136_ab_test_audit",
     "q137_funnel_steps",
+    "q138_cascade_delete_audit",
 }
 
 
