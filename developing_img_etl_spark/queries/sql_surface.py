@@ -654,8 +654,69 @@ LIMIT 20
 
 
 def q87_mincost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    return spark.sql(Q87_TEXT)
+    # r9 rework (VERDICT r8 #2: 5.1x at sf10, worst non-codec plan).
+    # Running Q87_TEXT through spark.sql inlines the twice-consumed
+    # `supply` CTE, so the full-lineitem (partkey,suppkey) aggregation
+    # executed TWICE (outer join chain + decorrelated per-part MIN),
+    # and the decorrelated MIN added its own partkey agg-shuffle plus
+    # an equality join back. The DataFrame plan computes supply ONCE
+    # and replaces the decorrelated-subquery round trip with a
+    # per-partkey MIN *window* over the already ASIA-restricted rows —
+    # both legs of the SQL apply the same ASIA restriction, so one
+    # frame serves both:
+    #   lineitem --(broadcast SEMI join: size-filtered part keys,
+    #               ~12% selectivity, pushed BELOW the agg)-->
+    #   groupBy(partkey,suppkey) min  [shuffle #1, map-side combine]
+    #   --(broadcast INNER join: ASIA suppliers — drops non-ASIA rows
+    #      BEFORE the min, preserving the agg's hash partitioning)-->
+    #   min-over-Window(partkey)     [exchange-free: HashPartitioning
+    #                                 (partkey,suppkey) from the agg
+    #                                 satisfies PartitionBy(partkey)'s
+    #                                 clustering? NO — the agg shuffles
+    #                                 on BOTH keys, so the window adds
+    #                                 shuffle #2 over the ~8x-smaller
+    #                                 aggregated rows]
+    #   --> filter cost == min, broadcast part for p_type, top-20.
+    # Two small post-combine shuffles instead of two full-lineitem
+    # aggs + decorrelation join. The oracle keeps the original
+    # correlated-subquery SQL — the hash-match is cross-algorithm.
+    part = load(spark, sf_dir, "part").filter(F.col("p_size").between(10, 15))
+    part_keys = part.select(F.col("p_partkey").alias("partkey"))
+    asia = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(load(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(
+            load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("s_suppkey").alias("suppkey"), "s_name", "n_name")
+    )
+    supply_asia = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            "l_extendedprice",
+        )
+        .join(F.broadcast(part_keys), "partkey", "left_semi")
+        .groupBy("partkey", "suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+        .join(F.broadcast(asia), "suppkey")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("partkey")
+    return (
+        supply_asia.withColumn("min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("min_cost"))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("partkey") == F.col("p_partkey"),
+        )
+        .select("s_name", "n_name", "p_partkey", "p_type", "cost")
+        .orderBy("cost", "p_partkey", "s_name")
+        .limit(20)
+    )
 
 
 QUERIES["q87_mincost_supplier"] = q87_mincost_supplier
