@@ -800,6 +800,7 @@ ORACLES["st6_streaming_dedup"] = ST6_SQL
 # ---------------------------------------------------------------------------
 def st7_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
+    from contextlib import contextmanager
 
     from pyspark.sql import Window
 
@@ -813,7 +814,29 @@ def st7_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(batch, batch_id):
         batch.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
 
-    with _stream_shuffle(spark):
+    @contextmanager
+    def _rocksdb_state_store():
+        # transformWithState keeps each state variable in its own
+        # column family — only the RocksDB provider supports that
+        # (HDFSBacked raises STATE_STORE_MULTIPLE_COLUMN_FAMILIES).
+        # Scoped like _stream_shuffle: set before .start(), restored
+        # after the drain so the other st* queries keep the default.
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            yield
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    with _stream_shuffle(spark), _rocksdb_state_store():
         q = (
             user_totals_tws(stream)
             .writeStream.foreachBatch(sink)
@@ -835,10 +858,14 @@ def st7_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _tws_available() -> bool:
     """transformWithStateInPandas ships its state protocol over
-    protobuf; without the google.protobuf package the driver worker
-    crashes at init. Declare st7 only where it can actually run (the
-    operator itself and its pytest are gated the same way)."""
+    protobuf. Environments without google.protobuf get the vendored
+    mini-runtime (vendor/protoshim, r9 — activated in session.get_spark
+    before the JVM starts so Python workers inherit it); the gate now
+    only trips if even the shim cannot load."""
     try:
+        from ..vendor import ensure_protobuf
+
+        ensure_protobuf()
         import google.protobuf.descriptor  # noqa: F401
 
         return True

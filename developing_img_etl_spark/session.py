@@ -34,6 +34,13 @@ def cpu_count() -> int:
 
 def get_spark(app_name: str = "developing_img_etl_spark", *, cpus: int | None = None) -> SparkSession:
     """Build (or reuse) the engine SparkSession."""
+    # transformWithStateInPandas needs google.protobuf in the PYTHON
+    # WORKERS; when absent, activate the vendored mini-runtime BEFORE
+    # the JVM starts so the daemon inherits the PYTHONPATH entry
+    # (vendor/protoshim — real package always wins when installed)
+    from .vendor import ensure_protobuf
+
+    ensure_protobuf()
     n = cpus or cpu_count()
     shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
     builder = (
