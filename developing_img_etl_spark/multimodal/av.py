@@ -8,13 +8,15 @@ this container, so the deterministic fake formats —
 headers — carry the plumbing contract (BinaryType columns, Arrow batch
 shape, null-on-unreadable guard semantics, the mapInPandas
 row-explosion for frame sampling, typed metadata structs). BOTH paths
-additionally have a REAL container format routed ahead of the fake
+additionally have REAL container formats routed ahead of the fake
 seam exactly as BMP/PNG are routed ahead of FAKEIMG in image.py:
-RIFF/WAV 16-bit PCM for audio (wav.py) and RIFF MJPEG-in-AVI for
-video (avi.py, r8) — real WAV/AVI bytes decode for real; other real
-formats (mp3/flac/mp4/mkv) hit the decoder seam (soundfile / PyAV
-would slot in at _decode_*) and until one is importable return null
-(the M3 guard), never a wrong answer.
+RIFF/WAV 16-bit PCM for audio (wav.py) and, for video, BOTH dominant
+container families — RIFF MJPEG-in-AVI (avi.py, r8) and box-tree
+MJPEG-in-MOV/QuickTime (mov.py, r9; MP4 is the ISO-BMFF descendant of
+the same box walk). Remaining real formats (mp3/flac, fragmented mp4,
+mkv/EBML) hit the decoder seam (soundfile / PyAV would slot in at
+_decode_*) and until one is importable return null (the M3 guard),
+never a wrong answer.
 
 Frame sampling emits frames as FAKEIMG bytes on the fake path and as
 the raw per-frame JPEG payloads on the AVI path, so the image UDF
@@ -41,6 +43,8 @@ from .image import make_fake_image
 
 _AUD_MAGIC = b"FAKEAUD:"
 _VID_MAGIC = b"FAKEVID:"
+# top-level QuickTime/ISO-BMFF box types that can legally open a file
+_MOV_HEADS = (b"ftyp", b"moov", b"mdat", b"wide", b"skip", b"free")
 
 
 def make_fake_audio(sample_rate: int, n_samples: int, seed: bytes = b"a") -> bytes:
@@ -81,8 +85,13 @@ def _decode_video_meta(data: bytes | None) -> tuple[int, int, int, int] | None:
         from .avi import avi_meta
 
         return avi_meta(data)
+    if len(data) >= 8 and data[4:8] in _MOV_HEADS:
+        # real container format #2: MJPEG-in-MOV/QuickTime (mov.py, r9)
+        from .mov import mov_meta
+
+        return mov_meta(data)
     if not data.startswith(_VID_MAGIC):
-        return None  # seam for further real decoders (mp4/mkv): av.open here
+        return None  # seam for remaining real decoders (fMP4/mkv): av.open here
     try:
         parts = data.split(b":", 5)
         return int(parts[1]), int(parts[2]), int(parts[3]), int(parts[4])
@@ -173,6 +182,7 @@ def sample_frames(
 
     def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .avi import avi_frames
+        from .mov import mov_frames
 
         for pdf in batches:
             rows = []
@@ -182,11 +192,14 @@ def sample_frames(
                     continue
                 w, h, _fps, n = meta
                 raw = bytes(data)
-                if raw[:4] == b"RIFF":
-                    # real MJPEG AVI: each '00dc' payload is a complete
+                if raw[:4] == b"RIFF" or raw[4:8] in _MOV_HEADS:
+                    # real MJPEG container (AVI '00dc' chunks / MOV
+                    # stsz+stco samples): each payload is a complete
                     # JPEG, so the sampled frame IS the payload — no
                     # re-encode, and skipped frames are never decoded
-                    payloads = avi_frames(raw)
+                    payloads = (
+                        avi_frames(raw) if raw[:4] == b"RIFF" else mov_frames(raw)
+                    )
                     if payloads is None:
                         continue
                     for idx in range(0, min(n, len(payloads)), every_n):

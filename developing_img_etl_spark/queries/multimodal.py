@@ -1302,3 +1302,126 @@ ORDER BY p_partkey
 
 QUERIES["m20_avi_frame_sample"] = m20_avi_frame_sample
 ORACLES["m20_avi_frame_sample"] = M20_SQL
+
+
+# --------------------------------------------------------------------------
+# M21 — REAL video frame sampling in the SECOND container family:
+# MJPEG-in-MOV/QuickTime (multimodal/mov.py — the hand-walked
+# ftyp/mdat/moov box tree with stsd/stts/stsc/stsz/stco sample
+# tables; MP4 is the ISO-BMFF descendant of this structure). Same
+# m20 discipline end-to-end: container metadata, sampled-index set,
+# per-frame JPEG dims, and the fidelity gate are oracle-exact; the
+# frame payload contract (stsz/stco slices are complete JPEGs whose
+# decoded pixels match the deterministic photo) is checked by the same
+# _avi_frame_checks UDF because make_mov shares make_avi's seed
+# contract. Corrupt rows open with a plausible 'ftyp' box whose moov
+# is garbage — the guard exercised inside the box walker. Disjoint
+# part slice from m20 (% 25 == 7 vs == 0).
+# --------------------------------------------------------------------------
+@pandas_udf(T.BinaryType())
+def _gen_mov(w: pd.Series, h: pd.Series, fps: pd.Series, n: pd.Series, seed: pd.Series) -> pd.Series:
+    from ..multimodal.mov import make_mov
+
+    return pd.Series(
+        [
+            None
+            if pd.isna(a)
+            else make_mov(int(a), int(b), int(f), int(k), int(s))
+            for a, b, f, k, s in zip(w, h, fps, n, seed)
+        ],
+        dtype=object,
+    )
+
+
+def _mov_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _widen(load(spark, sf_dir, "part").filter(F.col("p_partkey") % 25 == 7))
+    corrupt = F.col("p_partkey") % 89 == 0
+    w = (16 + F.pmod(F.col("p_size"), F.lit(12)) * 4).cast("int")
+    h = (12 + F.pmod(F.col("p_size"), F.lit(8)) * 4).cast("int")
+    fps = (12 + F.pmod(F.col("p_size"), F.lit(3)) * 6).cast("int")
+    n = (3 + F.pmod(F.col("p_size"), F.lit(6))).cast("int")
+    seed = F.pmod(F.col("p_partkey"), F.lit(251)).cast("int")
+    return part.select(
+        F.col("p_partkey").alias("video_id"),
+        F.when(
+            corrupt,
+            # valid ftyp box + truncated garbage moov: exercises the
+            # box walker's structural guards, not just the magic check
+            F.lit(b"\x00\x00\x00\x14ftypqt  \x00\x00\x02\x00qt  \x00\x00\x00\x20moovgarbage"),
+        )
+        .otherwise(_gen_mov(w, h, fps, n, seed))
+        .alias("content"),
+    )
+
+
+def m21_mov_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.av import sample_frames, video_metadata
+
+    vids = _mov_corpus(spark, sf_dir)
+    meta = vids.select("video_id", video_metadata(F.col("content")).alias("m"))
+    frames = sample_frames(vids, id_col="video_id", every_n=2)
+    checked = frames.select(
+        "video_id",
+        "frame_idx",
+        _avi_frame_checks(
+            F.col("frame"), F.col("width"), F.col("height"),
+            F.col("video_id"), F.col("frame_idx"),
+        ).alias("c"),
+    )
+    per_vid = checked.groupBy("video_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("frame_idx").cast("long").alias("idx_sum"),
+        F.min("c.dims_ok").alias("dims_ok"),
+        F.min("c.fidelity_ok").alias("fidelity_ok"),
+    )
+    return (
+        meta.join(per_vid, "video_id", "left")
+        .select(
+            F.col("video_id").alias("p_partkey"),
+            F.when(F.col("m.width").isNull(), F.lit("unreadable"))
+            .otherwise(F.lit("ok"))
+            .alias("status"),
+            F.col("m.width").alias("width"),
+            F.col("m.height").alias("height"),
+            F.col("m.fps").alias("fps"),
+            F.col("m.n_frames").alias("n_frames"),
+            "n_sampled",
+            "idx_sum",
+            "dims_ok",
+            "fidelity_ok",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+M21_SQL = """
+WITH base AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 89 = 0 THEN NULL
+              ELSE CAST(16 + (p_size % 12) * 4 AS INT) END AS w,
+         CASE WHEN p_partkey % 89 = 0 THEN NULL
+              ELSE CAST(12 + (p_size % 8) * 4 AS INT) END AS h,
+         CAST(12 + (p_size % 3) * 6 AS INT) AS fps,
+         CAST(3 + p_size % 6 AS INT) AS n
+  FROM part
+  WHERE p_partkey % 25 = 7
+)
+SELECT p_partkey,
+       CASE WHEN w IS NULL THEN 'unreadable' ELSE 'ok' END AS status,
+       w AS width,
+       h AS height,
+       CASE WHEN w IS NULL THEN NULL ELSE fps END AS fps,
+       CASE WHEN w IS NULL THEN NULL ELSE n END AS n_frames,
+       CAST(CASE WHEN w IS NULL THEN NULL ELSE (n + 1) // 2 END AS BIGINT)
+         AS n_sampled,
+       CAST(CASE WHEN w IS NULL THEN NULL
+                 ELSE ((n + 1) // 2) * ((n + 1) // 2 - 1) END AS BIGINT)
+         AS idx_sum,
+       CASE WHEN w IS NULL THEN NULL ELSE TRUE END AS dims_ok,
+       CASE WHEN w IS NULL THEN NULL ELSE TRUE END AS fidelity_ok
+FROM base
+ORDER BY p_partkey
+"""
+
+QUERIES["m21_mov_frame_sample"] = m21_mov_frame_sample
+ORACLES["m21_mov_frame_sample"] = M21_SQL
