@@ -91,6 +91,17 @@ def q14c_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = (
         a.join(b, ["source", "s"])
         .filter(F.col("id_a") < F.col("id_b"))
+        # PPJoin length filter (r9): jaccard = c/(n_a+n_b-c) with
+        # c <= min(n_a, n_b), so jac <= min/max — any pair whose sizes
+        # differ 5x can NEVER clear the 0.2 threshold (at max = 5*min,
+        # jac <= exactly 0.2, excluded by the strict >). Dropping those
+        # rows BEFORE the pair aggregation cuts the one remaining big
+        # shuffle (the ~10x-the-index pair set) instead of filtering
+        # after the count; provably lossless, oracle unchanged.
+        .filter(
+            F.greatest(F.col("n_a"), F.col("n_b"))
+            < F.least(F.col("n_a"), F.col("n_b")) * 5
+        )
         .groupBy("source", "id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

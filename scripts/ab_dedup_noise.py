@@ -23,12 +23,18 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-SF = "/root/testdata/sf0.1"
+SF = os.environ.get("AB_SF", "/root/testdata/sf0.1")
 R7 = "/root/repo/tmp/r7wt"
 ALIAS_DIR = "/root/repo/tmp/r7alias"
 OUT = "/root/repo/AB_DEDUP_R9.json"
 NAMES = ["q30_dedup_clusters", "q74_canonical_dedup", "st15_streaming_lsh_dedup"]
-REPS = 3
+REPS = int(os.environ.get("AB_REPS", "3"))
+# optional: names + output path via argv (r9: also used to A/B the
+# shingle-index/q14c rework against the r7 implementations)
+if len(sys.argv) > 1:
+    NAMES = sys.argv[1].split(",")
+if len(sys.argv) > 2:
+    OUT = sys.argv[2]
 
 
 def _load_r7_package():
