@@ -226,20 +226,23 @@ GROUP BY 1, 2, 3
     n_cand = con.execute("SELECT COUNT(*) FROM cand").fetchone()[0]
     print(f"  [candidates: {n_cand} rows, {time.time() - t0:.0f}s]", flush=True)
 
-    # candidate-restricted shingle re-derivation for n_common: only the
-    # docs appearing in cand get re-shingled (both id variants)
+    # CANDIDATE-BOUNDED intersection (the Spark-side r7 shape, here in
+    # DuckDB): enumerate each candidate pair's left-doc shingles and
+    # equi-join against the right doc's postings — cost is
+    # |cand| x shingles/doc, LINEAR in the candidate count. The
+    # oracle's posting-list SELF-join over candidate docs is sum(df^2):
+    # in this corpus every doc has an identical twin, so ~every doc is
+    # a candidate and that join filled 75 GB of spill before dying
+    # (first r9 attempt). Semantics identical: COUNT of shared
+    # distinct shingles per candidate (source, id_a, id_b).
     t0 = time.time()
     con.execute(rf"""
 CREATE TEMP TABLE common AS
-WITH ids AS (
-  SELECT id_a AS doc_id FROM cand UNION SELECT id_b FROM cand
-),
-invc AS (
-  SELECT * FROM '{inv_pq}' WHERE doc_id IN (SELECT doc_id FROM ids)
-)
-SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-FROM invc a JOIN invc b
-  ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+SELECT c.source, c.id_a, c.id_b, COUNT(*) AS n_common
+FROM cand c
+JOIN '{inv_pq}' a ON a.source = c.source AND a.doc_id = c.id_a
+JOIN '{inv_pq}' b ON b.source = c.source AND b.doc_id = c.id_b
+                 AND b.shingle = a.shingle
 GROUP BY 1, 2, 3
 """)
     print(f"  [common: {time.time() - t0:.0f}s]", flush=True)
