@@ -66,102 +66,75 @@ _MODULES = (
 # these. Rotate next round: drop names once a CORRECTNESS artifact
 # shows them green, so the uncovered tail keeps surfacing.
 _DRIVER_PRIORITY = (
-    # r5 new operators + ADVICE fixes — certify first
-    "q118_importance_logratio",
-    "st14_stream_stream_left_outer",
-    "q119_kmeans_fixed_point",
-    "q102_zscore_anomalies",
-    "q116_mad_outliers",
-    "q101_entity_resolution",
-    "q97_hll_distinct",
-    "q113_quantile_sketch",
-    # never driver-checked (r1–r4 union), module order
-    "q53_winnowing_fingerprints",
-    "q54_bpe_token_stats",
-    "q58_bpe_merge_pairs",
-    "q62_curation_funnel",
-    "q67_curriculum_deciles",
-    "q75_corpus_drift",
-    "q79_bigram_surprisal",
-    "q84_pmi_pairs",
-    "q98_kneser_ney_bigrams",
-    "q107_vocab_growth",
-    "q117_perplexity_buckets",
-    "q56_embedding_stats",
-    "q68_contrastive_triplets",
-    "q93_rrf_hybrid_retrieval",
-    "q96_semdedup",
-    "q100_int8_quantization",
-    "q110_retrieval_eval",
+    # r9 rotation. Every query declared through r8 has appeared green
+    # in some CORRECTNESS_r*.json (r1–r8 union = 188/188), so the
+    # front-load is (a) the 7 never-driver-checked r9 additions, then
+    # (b) the queries whose PLANS changed this round (q87 single-pass
+    # rework; the pre-partitioned shingle index + q14c PPJoin filter
+    # touch every index consumer) so the driver re-certifies the new
+    # plans, then (c) the oldest-certified tail (last green r4 or
+    # earlier) so staleness keeps cycling out.
+    # (a) new in r9 — never driver-checked
+    "st7_transform_with_state",
+    "m21_mov_frame_sample",
+    "q139_ngram_lang_id",
+    "q140_gini_concentration",
+    "q141_cusum_changepoint",
+    "q142_l_diversity",
+    "q143_pr_curve_ap",
+    # (b) plans reworked in r9
+    "q87_mincost_supplier",
+    "q14c_ngram_jaccard_pairs",
+    "q83_prefix_filter_jaccard",
+    "q27_decontamination",
+    "q30_dedup_clusters",
+    "q48_edit_distance_pairs",
     "q63_repeated_ngram_overlap",
     "q74_canonical_dedup",
-    "q83_prefix_filter_jaccard",
     "q103_label_propagation",
     "q108_minhash_audit",
-    "m13_arrow_topk",
-    "m15_ann_pq_topk",
-    "m12_bmp_compress",
-    "m14_png_compress",
-    "m16_wav_resample",
-    "m17_gif_compress",
-    "m18_jpeg_compress",
-    "m19_phash_dedup",
-    "q94_recursive_cte",
-    "q39_pagerank",
-    "q76_lateral_topk",
-    "q78_correlated_scalar_subquery",
-    "q80_filtered_aggregates",
-    "q82_triangle_count",
-    "q87_mincost_supplier",
-    "q24_udaf_grouped_agg",
-    "q25_grouped_map",
-    "q90_sql_registered_udf",
-    "q26_deterministic_sampling",
-    "q57_group_topk_sample",
-    "q65_split_label_balance",
-    "q72_weighted_topk_sample",
-    "q104_stratified_quota_sample",
-    "q33_sequence_packing",
-    "q34_pii_redaction",
-    "q35_event_funnel",
-    "q36_column_profile",
-    "q37_merge_upsert",
-    "q38_zorder_layout",
-    "q40_price_histogram",
-    "q41_grouping_sets",
-    "q42_oov_rate",
-    "q43_variant_json",
-    "q44_document_chunks",
-    "q45_tfidf_topterms",
-    "q46_fk_integrity",
-    "q47_skew_profile",
-    "q49_jsonl_roundtrip",
-    "q50_weighted_sampling",
-    "q51_snapshot_diff",
-    "q52_calendar_gapfill",
-    "q55_time_travel_diff",
-    "q59_merge_into_pruned",
-    "q60_incremental_view_refresh",
-    "q61_bloom_semijoin_reduction",
-    "q64_k_anonymity",
-    "q66_change_data_feed",
-    "q71_scd2_history",
-    "q73_point_in_time_join",
-    "q81_linear_interpolation",
-    "q85_schema_drift_union",
-    "q88_table_fingerprint",
-    "q91_csv_roundtrip",
-    "q92_temperature_mixing",
-    "q95_cms_heavy_hitters",
-    "q106_benford_audit",
-    "q69_cohort_retention",
-    "q70_top_event_paths",
-    "q86_capped_sessions",
-    "q105_sliding_distinct_users",
-    "q109_revenue_trend",
-    "q112_markov_transitions",
-    "q114_weekday_seasonality",
-    "q77_quality_classifier",
+    "q122_minhash_lsh_pairs",
+    "q123_simhash_hamming_pairs",
+    "q125_substring_span_pairs",
+    "q132_novelty_scan",
+    "st15_streaming_lsh_dedup",
+    # (c) oldest driver certification first (r2–r4 era)
+    "q20_sql_entry",
+    "m1_image_compress",
+    "m2_image_metadata",
+    "q1_incremental_antijoin",
+    "q2_grouped_agg",
+    "q3_join_chain",
+    "q4a_customers_without_urgent_orders",
+    "q5_window_suite",
+    "q6_rollup",
+    "q7_topk",
+    "q8_setops",
+    "q9a_scalar_strings",
+    "q9b_scalar_dates_math",
+    "q11b_asof_join",
+    "q12a_token_stats",
+    "q12b_json_extract",
+    "q13_brute_force_topk",
+    "q14a_exact_dedup",
+    "q16_collect_years",
+    "q17_approx_distinct",
+    "q18_local_supplier_revenue",
+    "q19_stage_dependency_dates",
+    "q99_interval_overlap_join",
+    "q111_ratio_to_parent",
+    "q115_skyline",
+    "q29_rolling_time_window",
+    "q89_distribution_ranks",
+    "m7_multimodal_bind",
+    "m9_ann_ivf_topk",
+    "m10_audio_metadata",
+    "m11_video_frame_sample",
+    "st1_streaming_tumbling",
+    "st2_streaming_session",
+    "st3_streaming_late_data",
+    "st4_stream_stream_join",
+    "st5_stateful_user_totals",
 )
 
 

@@ -1298,3 +1298,241 @@ SELECT CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n_view,
 
 QUERIES["q137_funnel_steps"] = q137_funnel_steps
 ORACLES["q137_funnel_steps"] = Q137_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q140 — revenue concentration audit: exact Gini + top-decile share
+# per region (the Lorenz-curve numbers a marketplace/corpus-governance
+# dashboard reports; for training corpora the same statistic flags
+# source-concentration risk).
+#
+# Gini over per-customer revenue x sorted ascending with rank i:
+#   gini_ppm = (2*sum(i*x) - (n+1)*sum(x)) * 1e6 DIV (n * sum(x))
+# Ranks are row_number over (cents ASC, custkey ASC) — within a tied
+# cents group, sum(i*x) is invariant to which tied row gets which rank
+# (equal x), so the custkey tie-break is determinism-only, not a
+# semantics choice. All arithmetic is exact: cents are integers,
+# sum(i*x) rides DECIMAL(38,0) (i<=n, x<=~5e7 cents: bigint-safe to
+# sf~1e3, decimal-safe to any plausible SF — the q97 discipline).
+# Top-decile share counts the highest GREATEST(n DIV 10, 1) customers.
+#
+# Scale shape (100 TB): orders reduce map-side to one row per customer
+# (3 orders of magnitude below the fact table) BEFORE any sort; the
+# rank window runs per region over that per-customer frame — the same
+# "aggregate first, order the reduced frame" discipline as q89/q67.
+# Dimension joins (nation, region) broadcast.
+# ---------------------------------------------------------------------------
+
+
+def q140_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,4)")) * 100, 0)
+        .cast("long")
+        .alias("cents")
+    )
+    cr = (
+        rev.join(cust.select("c_custkey", "c_nationkey"), rev.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("r_name", "o_custkey", "cents")
+    )
+    w = Window.partitionBy("r_name").orderBy(F.asc("cents"), F.asc("o_custkey"))
+    ranked = cr.withColumn("i", F.row_number().over(w).cast("long")).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("r_name")).cast("long")
+    )
+    return (
+        ranked.groupBy("r_name")
+        .agg(
+            F.max("n").alias("nn"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+            F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).alias("six"),
+            F.sum(
+                F.when(
+                    F.col("i") > F.col("n") - F.greatest(F.expr("n DIV 10"), F.lit(1)),
+                    F.col("cents"),
+                )
+                .otherwise(0)
+                .cast("decimal(38,0)")
+            ).alias("top"),
+        )
+        .select(
+            "r_name",
+            F.col("nn").alias("n_cust"),
+            F.col("s").cast("long").alias("total_cents"),
+            F.expr(
+                "CAST((2 * six - (nn + 1) * s) * 1000000 div "
+                "(CAST(nn AS DECIMAL(38,0)) * s) AS BIGINT)"
+            ).alias("gini_ppm"),
+            F.expr("CAST(top * 1000000 div s AS BIGINT)").alias(
+                "top_decile_share_ppm"
+            ),
+        )
+        .orderBy("r_name")
+    )
+
+
+Q140_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,4))) * 100, 0) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+cr AS (
+  SELECT r_name, o_custkey, cents
+  FROM rev
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+rk AS (
+  SELECT r_name, cents,
+         row_number() OVER (PARTITION BY r_name ORDER BY cents ASC, o_custkey ASC) AS i,
+         COUNT(*) OVER (PARTITION BY r_name) AS n
+  FROM cr
+)
+SELECT r_name,
+       CAST(MAX(n) AS BIGINT) AS n_cust,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST((2 * SUM(CAST(i AS HUGEINT) * cents)
+             - (MAX(n) + 1) * SUM(CAST(cents AS HUGEINT)))
+            * 1000000
+            // (CAST(MAX(n) AS HUGEINT) * SUM(CAST(cents AS HUGEINT)))
+            AS BIGINT) AS gini_ppm,
+       CAST(SUM(CASE WHEN i > n - GREATEST(n // 10, 1) THEN CAST(cents AS HUGEINT) ELSE 0 END)
+            * 1000000 // SUM(CAST(cents AS HUGEINT)) AS BIGINT) AS top_decile_share_ppm
+FROM rk
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+QUERIES["q140_gini_concentration"] = q140_gini_concentration
+ORACLES["q140_gini_concentration"] = Q140_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q141 — CUSUM changepoint scan over daily event volumes (Page 1954).
+#
+# The one-sided CUSUM recursion S_d = max(0, S_{d-1} + dev_d) is not a
+# linear window aggregate — but it has a closed form over prefix sums:
+#   S_d = cum_d - LEAST(0, MIN_{j<=d} cum_j)
+# (cumulative sum minus its running minimum, floored at the virtual 0
+# start), which IS two window functions. That reduction is what makes
+# the operator scale: no recursion, no iterative joins.
+#
+# Everything is exact-integer by scaling: the daily deviation from the
+# per-type mean is kept in n_days-scaled units (dev_d = x_d * n_days -
+# total), so no division happens before the comparison. The alarm
+# threshold is data-derived (4 * mean absolute deviation, in the same
+# scaled units): T = 4 * sum(|dev|) DIV n_days * n_days ... == 4 *
+# sum(|dev|) exactly, since mean|dev| * n_days = sum|dev|. An alarm
+# fires where S_d > T; the audit reports alarms, the first alarm day,
+# and the peak statistic per event type.
+#
+# Scale shape (100 TB): events reduce map-side to the bounded
+# (event_type, day) daily frame; per-type moments aggregate that frame
+# once and broadcast back; both windows run over the bounded frame
+# only (types x days rows), never the event stream.
+# ---------------------------------------------------------------------------
+
+
+def q141_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .classify import epoch_day
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", epoch_day(F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("x"))
+
+    moments = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("total"),
+    )
+    dev = (
+        daily.join(F.broadcast(moments), "event_type")
+        .select(
+            "event_type",
+            "d",
+            "n_days",
+            (F.col("x") * F.col("n_days") - F.col("total")).alias("dev"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stat = (
+        dev.withColumn("cum", F.sum("dev").over(w))
+        .withColumn("runmin", F.least(F.min("cum").over(w), F.lit(0)))
+        .withColumn("s", F.col("cum") - F.col("runmin"))
+    )
+    thresh = dev.groupBy("event_type").agg(
+        (F.sum(F.abs(F.col("dev"))) * 4).alias("t")
+    )
+    return (
+        stat.join(F.broadcast(thresh), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_days").cast("long").alias("n_days"),
+            F.sum((F.col("s") > F.col("t")).cast("long")).alias("n_alarms"),
+            F.min(F.when(F.col("s") > F.col("t"), F.col("d"))).cast("long").alias(
+                "first_alarm_d"
+            ),
+            F.max("s").cast("long").alias("max_cusum"),
+            F.max("t").cast("long").alias("threshold"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q141_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         COUNT(*) AS x
+  FROM events
+  GROUP BY 1, 2
+),
+moments AS (
+  SELECT event_type, COUNT(*) AS n_days, SUM(x) AS total
+  FROM daily GROUP BY event_type
+),
+dev AS (
+  SELECT d.event_type, d.d, m.n_days, d.x * m.n_days - m.total AS dev
+  FROM daily d JOIN moments m USING (event_type)
+),
+cum AS (
+  SELECT event_type, d, n_days,
+         SUM(dev) OVER (PARTITION BY event_type ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM dev
+),
+stat AS (
+  SELECT event_type, d, n_days,
+         cum - LEAST(MIN(cum) OVER (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS s
+  FROM cum
+),
+thresh AS (
+  SELECT event_type, 4 * SUM(ABS(dev)) AS t FROM dev GROUP BY event_type
+)
+SELECT s.event_type,
+       CAST(MAX(s.n_days) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN s.s > t.t THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+       CAST(MIN(CASE WHEN s.s > t.t THEN s.d END) AS BIGINT) AS first_alarm_d,
+       CAST(MAX(s.s) AS BIGINT) AS max_cusum,
+       CAST(MAX(t.t) AS BIGINT) AS threshold
+FROM stat s JOIN thresh t USING (event_type)
+GROUP BY s.event_type
+ORDER BY s.event_type
+"""
+
+QUERIES["q141_cusum_changepoint"] = q141_cusum_changepoint
+ORACLES["q141_cusum_changepoint"] = Q141_SQL

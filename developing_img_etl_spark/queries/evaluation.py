@@ -436,3 +436,129 @@ ORACLES = {
     "q129_cohens_kappa": Q129_SQL,
     "q130_calibration_audit": Q130_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Q143 — precision-recall sweep + average precision per source (r9).
+#
+# q128 answers "does the score rank positives above negatives" (AUC);
+# this operator answers the deployment question AUC dodges: WHERE to
+# put the threshold, and what precision/recall the corpus pays there.
+# From the same (source, logit) histogram, scanning thresholds from
+# the highest logit down:
+#
+#   tp_k, fp_k       cumulative positives/negatives at threshold k
+#   precision_ppm_k  = tp_k * 1e6 DIV (tp_k + fp_k)
+#   f1_ppm_k         = 2*tp_k * 1e6 DIV (tp_k + fp_k + P)
+#   ap_ppm           = ( sum_k n_pos_k * tp_k * 1e6 DIV (tp_k+fp_k) )
+#                      DIV P
+#
+# AP is the step-integral sum over threshold groups of delta-recall x
+# precision; the inner floor-divide is PART OF THE DECLARED METRIC
+# (integer-exact discipline — both engines floor identically, and the
+# bias is < 1e-6 per threshold group). Reported per source: the
+# operating point with max F1 (ties -> the higher logit, i.e. the
+# more conservative threshold) and AP. Wide products (n_pos_k * tp_k *
+# 1e6 ~ 1e20 at sf10) ride DECIMAL(38,0)/HUGEINT (q97 discipline).
+#
+# Scale shape (100 TB): one corpus aggregation into the bounded
+# (source, logit) histogram (distinct logits << corpus rows); the
+# cumulative window and the argmax both run over that bounded frame.
+# ---------------------------------------------------------------------------
+
+
+def q143_pr_curve_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _doc_logits(spark, sf_dir).select(
+        "source",
+        "logit",
+        (F.col("n_chars") >= _TRUTH_CHARS).cast("long").alias("pos"),
+    )
+    hist = base.groupBy("source", "logit").agg(
+        F.sum("pos").alias("n_p"),
+        F.sum(1 - F.col("pos")).alias("n_n"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("logit"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        hist.withColumn("tp", F.sum("n_p").over(w))
+        .withColumn("fp", F.sum("n_n").over(w))
+        .withColumn("p_total", F.sum("n_p").over(Window.partitionBy("source")))
+    )
+    pts = cum.select(
+        "source",
+        "logit",
+        "n_p",
+        "tp",
+        "fp",
+        "p_total",
+        F.expr(
+            "CAST(CAST(n_p AS DECIMAL(38,0)) * tp * 1000000 div (tp + fp) AS DECIMAL(38,0))"
+        ).alias("ap_term"),
+        F.expr("CAST(2 * tp * 1000000 div (tp + fp + p_total) AS BIGINT)").alias(
+            "f1_ppm"
+        ),
+    )
+    return (
+        pts.groupBy("source")
+        .agg(
+            F.max("p_total").cast("long").alias("n_pos"),
+            F.count(F.lit(1)).cast("long").alias("n_thresholds"),
+            F.expr("CAST(CAST(sum(ap_term) AS DECIMAL(38,0)) div max(p_total) AS BIGINT)").alias("ap_ppm"),
+            F.max("f1_ppm").alias("best_f1_ppm"),
+            F.expr("max_by(logit, struct(f1_ppm, logit))").cast("long").alias(
+                "best_f1_logit"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+Q143_SQL = rf"""
+WITH base AS (
+  SELECT source, logit,
+         CASE WHEN n_chars >= {_TRUTH_CHARS} THEN 1 ELSE 0 END AS pos
+  FROM ({_SQL_LOGITS})
+),
+hist AS (
+  SELECT source, logit, SUM(pos) AS n_p, SUM(1 - pos) AS n_n
+  FROM base GROUP BY source, logit
+),
+cum AS (
+  SELECT source, logit, n_p,
+         SUM(n_p) OVER w AS tp,
+         SUM(n_n) OVER w AS fp,
+         SUM(n_p) OVER (PARTITION BY source) AS p_total
+  FROM hist
+  WINDOW w AS (PARTITION BY source ORDER BY logit DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+pts AS (
+  SELECT source, logit, n_p, tp, fp, p_total,
+         CAST(n_p AS HUGEINT) * tp * 1000000 // (tp + fp) AS ap_term,
+         CAST(2 * CAST(tp AS HUGEINT) * 1000000 // (tp + fp + p_total) AS BIGINT) AS f1_ppm
+  FROM cum
+)
+SELECT source,
+       CAST(MAX(p_total) AS BIGINT) AS n_pos,
+       CAST(COUNT(*) AS BIGINT) AS n_thresholds,
+       CAST(SUM(ap_term) // CAST(MAX(p_total) AS HUGEINT) AS BIGINT) AS ap_ppm,
+       CAST(MAX(f1_ppm) AS BIGINT) AS best_f1_ppm,
+       CAST(ANY_VALUE(best_logit) AS BIGINT) AS best_f1_logit
+FROM pts
+JOIN (
+  SELECT source AS bsrc, logit AS best_logit FROM (
+    SELECT source, logit,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY f1_ppm DESC, logit DESC) AS rk
+    FROM pts
+  ) WHERE rk = 1
+) b ON pts.source = b.bsrc
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["q143_pr_curve_ap"] = q143_pr_curve_ap
+ORACLES["q143_pr_curve_ap"] = Q143_SQL

@@ -1575,3 +1575,173 @@ ORDER BY source
 
 QUERIES["q132_novelty_scan"] = q132_novelty_scan
 ORACLES["q132_novelty_scan"] = _q132_sql()
+
+
+# ---------------------------------------------------------------------------
+# Q139 — trained n-gram language-ID profiles + holdout confusion audit
+# (Cavnar-Trenkle "N-Gram-Based Text Categorization", 1994).
+#
+# functions/text.lang_id (used by q12/q62) is the HEURISTIC tier: a
+# fixed character-class CASE chain. This operator is the STATISTICAL
+# tier a real corpus pipeline trains: per-language character-trigram
+# profiles learned from a deterministic 80% split, then every holdout
+# document classified by profile overlap and scored against its label.
+# On this synthetic corpus the languages share one vocabulary, so the
+# honest result is accuracy at majority-class scale — the operator
+# measures the ARCHITECTURE (train/score split, bounded profiles,
+# argmax with deterministic tie-breaks), which is exactly what the
+# confusion matrix output makes auditable.
+#
+# All counts are exact integers; the only ranking keys are (df DESC,
+# gram ASC) and (hits DESC, lang ASC) — total orders, so both engines
+# pick identical profiles and identical predictions at any
+# partitioning.
+#
+# Scale shape (100 TB): the corpus is trigram-exploded ONCE, split
+# 8:2 at the document level BEFORE shingling (the q132 lesson — the
+# branches partition the corpus disjointly). The train branch reduces
+# map-side into the bounded (lang, gram) doc-frequency frame (trigram
+# domain is bounded by the character set, not the corpus); the top-K
+# window runs over that bounded frame only. The holdout branch joins
+# its grams to the BROADCAST <= 5*K-row profile, so scoring is
+# map-side; the per-document argmax aggregates <= 5 rows/doc with
+# min_by (no window over the corpus). The single 1-row crossJoin
+# carries the data-derived fallback language (plan-audit scalar-cross
+# pattern, BNLJ_ALLOWED).
+# ---------------------------------------------------------------------------
+
+_Q139_K = 200      # profile size per language (Cavnar-Trenkle's 300-ish)
+_Q139_HOLD = 8     # md5(doc_id) % 10 >= 8 -> holdout (20%)
+
+
+def q139_ngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .classify import md5_prefix_int
+
+    docs = load(spark, sf_dir, "documents")
+    bucket = md5_prefix_int(F.col("doc_id").cast("string"), 8) % 10
+    base = docs.select("doc_id", "lang", F.lower("text").alias("t"), bucket.alias("bkt"))
+
+    def grams_of(d: DataFrame) -> DataFrame:
+        # distinct char-trigrams per doc, JVM-side (sequence+transform);
+        # guarded: Spark's sequence(1, 0) would step BACKWARDS
+        return d.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "CASE WHEN char_length(t) >= 3 THEN "
+                    "array_distinct(transform(sequence(1, char_length(t) - 2),"
+                    " i -> substring(t, i, 3))) "
+                    "ELSE array() END"
+                )
+            ).alias("g"),
+        )
+
+    train = grams_of(base.filter(F.col("bkt") < _Q139_HOLD))
+    hold = grams_of(base.filter(F.col("bkt") >= _Q139_HOLD))
+
+    # bounded (lang, gram) doc-frequency frame -> top-K profile per lang
+    prof = (
+        train.groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.desc("df"), F.asc("g"))
+            ),
+        )
+        .filter(F.col("rk") <= _Q139_K)
+        .select(F.col("lang").alias("cand"), "g")
+    )
+
+    hits = (
+        hold.join(F.broadcast(prof), "g")
+        .groupBy("doc_id", "cand")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    best = hits.groupBy("doc_id").agg(
+        F.expr("min_by(cand, struct(-hits, cand))").alias("pred")
+    )
+    fallback = prof.agg(F.min("cand").alias("fb"))  # data-derived, 1 row
+
+    holdout_docs = base.filter(F.col("bkt") >= _Q139_HOLD).select("doc_id", "lang")
+    classified = (
+        holdout_docs.join(best, "doc_id", "left")
+        .crossJoin(F.broadcast(fallback))
+        .select("lang", F.coalesce("pred", "fb").alias("predicted"))
+    )
+    totals = classified.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    return (
+        classified.groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "predicted",
+            "n_docs",
+            F.expr("CAST(n_docs * 1000000 DIV n_lang AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy("lang", "predicted")
+    )
+
+
+def _q139_sql() -> str:
+    from .classify import sql_md5_prefix_int
+
+    return rf"""
+WITH base AS (
+  SELECT doc_id, lang, lower(text) AS t,
+         ({sql_md5_prefix_int(8)} % 10) AS bkt
+  FROM (SELECT doc_id, lang, text, md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents)
+),
+grams AS (
+  SELECT doc_id, lang, bkt,
+         UNNEST(list_distinct(list_transform(
+           range(1, greatest(length(t) - 1, 1)),
+           i -> substr(t, CAST(i AS INT), 3)))) AS g
+  FROM base
+  WHERE length(t) >= 3
+),
+prof AS (
+  SELECT lang AS cand, g FROM (
+    SELECT lang, g,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY COUNT(*) DESC, g ASC) AS rk
+    FROM grams WHERE bkt < {_Q139_HOLD}
+    GROUP BY lang, g
+  ) WHERE rk <= {_Q139_K}
+),
+hits AS (
+  SELECT gr.doc_id, p.cand, COUNT(*) AS hits
+  FROM grams gr JOIN prof p USING (g)
+  WHERE gr.bkt >= {_Q139_HOLD}
+  GROUP BY gr.doc_id, p.cand
+),
+best AS (
+  SELECT doc_id, cand AS pred FROM (
+    SELECT doc_id, cand,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY hits DESC, cand ASC) AS rk
+    FROM hits
+  ) WHERE rk = 1
+),
+classified AS (
+  SELECT b.lang, COALESCE(be.pred, (SELECT MIN(cand) FROM prof)) AS predicted
+  FROM base b LEFT JOIN best be USING (doc_id)
+  WHERE b.bkt >= {_Q139_HOLD}
+),
+totals AS (SELECT lang, COUNT(*) AS n_lang FROM classified GROUP BY lang)
+SELECT c.lang, c.predicted,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) * 1000000 // ANY_VALUE(t.n_lang) AS BIGINT) AS share_ppm
+FROM classified c JOIN totals t ON c.lang = t.lang
+GROUP BY c.lang, c.predicted
+ORDER BY c.lang, c.predicted
+"""
+
+
+QUERIES["q139_ngram_lang_id"] = q139_ngram_lang_id
+ORACLES["q139_ngram_lang_id"] = _q139_sql()

@@ -2968,3 +2968,88 @@ ORDER BY table_name
 
 QUERIES["q138_cascade_delete_audit"] = q138_cascade_delete_audit
 ORACLES["q138_cascade_delete_audit"] = Q138_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q142 — l-diversity audit (Machanavajjhala et al. 2007), the privacy
+# tier ABOVE q64's k-anonymity: a quasi-identifier group can be large
+# (k-anonymous) yet still disclose its members' sensitive attribute if
+# every member shares one value. Distinct l-diversity counts the
+# distinct sensitive values per QI group; groups with l < L leak.
+#
+# Same QI grouping as q64 — (c_mktsegment, c_nationkey) — so the two
+# audits compose into one privacy report; the sensitive attribute is
+# the account-balance $1000 band (cents DIV 100000, exact integers —
+# balances can be negative and both engines' DIV must agree, so the
+# band uses floor semantics via (cents - (cents % 100000 + 100000) %
+# 100000) DIV 100000, the non-negative-remainder identity both engines
+# compute identically).
+#
+# Scale shape (100 TB): one customer scan reduces map-side to the
+# (QI, band) frame, then to the bounded per-QI l frame; every window/
+# report aggregation runs over |segments x nations| rows.
+# ---------------------------------------------------------------------------
+
+_LDIV_L = 3  # required distinct sensitive values per QI group
+
+
+def q142_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    cents = F.expr("CAST(floor(CAST(c_acctbal AS DOUBLE) * 100.0 + 0.5) AS BIGINT)")
+    band = F.expr(
+        "(cents - (cents % 100000 + 100000) % 100000) DIV 100000"
+    )
+    groups = (
+        cust.select("c_mktsegment", "c_nationkey", cents.alias("cents"))
+        .select("c_mktsegment", "c_nationkey", band.alias("band"))
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.countDistinct("band").alias("l"),
+            F.count(F.lit(1)).alias("gsize"),
+        )
+    )
+    return (
+        groups.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.min("l").cast("long").alias("min_l"),
+            F.sum((F.col("l") < _LDIV_L).cast("long")).alias("n_under_l"),
+            F.sum(
+                F.when(F.col("l") < _LDIV_L, F.col("gsize")).otherwise(0)
+            ).cast("long").alias("rows_at_risk"),
+            F.sum((F.col("l") == 1).cast("long")).alias("n_disclosed"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q142_SQL = f"""
+WITH banded AS (
+  SELECT c_mktsegment, c_nationkey,
+         (cents - (cents % 100000 + 100000) % 100000) // 100000 AS band
+  FROM (
+    SELECT c_mktsegment, c_nationkey,
+           CAST(floor(CAST(c_acctbal AS DOUBLE) * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM customer
+  )
+),
+groups AS (
+  SELECT c_mktsegment, c_nationkey,
+         COUNT(DISTINCT band) AS l,
+         COUNT(*) AS gsize
+  FROM banded
+  GROUP BY c_mktsegment, c_nationkey
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(l) AS BIGINT) AS min_l,
+       CAST(SUM(CASE WHEN l < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT) AS n_under_l,
+       CAST(SUM(CASE WHEN l < {_LDIV_L} THEN gsize ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       CAST(SUM(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_disclosed
+FROM groups
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+QUERIES["q142_l_diversity"] = q142_l_diversity
+ORACLES["q142_l_diversity"] = Q142_SQL

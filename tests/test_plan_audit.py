@@ -98,6 +98,10 @@ BNLJ_ALLOWED = {
     # q138: the 1-row kept-rows aggregate crossed with the 1-row
     # pre-delete total (same pattern as q135–q137)
     "q138_cascade_delete_audit",
+    # r9: q139 crosses the 1-row data-derived fallback language
+    # (min profile lang) onto the holdout frame — the standard 1-row
+    # aggregate scalar cross
+    "q139_ngram_lang_id",
 }
 
 # no exemptions today: every declared query ships ids through hash
@@ -181,6 +185,7 @@ SCALAR_BNLJ = {
     "q136_ab_test_audit",
     "q137_funnel_steps",
     "q138_cascade_delete_audit",
+    "q139_ngram_lang_id",
 }
 
 
