@@ -82,6 +82,8 @@ _DRIVER_PRIORITY = (
     "q141_cusum_changepoint",
     "q142_l_diversity",
     "q143_pr_curve_ap",
+    "q144_dp_noisy_release",
+    "st19_streaming_benford",
     # (b) plans reworked in r9
     "q87_mincost_supplier",
     "q14c_ngram_jaccard_pairs",

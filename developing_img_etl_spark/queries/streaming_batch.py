@@ -2161,3 +2161,138 @@ ORDER BY a.pred_id
 
 QUERIES["st18_streaming_zonemap"] = st18_streaming_zonemap
 ORACLES["st18_streaming_zonemap"] = _st18_sql()
+
+
+# ---------------------------------------------------------------------------
+# ST19 — streaming Benford first-digit audit (r9): q106's fraud/anomaly
+# audit computed the way a monitoring pipeline actually computes it —
+# incrementally on the ingest path. The per-batch first-digit histogram
+# is ADDITIVE state (a crash-replayed batch would double-count), so the
+# registry uses the st16/st17/st18 txn-marker discipline: each micro-
+# batch appends (batch_id, digit, cnt) partials; the read side
+# MAX-reconciles per (batch_id, digit) — replayed partials are
+# bit-identical — then SUMs across batches. Duplicate DELIVERY (two
+# staged copies) legitimately doubles counts and the oracle counts
+# every event twice; obs_ppm is doubling-invariant (a property check in
+# itself) while total/chi_term scale with it. The batch-0 crash-replay
+# leg re-runs the sink and the hash must not move.
+#
+# Scale shape (100 TB): per-batch cell extraction is one map-side-
+# combined 9-row aggregate; the registry grows <= 9 rows per batch; the
+# Benford report runs on the reconciled 9-row frame.
+# ---------------------------------------------------------------------------
+
+
+def st19_streaming_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .training import _BENFORD_PPM
+
+    work = tempfile.mkdtemp(prefix="st19_")
+    src, reg, ckpt = f"{work}/src", f"{work}/reg", f"{work}/ckpt"
+    _link_events_into(sf_dir, src, n_copies=2)
+
+    cents = F.round(F.col("value").cast("decimal(12,4)") * 100, 0).cast("long")
+    digit = F.substring(F.col("cents").cast("string"), 1, 1).cast("int")
+
+    def _digits(df: DataFrame) -> DataFrame:
+        return (
+            df.select(cents.alias("cents"))
+            .filter(F.col("cents") > 0)
+            .select(digit.alias("digit"))
+            .groupBy("digit")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _digits(batch_df).select(
+            F.lit(batch_id).cast("long").alias("batch_id"), "digit", "cnt"
+        ).write.mode("append").parquet(reg)
+
+    stream = _raw_events_stream(spark, sf_dir, src, max_files_per_trigger=1)
+
+    def drain() -> None:
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drained(q)
+
+    with _stream_shuffle(spark):
+        drain()
+        drain()  # checkpoint restart: no new batches, registry untouched
+
+    # crash-replay: batch 0's file through the sink AGAIN, same batch_id
+    from ..catalog import normalize_event_ts
+
+    sink(normalize_event_ts(spark.read.parquet(f"{src}/00-events.parquet")), 0)
+
+    obs = (
+        spark.read.parquet(reg)
+        .groupBy("batch_id", "digit")
+        .agg(F.max("cnt").alias("cnt"))  # replayed partials are identical
+        .groupBy("digit")
+        .agg(F.sum("cnt").alias("observed"))
+    )
+    tot = obs.agg(F.sum("observed").alias("total"))
+    exp_map = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]
+    )
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("digit").cast("int").alias("digit"),
+            F.col("observed").cast("long").alias("observed"),
+            F.col("total").cast("long").alias("total"),
+            F.expr("observed * 1000000 div total").alias("obs_ppm"),
+            exp_map[F.col("digit")].cast("long").alias("exp_ppm"),
+        )
+        .withColumn("delta_ppm", F.col("obs_ppm") - F.col("exp_ppm"))
+        .withColumn(
+            "chi_term",
+            F.expr(
+                "CAST((CAST(observed AS DECIMAL(38,0)) * 1000000 - CAST(exp_ppm AS DECIMAL(38,0)) * total)"
+                " * (CAST(observed AS DECIMAL(38,0)) * 1000000 - CAST(exp_ppm AS DECIMAL(38,0)) * total)"
+                " div (CAST(exp_ppm AS DECIMAL(38,0)) * total * 1000000) AS BIGINT)"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
+def _st19_sql() -> str:
+    from .training import _BENFORD_PPM
+
+    case = " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items())
+    return f"""
+WITH cents AS (
+  SELECT CAST(round(CAST(value AS DECIMAL(12,4)) * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+obs AS (
+  -- doubled delivery: every event arrives twice (two staged copies)
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         2 * COUNT(*) AS observed
+  FROM cents WHERE cents > 0
+  GROUP BY 1
+),
+tot AS (SELECT SUM(observed) AS total FROM obs)
+SELECT CAST(digit AS INTEGER) AS digit,
+       CAST(observed AS BIGINT) AS observed,
+       CAST(total AS BIGINT) AS total,
+       CAST(observed * 1000000 // total AS BIGINT) AS obs_ppm,
+       CAST(CASE digit {case} END AS BIGINT) AS exp_ppm,
+       CAST(observed * 1000000 // total - CASE digit {case} END AS BIGINT) AS delta_ppm,
+       CAST((CAST(observed AS HUGEINT) * 1000000 - CAST(CASE digit {case} END AS HUGEINT) * total)
+            * (CAST(observed AS HUGEINT) * 1000000 - CAST(CASE digit {case} END AS HUGEINT) * total)
+            // (CAST(CASE digit {case} END AS HUGEINT) * total * 1000000) AS BIGINT) AS chi_term
+FROM obs, tot
+ORDER BY digit
+"""
+
+
+QUERIES["st19_streaming_benford"] = st19_streaming_benford
+ORACLES["st19_streaming_benford"] = _st19_sql()

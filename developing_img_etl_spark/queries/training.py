@@ -3053,3 +3053,128 @@ ORDER BY c_mktsegment
 
 QUERIES["q142_l_diversity"] = q142_l_diversity
 ORACLES["q142_l_diversity"] = Q142_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q144 — differentially-private noisy-count release audit (r9): the
+# RELEASE tier of the governance family (q64 k-anonymity, q142
+# l-diversity, q138 erasure, q34 redaction) — publishing per-group
+# counts with calibrated noise instead of suppressing groups.
+#
+# Mechanism: the geometric mechanism (discrete Laplace, Ghosh-
+# Roughgarden-Sundararajan '09), epsilon = 1, sensitivity 1 (each
+# customer contributes to exactly one (segment, nation) cell). The
+# noise draw is INVERSE-CDF over a seeded hash uniform: u =
+# md5_prefix_int(segment|nation, 15) in [0, 16^15), mapped through the
+# discrete-Laplace cumulative thresholds truncated to |k| <= 16
+# (tail mass < 2e-7). The thresholds are computed ONCE at module
+# import by the same Python that emits both the Spark expression and
+# the oracle SQL — both engines compare the same integers, so the
+# release is bit-deterministic and oracle-checkable. A production
+# deployment swaps the hash-PRG for a secure RNG and re-keys per
+# release; the operator certifies the MECHANICS (cell counting, noise
+# mapping, post-processing floor at 0, calibration accounting), which
+# is what an audit can check.
+#
+# Scale shape (100 TB): one customer scan reduces map-side to the
+# bounded (segment, nation) cell frame; the noise mapping is a pure
+# CASE ladder (no join, no shuffle); the calibration report aggregates
+# |segments| rows.
+# ---------------------------------------------------------------------------
+
+
+def _q144_thresholds() -> list[tuple[int, int]]:
+    """Cumulative inverse-CDF thresholds for the truncated discrete
+    Laplace, symmetric BY CONSTRUCTION: per-|k| interval widths are
+    rounded once and mirrored (so P(k) == P(-k) exactly in integer
+    units), and the rounding residual is absorbed into the k=0 mode —
+    the total closes at exactly 16^15."""
+    import math
+
+    eps, k_max, scale = 1.0, 16, 16**15
+    w = [math.exp(-eps * k) for k in range(k_max + 1)]
+    z = w[0] + 2 * sum(w[1:])
+    widths = [round(x / z * scale) for x in w]
+    widths[0] = scale - 2 * sum(widths[1:])  # close exactly, keep symmetry
+    out, cum = [], 0
+    for k in range(-k_max, k_max + 1):
+        cum += widths[abs(k)]
+        out.append((k, cum))
+    return out
+
+
+def _q144_case(u_expr: str) -> str:
+    """Shared CASE-ladder text (valid in both Spark SQL and DuckDB)."""
+    parts = ["CASE"]
+    for k, hi in _q144_thresholds()[:-1]:
+        parts.append(f"WHEN {u_expr} < {hi} THEN {k}")
+    parts.append(f"ELSE {_q144_thresholds()[-1][0]} END")
+    return " ".join(parts)
+
+
+def q144_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .classify import md5_prefix_int
+
+    cust = load(spark, sf_dir, "customer")
+    cells = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("true_n")
+    )
+    u = md5_prefix_int(
+        F.concat_ws("|", F.col("c_mktsegment"), F.col("c_nationkey")), 15
+    )
+    noisy = cells.withColumn("u", u).withColumn(
+        "noise", F.expr(_q144_case("u"))
+    ).withColumn(
+        "noisy_n", F.greatest(F.col("true_n") + F.col("noise"), F.lit(0))
+    )
+    return (
+        noisy.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("true_n").cast("long").alias("total_true"),
+            F.sum("noisy_n").cast("long").alias("total_noisy"),
+            F.max(F.abs(F.col("noise"))).cast("long").alias("max_abs_noise"),
+            F.sum(F.abs(F.col("noise"))).cast("long").alias("sum_abs_noise"),
+            F.sum((F.col("noise") == 0).cast("long")).alias("n_exact"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def _q144_sql() -> str:
+    from .classify import sql_md5_prefix_int
+
+    return f"""
+WITH cells AS (
+  SELECT c_mktsegment, c_nationkey, COUNT(*) AS true_n
+  FROM customer
+  GROUP BY c_mktsegment, c_nationkey
+),
+seeded AS (
+  SELECT c_mktsegment, true_n, {sql_md5_prefix_int(15)} AS u
+  FROM (
+    SELECT c_mktsegment, true_n,
+           md5(c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR)) AS h
+    FROM cells
+  )
+),
+noised AS (
+  SELECT c_mktsegment, true_n,
+         {_q144_case("u")} AS noise
+  FROM seeded
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(true_n) AS BIGINT) AS total_true,
+       CAST(SUM(GREATEST(true_n + noise, 0)) AS BIGINT) AS total_noisy,
+       CAST(MAX(ABS(noise)) AS BIGINT) AS max_abs_noise,
+       CAST(SUM(ABS(noise)) AS BIGINT) AS sum_abs_noise,
+       CAST(SUM(CASE WHEN noise = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+FROM noised
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+QUERIES["q144_dp_noisy_release"] = q144_dp_noisy_release
+ORACLES["q144_dp_noisy_release"] = _q144_sql()

@@ -71,6 +71,15 @@ NAMES = [
     "q9b_scalar_dates_math",
     # r8 additions outside the probe subset
     "m20_avi_frame_sample",
+    # r9 additions (every new operator whose oracle finishes at sf10)
+    "m21_mov_frame_sample",
+    "q139_ngram_lang_id",
+    "q140_gini_concentration",
+    "q141_cusum_changepoint",
+    "q142_l_diversity",
+    "q143_pr_curve_ap",
+    "q144_dp_noisy_release",
+    "st19_streaming_benford",
 ]
 
 

@@ -33,6 +33,19 @@ from tests.oracle_utils import OracleTimeout, assert_matches
 
 SF = "/root/repo/testdata/sf1"
 CAP_S = 180.0
+# per-oracle cap overrides: q103's oracle is a BOUNDED unrolled round
+# chain (not a runaway recursion) that legitimately costs ~180-210 s at
+# sf1 — right at the default cap, so it flapped MATCH/DNF across runs
+# (r9: a cap interrupt mis-routed it into the q30/q74 closure
+# cross-check, which asserts the wrong shape). Give it headroom; the
+# truly non-terminating recursive-CTE closures (q30/q74) keep the
+# default cap + iterative verification.
+CAP_OVERRIDES = {
+    "q103_label_propagation": 480.0,
+    # q123's SimHash block-permutation oracle is likewise bounded and
+    # terminating, ~180-260 s at sf1 — same borderline flap
+    "q123_simhash_hamming_pairs": 600.0,
+}
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -116,7 +129,7 @@ def _closure_oracle(name: str, spark_df) -> None:
             "CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT) AS cluster_size "
             "FROM comp ORDER BY doc_id"
         ).fetchdf()
-    else:  # q74: canonical selection over the same components
+    elif name == "q74_canonical_dedup":  # canonical selection over the components
         exp = con.execute("""
 WITH ranked AS (
   SELECT c.doc_id, c.component_id, d.source, d.n_chars,
@@ -132,6 +145,11 @@ SELECT source,
        CAST(SUM(CASE WHEN rk = 1 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
 FROM ranked GROUP BY source ORDER BY source
 """).fetchdf()
+    else:
+        raise AssertionError(
+            f"no iterative closure oracle for {name} — raise its cap in "
+            "CAP_OVERRIDES instead of routing it here"
+        )
     act = spark_df.toPandas()
     act = act[sorted(act.columns)].sort_values(by=sorted(act.columns), ignore_index=True)
     exp = exp[sorted(exp.columns)].sort_values(by=sorted(exp.columns), ignore_index=True)
@@ -185,6 +203,7 @@ def main() -> int:
         if name in statuses:
             continue
         t0 = time.time()
+        oracle_utils.ORACLE_CAP_S = CAP_OVERRIDES.get(name, CAP_S)
         try:
             df = fn(spark, SF)
             if name in oracles:
