@@ -95,7 +95,11 @@ def main() -> int:
     # caches already hold a big share of the box, and an uncapped
     # DuckDB oracle OOMs natively (observed on q53's oracle, killing
     # the whole pass — hence the resume ledger)
-    oracle_utils.DUCK_MEMORY_LIMIT = "16GB"
+    # 16GB OOM'd q14c's r9 oracle (the PPJoin length-filter join made
+    # DuckDB's plan hungrier, and some of its list/UNNEST operators
+    # cannot spill); 28GB still leaves the Spark JVM its share because
+    # the pass unpersists between queries
+    oracle_utils.DUCK_MEMORY_LIMIT = "28GB"
     oracle_utils.DUCK_TEMP_DIR = "/root/repo/tmp/duck-spill"
 
     qs0, oracles0 = all_queries(), all_oracles()
