@@ -95,11 +95,14 @@ def main() -> int:
     # caches already hold a big share of the box, and an uncapped
     # DuckDB oracle OOMs natively (observed on q53's oracle, killing
     # the whole pass — hence the resume ledger)
-    # 16GB OOM'd q14c's r9 oracle (the PPJoin length-filter join made
-    # DuckDB's plan hungrier, and some of its list/UNNEST operators
-    # cannot spill); 28GB still leaves the Spark JVM its share because
-    # the pass unpersists between queries
-    oracle_utils.DUCK_MEMORY_LIMIT = "28GB"
+    # Per-oracle memory caps (r9): the default matches r8's proven
+    # 16GB bound beside the Spark JVM. q14c's reworked oracle (PPJoin
+    # length-filter join) OOMs at 16GB on non-spillable list/UNNEST
+    # operators and needs 28GB; q39's pagerank oracle is the OPPOSITE —
+    # at 28GB DuckDB picks a plan whose temp spill exceeded the box's
+    # free disk (>60GB observed), while the 16GB bound's plan fit.
+    oracle_utils.DUCK_MEMORY_LIMIT = "16GB"
+    DUCK_MEM_OVERRIDES = {"q14c_ngram_jaccard_pairs": "28GB"}
     oracle_utils.DUCK_TEMP_DIR = "/root/repo/tmp/duck-spill"
 
     qs0, oracles0 = all_queries(), all_oracles()
@@ -141,6 +144,7 @@ def main() -> int:
         if statuses.get(name) == "MATCH":
             continue
         t0 = time.time()
+        oracle_utils.DUCK_MEMORY_LIMIT = DUCK_MEM_OVERRIDES.get(name, "16GB")
         try:
             assert_matches(qs[name](spark, SF), oracles[name], SF)
             statuses[name] = "MATCH"
