@@ -26,22 +26,56 @@ from ..catalog import load
 from ..functions import text as TXT
 from ..operators.dedup import _widen
 
-_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+_CACHE: dict[tuple[str, str, int, str], DataFrame] = {}
+
+# Layout used when the consumer doesn't pass one explicitly. Module-
+# level so the layout A/B harness (scripts/ab_shingle_layout.py) can
+# toggle it for a whole query without touching consumer code.
+DEFAULT_LAYOUT = "source_s"
 
 
-def shingle_index(spark: SparkSession, sf_dir: str, *, n: int = 3) -> DataFrame:
+def shingle_index(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n: int = 3,
+    layout: str | None = None,
+) -> DataFrame:
     """Exploded shingle inverted index: (doc_id, source, n_sh, s).
 
     ``n_sh`` is the per-document distinct-shingle count (q14c's Jaccard
     denominator); ``s`` is one distinct word-n-gram per row. Documents
     with fewer than ``n`` tokens contribute no rows.
+
+    ``layout`` picks the persisted partitioning — the staged-table
+    bucketing choice, made PER CONSUMER (r10, VERDICT r9 #1):
+
+    - ``"source_s"``: one build-time repartition pins
+      HashPartitioning(source, s) into the cached blocks, so every
+      pair-generating self-join on (source, s) skips BOTH of its
+      exchanges. Right for the q14c family (self-join dominated).
+    - ``"natural"``: no build shuffle; blocks keep the scan's
+      doc-contiguous layout. Right for consumers whose dominant
+      aggregation is PER DOCUMENT (q108's (doc_id, i) signature
+      reduce, q30/q125's per-doc frames): doc-contiguity is what
+      makes their map-side partial aggregation collapse to ~1 row per
+      doc per partition — scattering docs across partitions (what
+      source_s does) multiplies those shuffles' volume, which is
+      invisible at sf0.1 but dominated the sf10 probe (q108 169→309 s
+      under source_s; see AB_SHINGLE_LAYOUT_R10.json).
+
+    Each layout caches independently; consumers sharing a layout share
+    the build.
     """
+    if layout is None:
+        layout = DEFAULT_LAYOUT
+    assert layout in ("source_s", "natural"), layout
     app = spark.sparkContext.applicationId
     # evict entries from previous SparkSessions: their DataFrames are
     # dead weight pinning a stopped session's JVM references
     for stale in [k for k in _CACHE if k[0] != app]:
         del _CACHE[stale]
-    key = (app, os.path.normpath(sf_dir), n)
+    key = (app, os.path.normpath(sf_dir), n, layout)
     df = _CACHE.get(key)
     if df is None:
         # A small local parquet is 1-2 splits; without widening, the
@@ -64,17 +98,16 @@ def shingle_index(spark: SparkSession, sf_dir: str, *, n: int = 3) -> DataFrame:
         # the cached layout slots in where the per-consumer exchange
         # used to be — a fixed 64 measured +32% at sf0.1 from task
         # overhead AQE would otherwise have coalesced away.
-        df = (
-            docs.select("doc_id", "source", TXT.shingles(F.col("text"), n).alias("sh"))
-            .filter(F.size("sh") > 0)
-            .select(
-                "doc_id",
-                "source",
-                F.size("sh").alias("n_sh"),
-                F.explode("sh").alias("s"),
-            )
-            .repartition("source", "s")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        df = docs.select(
+            "doc_id", "source", TXT.shingles(F.col("text"), n).alias("sh")
+        ).filter(F.size("sh") > 0).select(
+            "doc_id",
+            "source",
+            F.size("sh").alias("n_sh"),
+            F.explode("sh").alias("s"),
         )
+        if layout == "source_s":
+            df = df.repartition("source", "s")
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
         _CACHE[key] = df
     return df

@@ -497,9 +497,14 @@ def q143_pr_curve_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(CAST(n_p AS DECIMAL(38,0)) * tp * 1000000 div (tp + fp) AS DECIMAL(38,0))"
         ).alias("ap_term"),
-        F.expr("CAST(2 * tp * 1000000 div (tp + fp + p_total) AS BIGINT)").alias(
-            "f1_ppm"
-        ),
+        F.expr(
+            # Widen to DECIMAL(38,0) BEFORE the multiply: the oracle rides
+            # HUGEINT here, and 2*tp*1e6 overflows BIGINT once tp > ~4.6e12
+            # (reachable at the 100 TB design point even though the final
+            # ppm ratio always fits BIGINT).
+            "CAST(2 * CAST(tp AS DECIMAL(38,0)) * 1000000"
+            " div (tp + fp + p_total) AS BIGINT)"
+        ).alias("f1_ppm"),
     )
     return (
         pts.groupBy("source")

@@ -2225,10 +2225,26 @@ def st19_streaming_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         drain()
         drain()  # checkpoint restart: no new batches, registry untouched
 
-    # crash-replay: batch 0's file through the sink AGAIN, same batch_id
+    # crash-replay: batch 0's ACTUAL input through the sink AGAIN, same
+    # batch_id. The file set is derived from the FileStreamSource commit
+    # log ({ckpt}/sources/0/0 — one JSON entry per file), NOT assumed:
+    # with maxFilesPerTrigger=1 batch 0 happens to be 00-events.parquet,
+    # but hardcoding that would silently blend partials from DIFFERENT
+    # files under the per-(batch_id, digit) MAX-reconcile if the trigger
+    # packing ever changed — the reconcile only detects replays of the
+    # SAME input.
+    import json as _json
+
     from ..catalog import normalize_event_ts
 
-    sink(normalize_event_ts(spark.read.parquet(f"{src}/00-events.parquet")), 0)
+    with open(f"{ckpt}/sources/0/0") as fh:
+        batch0_files = [
+            _json.loads(line)["path"]
+            for line in fh
+            if line.startswith("{")
+        ]
+    assert batch0_files, "st19: empty batch-0 file manifest in checkpoint"
+    sink(normalize_event_ts(spark.read.parquet(*batch0_files)), 0)
 
     obs = (
         spark.read.parquet(reg)

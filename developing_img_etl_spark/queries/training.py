@@ -3056,25 +3056,32 @@ ORACLES["q142_l_diversity"] = Q142_SQL
 
 
 # ---------------------------------------------------------------------------
-# Q144 — differentially-private noisy-count release audit (r9): the
-# RELEASE tier of the governance family (q64 k-anonymity, q142
-# l-diversity, q138 erasure, q34 redaction) — publishing per-group
-# counts with calibrated noise instead of suppressing groups.
+# Q144 — noisy-count release MECHANICS audit (r9): the RELEASE tier of
+# the governance family (q64 k-anonymity, q142 l-diversity, q138
+# erasure, q34 redaction) — publishing per-group counts through a
+# geometric-mechanism noise map instead of suppressing groups.
 #
-# Mechanism: the geometric mechanism (discrete Laplace, Ghosh-
-# Roughgarden-Sundararajan '09), epsilon = 1, sensitivity 1 (each
+# WHAT THIS CERTIFIES — and what it does NOT: the operator exercises
+# the full release pipeline (cell counting, inverse-CDF noise mapping,
+# post-processing floor at 0, calibration accounting) with the
+# geometric mechanism's exact thresholds (discrete Laplace, Ghosh-
+# Roughgarden-Sundararajan '09, nominal eps=1, sensitivity 1 — each
 # customer contributes to exactly one (segment, nation) cell). The
-# noise draw is INVERSE-CDF over a seeded hash uniform: u =
+# noise source here is a DETERMINISTIC md5 of the PUBLIC cell key, so
+# the shipped release carries NO differential-privacy guarantee of any
+# epsilon — anyone who knows the mechanism can invert the noise. That
+# is deliberate: determinism is what makes the mechanics bit-exact and
+# oracle-checkable. A production deployment MUST swap the hash-PRG for
+# a secure per-release RNG (at which point the eps=1 calibration the
+# thresholds encode becomes a real guarantee); what an audit of THIS
+# operator can check is the mechanics, and only the mechanics.
+#
+# The draw is INVERSE-CDF over the seeded hash uniform: u =
 # md5_prefix_int(segment|nation, 15) in [0, 16^15), mapped through the
 # discrete-Laplace cumulative thresholds truncated to |k| <= 16
 # (tail mass < 2e-7). The thresholds are computed ONCE at module
 # import by the same Python that emits both the Spark expression and
-# the oracle SQL — both engines compare the same integers, so the
-# release is bit-deterministic and oracle-checkable. A production
-# deployment swaps the hash-PRG for a secure RNG and re-keys per
-# release; the operator certifies the MECHANICS (cell counting, noise
-# mapping, post-processing floor at 0, calibration accounting), which
-# is what an audit can check.
+# the oracle SQL — both engines compare the same integers.
 #
 # Scale shape (100 TB): one customer scan reduces map-side to the
 # bounded (segment, nation) cell frame; the noise mapping is a pure

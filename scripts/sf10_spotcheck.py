@@ -101,8 +101,16 @@ def main() -> int:
     # operators and needs 28GB; q39's pagerank oracle is the OPPOSITE —
     # at 28GB DuckDB picks a plan whose temp spill exceeded the box's
     # free disk (>60GB observed), while the 16GB bound's plan fit.
+    # q53's winnowing oracle ALSO OOMs at 16GB (observed in the r9
+    # ledger run — and worse, that run leaked q14c's 28GB override
+    # across subsequent queries because the limit was set once; it is
+    # now reset per-iteration below). 24GB clears it while keeping the
+    # q39-style spill-plan risk lower than 28GB.
     oracle_utils.DUCK_MEMORY_LIMIT = "16GB"
-    DUCK_MEM_OVERRIDES = {"q14c_ngram_jaccard_pairs": "28GB"}
+    DUCK_MEM_OVERRIDES = {
+        "q14c_ngram_jaccard_pairs": "28GB",
+        "q53_winnowing_fingerprints": "24GB",
+    }
     oracle_utils.DUCK_TEMP_DIR = "/root/repo/tmp/duck-spill"
 
     qs0, oracles0 = all_queries(), all_oracles()

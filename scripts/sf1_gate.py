@@ -212,7 +212,8 @@ def main() -> int:
                     statuses[name] = "MATCH"
                 except OracleTimeout:
                     _closure_oracle(name, df)
-                    statuses[name] = f"ORACLE-DNF(>{CAP_S:.0f}s), iterative-verified"
+                    cap = CAP_OVERRIDES.get(name, CAP_S)
+                    statuses[name] = f"ORACLE-DNF(>{cap:.0f}s), iterative-verified"
             else:
                 n = df.count()
                 statuses[name] = f"rows-only ({n})"

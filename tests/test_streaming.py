@@ -248,9 +248,10 @@ def test_corrupt_sink_fails_batch_not_double_append(spark, tmp_path):
 def test_transform_with_state_matches_st5_oracle(spark, sf_dir):
     """ST7: the transformWithStateInPandas implementation must produce
     the SAME result as applyInPandasWithState (both hash the ST5
-    oracle). Gated: the API's state protocol needs google.protobuf,
-    absent in some containers — the operator raises cleanly there and
-    the declared query self-removes (streaming_batch._tws_available)."""
+    oracle). The API's state protocol needs google.protobuf; containers
+    without it run on the vendored mini-runtime (vendor/protoshim),
+    which conftest installs at collection time — so this test runs
+    everywhere the driver path does, never skips."""
     import pytest
 
     from developing_img_etl_spark.queries.streaming_batch import (
@@ -259,8 +260,11 @@ def test_transform_with_state_matches_st5_oracle(spark, sf_dir):
         st7_transform_with_state,
     )
 
-    if not _tws_available():
-        pytest.skip("google.protobuf not installed; transformWithState cannot run")
+    # conftest installs vendor/protoshim at collection time, so the
+    # protocol import must succeed here exactly as it does on the
+    # driver path — a False from _tws_available() is a shim regression,
+    # not an environment gap, and must FAIL rather than skip.
+    assert _tws_available(), "vendor/protoshim failed to satisfy google.protobuf"
     from tests.oracle_utils import assert_matches
 
     df = st7_transform_with_state(spark, sf_dir)
