@@ -86,12 +86,18 @@ def _decode_video_meta(data: bytes | None) -> tuple[int, int, int, int] | None:
 
         return avi_meta(data)
     if len(data) >= 8 and data[4:8] in _MOV_HEADS:
-        # real container format #2: MJPEG-in-MOV/QuickTime (mov.py, r9)
+        # real container formats #2/#3, same box-tree family: monolithic
+        # MJPEG-in-MOV/QuickTime (mov.py, r9), else fragmented MP4
+        # (fmp4.py, r10 — moof/tfhd/trun sample addressing). mov_meta
+        # returns None on a sample-table-less moov, so the fragmented
+        # walker only runs where the monolithic one abstains.
+        from .fmp4 import fmp4_meta
         from .mov import mov_meta
 
-        return mov_meta(data)
+        m = mov_meta(data)
+        return m if m is not None else fmp4_meta(data)
     if not data.startswith(_VID_MAGIC):
-        return None  # seam for remaining real decoders (fMP4/mkv): av.open here
+        return None  # seam for remaining real decoders (mkv/EBML): av.open here
     try:
         parts = data.split(b":", 5)
         return int(parts[1]), int(parts[2]), int(parts[3]), int(parts[4])
@@ -182,6 +188,7 @@ def sample_frames(
 
     def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .avi import avi_frames
+        from .fmp4 import fmp4_frames
         from .mov import mov_frames
 
         for pdf in batches:
@@ -197,9 +204,12 @@ def sample_frames(
                     # stsz+stco samples): each payload is a complete
                     # JPEG, so the sampled frame IS the payload — no
                     # re-encode, and skipped frames are never decoded
-                    payloads = (
-                        avi_frames(raw) if raw[:4] == b"RIFF" else mov_frames(raw)
-                    )
+                    if raw[:4] == b"RIFF":
+                        payloads = avi_frames(raw)
+                    else:
+                        payloads = mov_frames(raw)
+                        if payloads is None:
+                            payloads = fmp4_frames(raw)
                     if payloads is None:
                         continue
                     for idx in range(0, min(n, len(payloads)), every_n):

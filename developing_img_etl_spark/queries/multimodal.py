@@ -1425,3 +1425,133 @@ ORDER BY p_partkey
 
 QUERIES["m21_mov_frame_sample"] = m21_mov_frame_sample
 ORACLES["m21_mov_frame_sample"] = M21_SQL
+
+
+# --------------------------------------------------------------------------
+# M22 — REAL video frame sampling in the THIRD container layout:
+# MJPEG-in-FRAGMENTED-MP4 (multimodal/fmp4.py — the moof/mfhd/tfhd/
+# tfdt/trun movie-fragment machinery over the same ISO-BMFF box walk
+# mov.py hand-parses; VERDICT r9 #6). This is the layout streaming
+# corpora actually arrive in (DASH/HLS/CMAF segments): the moov's
+# sample tables are EMPTY and every sample is addressed by per-
+# fragment trun entries relative to a tfhd base. Same m20/m21
+# discipline end-to-end: container metadata, sampled-index set,
+# per-frame JPEG dims, and the fidelity gate are oracle-exact; the
+# same _avi_frame_checks UDF applies because make_fmp4 shares the
+# make_avi/make_mov seed contract. Corrupt rows are a REAL fmp4
+# truncated mid-mdat — the final trun's (offset, size) slice lands
+# past EOF, exercising the fragment walker's bounds guard (deeper
+# than a garbage-moov magic check). Disjoint part slice (% 25 == 11
+# vs m20's == 0 and m21's == 7); corrupt stripe % 83.
+# --------------------------------------------------------------------------
+@pandas_udf(T.BinaryType())
+def _gen_fmp4(w: pd.Series, h: pd.Series, fps: pd.Series, n: pd.Series, seed: pd.Series) -> pd.Series:
+    from ..multimodal.fmp4 import make_fmp4
+
+    return pd.Series(
+        [
+            None
+            if pd.isna(a)
+            else make_fmp4(int(a), int(b), int(f), int(k), int(s))
+            for a, b, f, k, s in zip(w, h, fps, n, seed)
+        ],
+        dtype=object,
+    )
+
+
+def _fmp4_corrupt_literal() -> bytes:
+    """A structurally plausible fragmented MP4 whose final mdat is
+    truncated: ftyp/moov/mvex all parse, the last trun's sample slice
+    points past EOF — the deepest unreadable path in fmp4._fragments."""
+    from ..multimodal.fmp4 import make_fmp4
+
+    return make_fmp4(16, 12, 12, 3, seed=7)[:-10]
+
+
+def _fmp4_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _widen(load(spark, sf_dir, "part").filter(F.col("p_partkey") % 25 == 11))
+    corrupt = F.col("p_partkey") % 83 == 0
+    w = (16 + F.pmod(F.col("p_size"), F.lit(12)) * 4).cast("int")
+    h = (12 + F.pmod(F.col("p_size"), F.lit(8)) * 4).cast("int")
+    fps = (12 + F.pmod(F.col("p_size"), F.lit(3)) * 6).cast("int")
+    n = (3 + F.pmod(F.col("p_size"), F.lit(6))).cast("int")
+    seed = F.pmod(F.col("p_partkey"), F.lit(251)).cast("int")
+    return part.select(
+        F.col("p_partkey").alias("video_id"),
+        F.when(corrupt, F.lit(_fmp4_corrupt_literal()))
+        .otherwise(_gen_fmp4(w, h, fps, n, seed))
+        .alias("content"),
+    )
+
+
+def m22_fmp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.av import sample_frames, video_metadata
+
+    vids = _fmp4_corpus(spark, sf_dir)
+    meta = vids.select("video_id", video_metadata(F.col("content")).alias("m"))
+    frames = sample_frames(vids, id_col="video_id", every_n=2)
+    checked = frames.select(
+        "video_id",
+        "frame_idx",
+        _avi_frame_checks(
+            F.col("frame"), F.col("width"), F.col("height"),
+            F.col("video_id"), F.col("frame_idx"),
+        ).alias("c"),
+    )
+    per_vid = checked.groupBy("video_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("frame_idx").cast("long").alias("idx_sum"),
+        F.min("c.dims_ok").alias("dims_ok"),
+        F.min("c.fidelity_ok").alias("fidelity_ok"),
+    )
+    return (
+        meta.join(per_vid, "video_id", "left")
+        .select(
+            F.col("video_id").alias("p_partkey"),
+            F.when(F.col("m.width").isNull(), F.lit("unreadable"))
+            .otherwise(F.lit("ok"))
+            .alias("status"),
+            F.col("m.width").alias("width"),
+            F.col("m.height").alias("height"),
+            F.col("m.fps").alias("fps"),
+            F.col("m.n_frames").alias("n_frames"),
+            "n_sampled",
+            "idx_sum",
+            "dims_ok",
+            "fidelity_ok",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+M22_SQL = """
+WITH base AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 83 = 0 THEN NULL
+              ELSE CAST(16 + (p_size % 12) * 4 AS INT) END AS w,
+         CASE WHEN p_partkey % 83 = 0 THEN NULL
+              ELSE CAST(12 + (p_size % 8) * 4 AS INT) END AS h,
+         CAST(12 + (p_size % 3) * 6 AS INT) AS fps,
+         CAST(3 + p_size % 6 AS INT) AS n
+  FROM part
+  WHERE p_partkey % 25 = 11
+)
+SELECT p_partkey,
+       CASE WHEN w IS NULL THEN 'unreadable' ELSE 'ok' END AS status,
+       w AS width,
+       h AS height,
+       CASE WHEN w IS NULL THEN NULL ELSE fps END AS fps,
+       CASE WHEN w IS NULL THEN NULL ELSE n END AS n_frames,
+       CAST(CASE WHEN w IS NULL THEN NULL ELSE (n + 1) // 2 END AS BIGINT)
+         AS n_sampled,
+       CAST(CASE WHEN w IS NULL THEN NULL
+                 ELSE ((n + 1) // 2) * ((n + 1) // 2 - 1) END AS BIGINT)
+         AS idx_sum,
+       CASE WHEN w IS NULL THEN NULL ELSE TRUE END AS dims_ok,
+       CASE WHEN w IS NULL THEN NULL ELSE TRUE END AS fidelity_ok
+FROM base
+ORDER BY p_partkey
+"""
+
+QUERIES["m22_fmp4_frame_sample"] = m22_fmp4_frame_sample
+ORACLES["m22_fmp4_frame_sample"] = M22_SQL

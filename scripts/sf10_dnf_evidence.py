@@ -269,10 +269,477 @@ ORDER BY 1, 2, 3
     _compare(spark_df, exp)
 
 
+
+# ---------------------------------------------------------------------------
+# shared staged inputs (r10 — VERDICT r9 #2): a SINGLE (non-doubled)
+# shingle inverted index parquet reused by q103 and q108, written once
+# as a streaming UNNEST COPY (no aggregation, runs under any cap)
+# ---------------------------------------------------------------------------
+def _inv_single() -> str:
+    pq = f"{TMP}/inv_single.parquet"
+    if not os.path.exists(pq):
+        os.makedirs(TMP, exist_ok=True)
+        con = _con()
+        t0 = time.time()
+        con.execute(rf"""
+COPY (
+  WITH toks AS (
+    SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+    FROM documents
+  ),
+  sh AS (
+    SELECT doc_id, source,
+           list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+             i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+    FROM toks WHERE len(t) >= 3
+  )
+  SELECT doc_id, source, len(s) AS n_sh, UNNEST(s) AS shingle FROM sh
+) TO '{pq}.tmp.parquet' (FORMAT PARQUET)
+""")
+        con.close()
+        os.rename(f"{pq}.tmp.parquet", pq)
+        print(f"  [inv_single materialized: {time.time() - t0:.0f}s]", flush=True)
+    return pq
+
+
+# ---------------------------------------------------------------------------
+# q79 / q84 — WINDOW-FREE bigram derivation. The one-shot oracle dies
+# at sf10 inside the toks CTE: UNNEST(range(len)) + row_number + lead
+# windows over every corpus token. But the windows exist only to pair
+# ADJACENT tokens after dropping empties — exactly what a per-document
+# list pipeline expresses map-side: list_filter out '', then
+# list_transform over positions. Identical pairing by construction
+# (row_number over filtered positions == filtered-list index), no
+# window anywhere, each stage a streaming scan or a spillable hash agg.
+# ---------------------------------------------------------------------------
+_FT = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+)
+
+
+def _check_q79(spark_df) -> None:
+    con = _con()
+    t0 = time.time()
+    con.execute(rf"""
+CREATE TEMP TABLE grams AS
+WITH ft AS (SELECT doc_id, {_FT} AS t FROM documents)
+SELECT doc_id, UNNEST(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+FROM ft WHERE len(t) >= 2
+""")
+    con.execute(
+        "CREATE TEMP TABLE counts AS "
+        "SELECT gram, COUNT(*) AS corpus_count FROM grams GROUP BY gram"
+    )
+    print(f"  [grams+counts: {time.time() - t0:.0f}s]", flush=True)
+    exp = con.execute("""
+WITH scored AS (
+  SELECT g.doc_id,
+         COUNT(*) AS n_bigrams,
+         SUM(c.corpus_count) AS sum_counts,
+         SUM(CASE WHEN c.corpus_count = 1 THEN 1 ELSE 0 END) AS n_hapax
+  FROM grams g JOIN counts c USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id, d.source,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(s.sum_counts // s.n_bigrams AS BIGINT) AS mean_bigram_count,
+       CAST(s.n_hapax * 1000000 // s.n_bigrams AS BIGINT) AS hapax_ppm
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+""").fetchdf()
+    con.close()
+    _compare(spark_df, exp)
+
+
+def _check_q84(spark_df) -> None:
+    from developing_img_etl_spark.queries.text import _PMI_MIN_PAIR, _PMI_MIN_TOK
+
+    con = _con()
+    t0 = time.time()
+    # +-2 skip-gram pairs straight off the filtered token list: the
+    # n1/n2 leads are positions i+1 / i+2
+    con.execute(rf"""
+CREATE TEMP TABLE pc AS
+WITH ft AS (SELECT doc_id, {_FT} AS t FROM documents),
+pairs AS (
+  SELECT UNNEST(list_transform(range(1, len(t)),
+           i -> least(t[i], t[i+1]) || chr(1) || greatest(t[i], t[i+1]))) AS pk
+  FROM ft WHERE len(t) >= 2
+  UNION ALL
+  SELECT UNNEST(list_transform(range(1, len(t) - 1),
+           i -> least(t[i], t[i+2]) || chr(1) || greatest(t[i], t[i+2]))) AS pk
+  FROM ft WHERE len(t) >= 3
+)
+SELECT string_split(pk, chr(1))[1] AS w1, string_split(pk, chr(1))[2] AS w2,
+       COUNT(*) AS pair_cnt
+FROM pairs GROUP BY 1, 2
+""")
+    con.execute(rf"""
+CREATE TEMP TABLE uni AS
+WITH ft AS (SELECT doc_id, {_FT} AS t FROM documents)
+SELECT tok, COUNT(*) AS cnt
+FROM (SELECT UNNEST(t) AS tok FROM ft)
+GROUP BY tok HAVING COUNT(*) >= {_PMI_MIN_TOK}
+""")
+    print(f"  [pc+uni: {time.time() - t0:.0f}s]", flush=True)
+    exp = con.execute(f"""
+SELECT p.w1, p.w2,
+       CAST(p.pair_cnt AS BIGINT) AS pair_cnt,
+       CAST(a.cnt AS BIGINT) AS cnt_a,
+       CAST(b.cnt AS BIGINT) AS cnt_b,
+       CAST(p.pair_cnt * 1000000 // a.cnt * 1000000 // b.cnt AS BIGINT) AS assoc_scaled
+FROM pc p
+JOIN uni a ON p.w1 = a.tok
+JOIN uni b ON p.w2 = b.tok
+WHERE p.pair_cnt >= {_PMI_MIN_PAIR}
+ORDER BY assoc_scaled DESC, p.w1, p.w2
+LIMIT 30
+""").fetchdf()
+    con.close()
+    _compare(spark_df, exp)
+
+
+# ---------------------------------------------------------------------------
+# q103 — capped edges via the proven temp-table path (the q30/q74
+# fixpoint's edge derivation completed at sf10 under 24GB+spill), then
+# the _Q103_ROUNDS label rounds ITERATIVELY as temp tables — the exact
+# per-round semantics of the unrolled CTE chain, without holding the
+# whole chain in one plan.
+# ---------------------------------------------------------------------------
+def _check_q103(spark_df) -> None:
+    from developing_img_etl_spark.queries.dedup import (
+        _PAIR_DF_CAP,
+        _Q103_MIN_COMMON,
+        _Q103_ROUNDS,
+    )
+
+    inv = _inv_single()
+    con = _con()
+    t0 = time.time()
+    con.execute(rf"""
+CREATE TEMP TABLE edges AS
+WITH inv_df AS (
+  SELECT source, shingle FROM '{inv}' GROUP BY source, shingle
+  HAVING COUNT(*) BETWEEN 2 AND {_PAIR_DF_CAP}
+),
+inv_k AS (
+  SELECT i.doc_id, i.source, i.shingle
+  FROM '{inv}' i JOIN inv_df USING (source, shingle)
+),
+half AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM inv_k a JOIN inv_k b
+    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_Q103_MIN_COMMON}
+)
+SELECT id_a AS src, id_b AS dst FROM half
+UNION ALL SELECT id_b, id_a FROM half
+""")
+    print(f"  [edges: {time.time() - t0:.0f}s]", flush=True)
+    con.execute(
+        "CREATE TEMP TABLE lab AS "
+        "SELECT doc_id, doc_id % 3 AS label, 0 AS round_assigned "
+        "FROM documents WHERE doc_id % 11 = 0"
+    )
+    for r in range(1, _Q103_ROUNDS + 1):
+        con.execute(f"""
+CREATE TEMP TABLE new{r} AS
+SELECT doc_id, label, {r} AS round_assigned FROM (
+  SELECT e.dst AS doc_id, l.label,
+         row_number() OVER (PARTITION BY e.dst
+                            ORDER BY COUNT(*) DESC, l.label) AS rk
+  FROM edges e
+  JOIN lab l ON e.src = l.doc_id AND l.round_assigned = {r - 1}
+  WHERE e.dst NOT IN (SELECT doc_id FROM lab)
+  GROUP BY e.dst, l.label
+) WHERE rk = 1
+""")
+        con.execute(f"INSERT INTO lab SELECT * FROM new{r}")
+    exp = con.execute(
+        "SELECT doc_id, CAST(label AS BIGINT) AS label, "
+        "CAST(round_assigned AS BIGINT) AS round_assigned "
+        "FROM lab ORDER BY doc_id"
+    ).fetchdf()
+    con.close()
+    _compare(spark_df, exp)
+
+
+# ---------------------------------------------------------------------------
+# q108 — the UNCAPPED Jaccard pair join chunked on a.doc_id (the group
+# key contains a.doc_id, so a doc_id-hash restriction of the left side
+# partitions the pair set EXACTLY); signatures then chunked as q122's.
+# ---------------------------------------------------------------------------
+def _check_q108(spark_df) -> None:
+    from developing_img_etl_spark.queries.classify import sql_md5_prefix_int
+    from developing_img_etl_spark.queries.dedup import _Q108_K
+
+    inv = _inv_single()
+    os.makedirs(TMP, exist_ok=True)
+    for c in range(N_CHUNKS):
+        dst = f"{TMP}/q108_cand_{c}.parquet"
+        if os.path.exists(dst):
+            continue
+        con = _con()
+        t0 = time.time()
+        con.execute(rf"""
+COPY (
+  WITH pairs AS (
+    SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+           a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS n_common
+    FROM '{inv}' a JOIN '{inv}' b
+      ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+    WHERE a.doc_id % {N_CHUNKS} = {c}
+    GROUP BY 1, 2, 3, 4, 5
+  )
+  SELECT source, id_a, id_b, n_common,
+         n_common * 1000000 // (n_a + n_b - n_common) AS exact_ppm
+  FROM pairs
+  WHERE n_common * 1000000 // (n_a + n_b - n_common) > 200000
+) TO '{dst}.tmp.parquet' (FORMAT PARQUET)
+""")
+        con.close()
+        os.rename(f"{dst}.tmp.parquet", dst)
+        print(f"  [q108 cand chunk {c + 1}/{N_CHUNKS}: {time.time() - t0:.0f}s]", flush=True)
+
+    for c in range(N_CHUNKS):
+        dst = f"{TMP}/q108_sigs_{c}.parquet"
+        if os.path.exists(dst):
+            continue
+        con = _con()
+        t0 = time.time()
+        con.execute(rf"""
+COPY (
+  WITH cand_ids AS (
+    SELECT id_a AS doc_id FROM '{TMP}/q108_cand_*.parquet'
+    UNION SELECT id_b FROM '{TMP}/q108_cand_*.parquet'
+  )
+  SELECT doc_id, i, MIN({sql_md5_prefix_int(15)}) AS mh
+  FROM (SELECT doc_id, i, md5(CAST(i AS VARCHAR) || ':' || shingle) AS h
+        FROM '{inv}', (SELECT UNNEST(range(0, {_Q108_K})) AS i)
+        WHERE doc_id % {N_CHUNKS} = {c}
+          AND doc_id IN (SELECT doc_id FROM cand_ids))
+  GROUP BY doc_id, i
+) TO '{dst}.tmp.parquet' (FORMAT PARQUET)
+""")
+        con.close()
+        os.rename(f"{dst}.tmp.parquet", dst)
+        print(f"  [q108 sigs chunk {c + 1}/{N_CHUNKS}: {time.time() - t0:.0f}s]", flush=True)
+
+    con = _con()
+    exp = con.execute(f"""
+WITH cand AS (SELECT * FROM '{TMP}/q108_cand_*.parquet'),
+sigs AS (SELECT * FROM '{TMP}/q108_sigs_*.parquet'),
+matched AS (
+  SELECT c.source, c.id_a, c.id_b, c.n_common, c.exact_ppm,
+         SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS minhash_matches
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT source, id_a, id_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(exact_ppm AS BIGINT) AS exact_ppm,
+       CAST(minhash_matches AS BIGINT) AS minhash_matches,
+       CAST(minhash_matches * 1000000 // {_Q108_K} AS BIGINT) AS est_ppm,
+       CAST(abs(minhash_matches * 1000000 // {_Q108_K} - exact_ppm) AS BIGINT) AS abs_err_ppm
+FROM matched
+ORDER BY source, id_a, id_b
+""").fetchdf()
+    con.close()
+    _compare(spark_df, exp)
+
+
+# ---------------------------------------------------------------------------
+# q123 — the 64-sum per-doc simhash stage chunked on doc_id (per-doc
+# independent); the band join then runs over the combined 2x|docs|
+# signature rows (small).
+# ---------------------------------------------------------------------------
+def _check_q123(spark_df) -> None:
+    from developing_img_etl_spark.queries.classify import sql_md5_prefix_int
+    from developing_img_etl_spark.queries.dedup import (
+        _Q123_BITS,
+        _Q123_BLOCK_BITS,
+        _Q123_BLOCK_CAP,
+        _Q123_BLOCKS,
+        _Q123_HAMMING_MAX,
+    )
+
+    os.makedirs(TMP, exist_ok=True)
+    sums = ", ".join(f"SUM(cnt * ((h >> {j}) & 1)) AS s{j}" for j in range(_Q123_BITS))
+    simexpr = " + ".join(
+        f"(CASE WHEN 2 * s{j} > n THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(_Q123_BITS)
+    )
+    for c in range(N_CHUNKS):
+        dst = f"{TMP}/q123_sim0_{c}.parquet"
+        if os.path.exists(dst):
+            continue
+        con = _con()
+        t0 = time.time()
+        con.execute(rf"""
+COPY (
+  WITH tok0 AS (
+    SELECT doc_id, source, UNNEST(string_split_regex(lower(text), '\s+')) AS token
+    FROM documents WHERE doc_id % {N_CHUNKS} = {c}
+  ),
+  tok AS (
+    SELECT doc_id, source, token, COUNT(*) AS cnt
+    FROM tok0 WHERE token <> '' GROUP BY 1, 2, 3
+  ),
+  hashed AS (
+    SELECT doc_id, source, cnt, {sql_md5_prefix_int(12)} AS h
+    FROM (SELECT doc_id, source, cnt, md5(token) AS h FROM tok)
+  ),
+  per_doc AS (
+    SELECT doc_id, source, SUM(cnt) AS n, {sums}
+    FROM hashed GROUP BY doc_id, source
+  )
+  SELECT doc_id, source, {simexpr} AS simhash FROM per_doc
+) TO '{dst}.tmp.parquet' (FORMAT PARQUET)
+""")
+        con.close()
+        os.rename(f"{dst}.tmp.parquet", dst)
+        print(f"  [q123 sim chunk {c + 1}/{N_CHUNKS}: {time.time() - t0:.0f}s]", flush=True)
+
+    blocksel = "\n  UNION ALL ".join(
+        f"SELECT doc_id, source, simhash, {b} AS blk, "
+        f"(simhash >> {b * _Q123_BLOCK_BITS}) & {(1 << _Q123_BLOCK_BITS) - 1} AS bv FROM sim"
+        for b in range(_Q123_BLOCKS)
+    )
+    con = _con()
+    exp = con.execute(f"""
+WITH sim0 AS (SELECT * FROM '{TMP}/q123_sim0_*.parquet'),
+sim AS (
+  SELECT * FROM sim0
+  UNION ALL
+  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), source, simhash FROM sim0
+),
+blocks AS (
+  {blocksel}
+),
+bkeep AS (
+  SELECT source, blk, bv FROM blocks
+  GROUP BY ALL HAVING COUNT(*) BETWEEN 2 AND {_Q123_BLOCK_CAP}
+),
+bb AS (
+  SELECT b.* FROM blocks b JOIN bkeep USING (source, blk, bv)
+),
+cand AS (
+  SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sim_a, b.simhash AS sim_b, COUNT(*) AS n_blocks
+  FROM bb a JOIN bb b
+    ON a.source = b.source AND a.blk = b.blk AND a.bv = b.bv
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT source, id_a, id_b,
+       CAST(n_blocks AS BIGINT) AS n_blocks,
+       sim_a, sim_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {_Q123_HAMMING_MAX}
+ORDER BY 1, 2, 3
+""").fetchdf()
+    con.close()
+    _compare(spark_df, exp)
+
+
+# ---------------------------------------------------------------------------
+# q125 — positional grams staged once; the match-point self-join +
+# islands window chunked on id_a (the (source, id_a, id_b, diag)
+# window partition is fully determined once id_a is fixed, so an
+# id_a-hash restriction of the left side partitions BOTH the window
+# frames and the final pair groups exactly).
+# ---------------------------------------------------------------------------
+def _check_q125(spark_df) -> None:
+    from developing_img_etl_spark.queries.dedup import (
+        _Q125_DF_CAP,
+        _Q125_MINRUN,
+        _Q125_N,
+    )
+
+    os.makedirs(TMP, exist_ok=True)
+    pgk = f"{TMP}/q125_pgk.parquet"
+    if not os.path.exists(pgk):
+        con = _con()
+        t0 = time.time()
+        con.execute(rf"""
+COPY (
+  WITH toks AS (
+    SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t FROM documents
+  ),
+  pg AS (
+    SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+           concat_ws(' ', t[i], t[i+1], t[i+2]) AS g
+    FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1))) AS r(i)
+  ),
+  keep AS (
+    SELECT source, g FROM pg GROUP BY source, g HAVING COUNT(*) <= {_Q125_DF_CAP}
+  )
+  SELECT pg.* FROM pg JOIN keep USING (source, g)
+) TO '{pgk}.tmp.parquet' (FORMAT PARQUET)
+""")
+        con.close()
+        os.rename(f"{pgk}.tmp.parquet", pgk)
+        print(f"  [q125 pgk: {time.time() - t0:.0f}s]", flush=True)
+
+    for c in range(N_CHUNKS):
+        dst = f"{TMP}/q125_agg_{c}.parquet"
+        if os.path.exists(dst):
+            continue
+        con = _con()
+        t0 = time.time()
+        con.execute(rf"""
+COPY (
+  WITH mp AS (
+    SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+           a.pos AS pos_a, a.pos - b.pos AS diag
+    FROM '{pgk}' a JOIN '{pgk}' b ON a.source = b.source AND a.g = b.g
+    WHERE a.doc_id < b.doc_id AND a.doc_id % {N_CHUNKS} = {c}
+  ),
+  runs AS (
+    SELECT source, id_a, id_b,
+           COUNT(*) + {_Q125_N} - 1 AS run_tokens
+    FROM (
+      SELECT mp.*,
+             pos_a - row_number() OVER (
+               PARTITION BY source, id_a, id_b, diag ORDER BY pos_a) AS isl
+      FROM mp
+    )
+    GROUP BY source, id_a, id_b, diag, isl
+    HAVING COUNT(*) + {_Q125_N} - 1 >= {_Q125_MINRUN}
+  )
+  SELECT source, id_a, id_b,
+         CAST(MAX(run_tokens) AS BIGINT) AS longest_run,
+         COUNT(*) AS n_runs,
+         CAST(SUM(run_tokens) AS BIGINT) AS run_token_mass
+  FROM runs
+  GROUP BY source, id_a, id_b
+) TO '{dst}.tmp.parquet' (FORMAT PARQUET)
+""")
+        con.close()
+        os.rename(f"{dst}.tmp.parquet", dst)
+        print(f"  [q125 chunk {c + 1}/{N_CHUNKS}: {time.time() - t0:.0f}s]", flush=True)
+
+    con = _con()
+    exp = con.execute(
+        f"SELECT * FROM '{TMP}/q125_agg_*.parquet' ORDER BY source, id_a, id_b"
+    ).fetchdf()
+    con.close()
+    _compare(spark_df, exp)
+
+
 CHECKS = {
     "q30_dedup_clusters": _check_closure,
     "q74_canonical_dedup": _check_closure,
     "q122_minhash_lsh_pairs": _check_q122,
+    "q79_bigram_surprisal": _check_q79,
+    "q84_pmi_pairs": _check_q84,
+    "q103_label_propagation": _check_q103,
+    "q108_minhash_audit": _check_q108,
+    "q123_simhash_hamming_pairs": _check_q123,
+    "q125_substring_span_pairs": _check_q125,
 }
 
 
@@ -344,6 +811,12 @@ def main() -> int:
                     "q30_dedup_clusters": "iterative min-label fixpoint (DuckDB temp tables, 24GB cap + spill)",
                     "q74_canonical_dedup": "iterative min-label fixpoint (DuckDB temp tables, 24GB cap + spill)",
                     "q122_minhash_lsh_pairs": f"piecewise oracle replay ({N_CHUNKS} sig chunks + candidate-restricted verify)",
+                    "q79_bigram_surprisal": "window-free list-pipeline bigram replay (map-side pairing, spillable aggs)",
+                    "q84_pmi_pairs": "window-free list-pipeline skip-gram replay (map-side pairing, spillable aggs)",
+                    "q103_label_propagation": "temp-table capped edges + iterative label rounds (24GB cap + spill)",
+                    "q108_minhash_audit": f"doc_id-chunked pair join ({N_CHUNKS} chunks) + chunked signatures",
+                    "q123_simhash_hamming_pairs": f"doc_id-chunked simhash stage ({N_CHUNKS} chunks) + band join over combined sigs",
+                    "q125_substring_span_pairs": f"staged capped positional grams + id_a-chunked islands ({N_CHUNKS} chunks)",
                 },
                 "statuses": statuses,
                 "seconds": secs,
