@@ -45,6 +45,8 @@ _AUD_MAGIC = b"FAKEAUD:"
 _VID_MAGIC = b"FAKEVID:"
 # top-level QuickTime/ISO-BMFF box types that can legally open a file
 _MOV_HEADS = (b"ftyp", b"moov", b"mdat", b"wide", b"skip", b"free")
+# the EBML header magic every Matroska/WebM file opens with
+_MKV_MAGIC = b"\x1a\x45\xdf\xa3"
 
 
 def make_fake_audio(sample_rate: int, n_samples: int, seed: bytes = b"a") -> bytes:
@@ -96,8 +98,13 @@ def _decode_video_meta(data: bytes | None) -> tuple[int, int, int, int] | None:
 
         m = mov_meta(data)
         return m if m is not None else fmp4_meta(data)
+    if data[:4] == _MKV_MAGIC:
+        # real container family #4: EBML/Matroska V_MJPEG (mkv.py, r10)
+        from .mkv import mkv_meta
+
+        return mkv_meta(data)
     if not data.startswith(_VID_MAGIC):
-        return None  # seam for remaining real decoders (mkv/EBML): av.open here
+        return None  # seam for remaining real decoders (mp3/flac): av.open here
     try:
         parts = data.split(b":", 5)
         return int(parts[1]), int(parts[2]), int(parts[3]), int(parts[4])
@@ -189,6 +196,7 @@ def sample_frames(
     def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .avi import avi_frames
         from .fmp4 import fmp4_frames
+        from .mkv import mkv_frames
         from .mov import mov_frames
 
         for pdf in batches:
@@ -199,13 +207,20 @@ def sample_frames(
                     continue
                 w, h, _fps, n = meta
                 raw = bytes(data)
-                if raw[:4] == b"RIFF" or raw[4:8] in _MOV_HEADS:
+                if (
+                    raw[:4] == b"RIFF"
+                    or raw[4:8] in _MOV_HEADS
+                    or raw[:4] == _MKV_MAGIC
+                ):
                     # real MJPEG container (AVI '00dc' chunks / MOV
-                    # stsz+stco samples): each payload is a complete
-                    # JPEG, so the sampled frame IS the payload — no
-                    # re-encode, and skipped frames are never decoded
+                    # stsz+stco samples / MKV SimpleBlocks): each
+                    # payload is a complete JPEG, so the sampled frame
+                    # IS the payload — no re-encode, and skipped frames
+                    # are never decoded
                     if raw[:4] == b"RIFF":
                         payloads = avi_frames(raw)
+                    elif raw[:4] == _MKV_MAGIC:
+                        payloads = mkv_frames(raw)
                     else:
                         payloads = mov_frames(raw)
                         if payloads is None:

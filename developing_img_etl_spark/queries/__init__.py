@@ -74,6 +74,15 @@ _DRIVER_PRIORITY = (
     # touch every index consumer) so the driver re-certifies the new
     # plans, then (c) the oldest-certified tail (last green r4 or
     # earlier) so staleness keeps cycling out.
+    # (a0) new in r10 — never driver-checked
+    "m22_fmp4_frame_sample",
+    "m23_mkv_frame_sample",
+    "q145_kcore_peel",
+    "q146_zipf_audit",
+    "q147_chi2_token_lang",
+    "q148_hll_source_overlap",
+    "q149_ewma_revenue",
+    "q150_rbo_rankings",
     # (a) new in r9 — never driver-checked
     "st7_transform_with_state",
     "m21_mov_frame_sample",

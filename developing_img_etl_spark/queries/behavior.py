@@ -1536,3 +1536,115 @@ ORDER BY s.event_type
 
 QUERIES["q141_cusum_changepoint"] = q141_cusum_changepoint
 ORACLES["q141_cusum_changepoint"] = Q141_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q149 — gap-aware truncated EWMA over daily regional revenue
+# (trend smoothing for the curation dashboard; completes the
+# time-series family: q109 trend, q114 seasonality, q141 CUSUM add
+# level-shift detection — this adds the smoothed level itself).
+#
+# The classic EWMA recurrence s_t = a*x_t + (1-a)*s_{t-1} is a serial
+# scan — the worst shape for a distributed engine, and (for general a)
+# float-ordering-sensitive, which would break the exact hash gate.
+# This operator uses the standard distributed re-formulation: a = 1/2
+# makes every weight an exact power of two, and truncating the kernel
+# at H=15 lagged days makes the smoothed value a FINITE weighted sum
+#     ewma(d) = sum_{k=0..15} 2^(15-k) * cents(d-k)  DIV  sum 2^(15-k)
+# over the days that actually have revenue (gap days contribute
+# nothing to numerator or denominator — "gap-aware"). Exact integer
+# arithmetic end to end, so Spark and DuckDB agree bit-for-bit.
+#
+# Scale shape: each daily row map-side EXPLODES into its <=16
+# (target-day, weight) contributions — a sequence+transform, no UDF —
+# followed by ONE hash aggregation on (region, day). No self-join, no
+# window over an unbounded frame, no per-key serial scan; the daily
+# frame it runs on is calendar-bounded (days x 5 regions), not
+# data-sized, and the heavy reduction from orders to daily cents is a
+# single partial-agg-friendly groupBy.
+# ---------------------------------------------------------------------------
+
+_Q149_H = 15  # kernel horizon: today + 15 trailing days
+
+
+def q149_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+
+    daily = (
+        orders.join(
+            cust.select("c_custkey", "c_nationkey"),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name", F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,4)")) * 100, 0)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    contrib = daily.select(
+        "r_name",
+        "cents",
+        F.explode(F.expr(f"sequence(0, {_Q149_H})")).alias("k"),
+        F.col("day").alias("src_day"),
+    ).select(
+        "r_name",
+        F.expr("date_add(src_day, k)").alias("day"),
+        F.expr(f"cents * shiftleft(CAST(1 AS BIGINT), {_Q149_H} - k)").alias("num"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {_Q149_H} - k)").alias("den"),
+    )
+    smoothed = contrib.groupBy("r_name", "day").agg(
+        F.sum("num").alias("num"), F.sum("den").alias("den")
+    )
+    return (
+        smoothed.join(daily.select("r_name", "day", "cents"), ["r_name", "day"])
+        .select(
+            "r_name",
+            "day",
+            "cents",
+            F.expr("num DIV den").alias("ewma_cents"),
+        )
+        .orderBy("r_name", "day")
+    )
+
+
+Q149_SQL = f"""
+WITH daily AS (
+  SELECT r_name, CAST(o_orderdate AS DATE) AS day,
+         CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,4))) * 100, 0) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, o_orderdate
+),
+contrib AS (
+  SELECT d.r_name,
+         d.day + CAST(k AS INT) AS day,
+         d.cents * (1::BIGINT << ({_Q149_H} - k)) AS num,
+         (1::BIGINT << ({_Q149_H} - k)) AS den
+  FROM daily d CROSS JOIN (SELECT UNNEST(range(0, {_Q149_H + 1})) AS k)
+),
+smoothed AS (
+  SELECT r_name, day, SUM(num) AS num, SUM(den) AS den
+  FROM contrib GROUP BY r_name, day
+)
+SELECT s.r_name, s.day, d.cents,
+       CAST(s.num // s.den AS BIGINT) AS ewma_cents
+FROM smoothed s JOIN daily d ON s.r_name = d.r_name AND s.day = d.day
+ORDER BY s.r_name, s.day
+"""
+
+QUERIES["q149_ewma_revenue"] = q149_ewma_revenue
+ORACLES["q149_ewma_revenue"] = Q149_SQL

@@ -1555,3 +1555,130 @@ ORDER BY p_partkey
 
 QUERIES["m22_fmp4_frame_sample"] = m22_fmp4_frame_sample
 ORACLES["m22_fmp4_frame_sample"] = M22_SQL
+
+
+# --------------------------------------------------------------------------
+# M23 — REAL video frame sampling in the FOURTH container layout:
+# MJPEG-in-MKV (multimodal/mkv.py — the EBML/Matroska tag-length-value
+# element tree, the third container *family* after RIFF and ISO-BMFF;
+# VERDICT r9 "what's missing" #3 closes here). Same m20/m21/m22
+# discipline end-to-end: container metadata, sampled-index set,
+# per-frame JPEG dims, and the fidelity gate are oracle-exact; the
+# same _avi_frame_checks UDF applies because make_mkv shares the
+# make_avi/make_mov seed contract. Corrupt rows are a REAL mkv
+# truncated mid-cluster — the Segment's declared size lands past EOF,
+# exercising the EBML walker's size-bound guard (deeper than a magic
+# check). Disjoint part slice (% 25 == 14 vs m20's == 0, m21's == 7,
+# m22's == 11); corrupt stripe % 79.
+# --------------------------------------------------------------------------
+@pandas_udf(T.BinaryType())
+def _gen_mkv(w: pd.Series, h: pd.Series, fps: pd.Series, n: pd.Series, seed: pd.Series) -> pd.Series:
+    from ..multimodal.mkv import make_mkv
+
+    return pd.Series(
+        [
+            None
+            if pd.isna(a)
+            else make_mkv(int(a), int(b), int(f), int(k), int(s))
+            for a, b, f, k, s in zip(w, h, fps, n, seed)
+        ],
+        dtype=object,
+    )
+
+
+def _mkv_corrupt_literal() -> bytes:
+    """A REAL mkv truncated mid-cluster: the Segment's declared size
+    points past EOF, so the EBML walker's bound guard abstains."""
+    from ..multimodal.mkv import make_mkv
+
+    whole = make_mkv(16, 12, 12, 3, seed=5)
+    return whole[: len(whole) - 40]
+
+
+def _mkv_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _widen(load(spark, sf_dir, "part").filter(F.col("p_partkey") % 25 == 14))
+    corrupt = F.col("p_partkey") % 79 == 0
+    w = (16 + F.pmod(F.col("p_size"), F.lit(12)) * 4).cast("int")
+    h = (12 + F.pmod(F.col("p_size"), F.lit(8)) * 4).cast("int")
+    fps = (12 + F.pmod(F.col("p_size"), F.lit(3)) * 6).cast("int")
+    n = (3 + F.pmod(F.col("p_size"), F.lit(6))).cast("int")
+    seed = F.pmod(F.col("p_partkey"), F.lit(251)).cast("int")
+    return part.select(
+        F.col("p_partkey").alias("video_id"),
+        F.when(corrupt, F.lit(_mkv_corrupt_literal()))
+        .otherwise(_gen_mkv(w, h, fps, n, seed))
+        .alias("content"),
+    )
+
+
+def m23_mkv_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.av import sample_frames, video_metadata
+
+    vids = _mkv_corpus(spark, sf_dir)
+    meta = vids.select("video_id", video_metadata(F.col("content")).alias("m"))
+    frames = sample_frames(vids, id_col="video_id", every_n=2)
+    checked = frames.select(
+        "video_id",
+        "frame_idx",
+        _avi_frame_checks(
+            F.col("frame"), F.col("width"), F.col("height"),
+            F.col("video_id"), F.col("frame_idx"),
+        ).alias("c"),
+    )
+    per_vid = checked.groupBy("video_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("frame_idx").cast("long").alias("idx_sum"),
+        F.min("c.dims_ok").alias("dims_ok"),
+        F.min("c.fidelity_ok").alias("fidelity_ok"),
+    )
+    return (
+        meta.join(per_vid, "video_id", "left")
+        .select(
+            F.col("video_id").alias("p_partkey"),
+            F.when(F.col("m.width").isNull(), F.lit("unreadable"))
+            .otherwise(F.lit("ok"))
+            .alias("status"),
+            F.col("m.width").alias("width"),
+            F.col("m.height").alias("height"),
+            F.col("m.fps").alias("fps"),
+            F.col("m.n_frames").alias("n_frames"),
+            "n_sampled",
+            "idx_sum",
+            "dims_ok",
+            "fidelity_ok",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+M23_SQL = """
+WITH base AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 79 = 0 THEN NULL
+              ELSE CAST(16 + (p_size % 12) * 4 AS INT) END AS w,
+         CASE WHEN p_partkey % 79 = 0 THEN NULL
+              ELSE CAST(12 + (p_size % 8) * 4 AS INT) END AS h,
+         CAST(12 + (p_size % 3) * 6 AS INT) AS fps,
+         CAST(3 + p_size % 6 AS INT) AS n
+  FROM part
+  WHERE p_partkey % 25 = 14
+)
+SELECT p_partkey,
+       CASE WHEN w IS NULL THEN 'unreadable' ELSE 'ok' END AS status,
+       w AS width,
+       h AS height,
+       CASE WHEN w IS NULL THEN NULL ELSE fps END AS fps,
+       CASE WHEN w IS NULL THEN NULL ELSE n END AS n_frames,
+       CAST(CASE WHEN w IS NULL THEN NULL ELSE (n + 1) // 2 END AS BIGINT)
+         AS n_sampled,
+       CAST(CASE WHEN w IS NULL THEN NULL
+                 ELSE ((n + 1) // 2) * ((n + 1) // 2 - 1) END AS BIGINT)
+         AS idx_sum,
+       CASE WHEN w IS NULL THEN NULL ELSE TRUE END AS dims_ok,
+       CASE WHEN w IS NULL THEN NULL ELSE TRUE END AS fidelity_ok
+FROM base
+ORDER BY p_partkey
+"""
+
+QUERIES["m23_mkv_frame_sample"] = m23_mkv_frame_sample
+ORACLES["m23_mkv_frame_sample"] = M23_SQL

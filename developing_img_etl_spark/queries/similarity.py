@@ -1757,3 +1757,138 @@ ORDER BY i, j
 
 QUERIES["q131_embedding_covariance"] = q131_embedding_covariance
 ORACLES["q131_embedding_covariance"] = _q131_sql()
+
+
+# ---------------------------------------------------------------------------
+# Q150 — rank-biased overlap (RBO) between the lexical and vector
+# rankings (Webber, Moffat & Zobel, TOIS 2010): the standard
+# top-weighted agreement measure between two retrieval systems —
+# "do dense and sparse retrieval agree, and at which probes do they
+# diverge?" — the comparison q93 FUSES and q110 EVALUATES, measured
+# directly.
+#
+#   RBO@D(p) = (1-p) * sum_{d=1..D} p^(d-1) * |A_1..d ∩ B_1..d| / d
+#
+# Float p^d and /d would break the exact hash gate, so p = 1/2 and
+# D = 10 make every term an exact scaled integer: multiplying by
+# 2^D * LCM(1..10) = 1024 * 2520 turns the per-depth weight into
+# 2^(10-d) * (2520/d), an integer for every d <= 10. A doc matched at
+# ranks (ra, rb) enters every depth d >= max(ra, rb), so its total
+# contribution is the FROZEN lookup C[max(ra,rb)] = sum_{d=max..D} of
+# those integer weights — computed once in driver Python, embedded as
+# literals in both engines (the q97 frozen-table idiom). rbo_ppm
+# normalizes by the identical-rankings score, exactly.
+#
+# Scale shape: both rankings are the q93/q110 shared legs (broadcast
+# probes; the shingle index); the RBO math itself runs on <= D rows
+# per probe — one equi-join + one hash agg, no windows beyond the
+# rankings' own.
+# ---------------------------------------------------------------------------
+
+_Q150_D = 10
+_Q150_LCM = 2520  # LCM(1..10)
+# C[m] = sum_{d=m..D} 2^(D-d) * (LCM/d): total scaled weight a doc
+# matched at depth m contributes across all deeper prefixes.
+_Q150_C = {
+    m: sum((1 << (_Q150_D - d)) * (_Q150_LCM // d) for d in range(m, _Q150_D + 1))
+    for m in range(1, _Q150_D + 1)
+}
+# identical-rankings score: I_d = d at every depth.
+_Q150_NORM = sum((1 << (_Q150_D - d)) * _Q150_LCM for d in range(1, _Q150_D + 1))
+
+
+def q150_rbo_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id")
+    )
+    a = _lexical_ranking(spark, sf_dir, emb).filter(F.col("lex_rk") <= _Q150_D)
+    b = _vector_ranking(emb).filter(F.col("vec_rk") <= _Q150_D)
+    cmap = F.create_map(
+        *[F.lit(x) for kv in _Q150_C.items() for x in kv]
+    )
+    matched = (
+        a.join(b, ["probe_id", "doc_id"])
+        .select(
+            "probe_id",
+            F.greatest("lex_rk", "vec_rk").alias("m"),
+        )
+        .select("probe_id", cmap[F.col("m")].alias("c"))
+    )
+    per_probe = matched.groupBy("probe_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("c").cast("long").alias("rbo_scaled"),
+    )
+    return (
+        probes.join(per_probe, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.coalesce("rbo_scaled", F.lit(0)).cast("long").alias("rbo_scaled"),
+            F.expr(
+                f"CAST(coalesce(rbo_scaled, 0) * 1000000 DIV {_Q150_NORM} AS BIGINT)"
+            ).alias("rbo_ppm"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+def _q150_sql() -> str:
+    c_case = " ".join(f"WHEN {m} THEN {c}" for m, c in _Q150_C.items())
+    return rf"""
+WITH p AS (
+  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+  FROM embeddings WHERE vec_id < {N_PROBES}
+),
+vec AS (
+  SELECT probe_id, vec_id AS doc_id, t_rk AS vec_rk FROM (
+    SELECT p.probe_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY p.probe_id
+             ORDER BY round(list_cosine_similarity(p.pe, CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                      e.vec_id) AS t_rk
+    FROM embeddings e CROSS JOIN p
+    WHERE e.vec_id != p.probe_id
+  ) WHERE t_rk <= {_Q150_D}
+),
+toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+  FROM documents WHERE doc_id IN (SELECT vec_id FROM embeddings)
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+  FROM toks WHERE len(t) >= 3
+),
+inv AS (SELECT doc_id, UNNEST(s) AS shingle FROM sh),
+lex AS (
+  SELECT probe_id, doc_id, rk AS lex_rk FROM (
+    SELECT a.doc_id AS probe_id, b.doc_id AS doc_id,
+           row_number() OVER (PARTITION BY a.doc_id
+                              ORDER BY COUNT(*) DESC, b.doc_id) AS rk
+    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+    WHERE a.doc_id < {N_PROBES}
+    GROUP BY a.doc_id, b.doc_id
+  ) WHERE rk <= {_Q150_D}
+),
+matched AS (
+  SELECT l.probe_id,
+         CASE GREATEST(l.lex_rk, v.vec_rk) {c_case} END AS c
+  FROM lex l JOIN vec v ON l.probe_id = v.probe_id AND l.doc_id = v.doc_id
+),
+per_probe AS (
+  SELECT probe_id, COUNT(*) AS n_common, SUM(c) AS rbo_scaled
+  FROM matched GROUP BY probe_id
+)
+SELECT p.probe_id,
+       CAST(COALESCE(pp.n_common, 0) AS BIGINT) AS n_common,
+       CAST(COALESCE(pp.rbo_scaled, 0) AS BIGINT) AS rbo_scaled,
+       CAST(COALESCE(pp.rbo_scaled, 0) * 1000000 // {_Q150_NORM} AS BIGINT) AS rbo_ppm
+FROM p LEFT JOIN per_probe pp USING (probe_id)
+ORDER BY p.probe_id
+"""
+
+
+QUERIES["q150_rbo_rankings"] = q150_rbo_rankings
+ORACLES["q150_rbo_rankings"] = _q150_sql()

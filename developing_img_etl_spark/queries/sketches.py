@@ -484,3 +484,199 @@ ORDER BY scope, q_ppm
 
 QUERIES["q113_quantile_sketch"] = q113_quantile_sketch
 ORACLES["q113_quantile_sketch"] = Q113_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q148 — pairwise source-vocabulary overlap from MERGED HLL sketches
+# (inclusion-exclusion over register files).
+#
+# The production question: "how much does crawl source A's shingle
+# vocabulary overlap source B's?" — the dedup/mixing planner's input.
+# At 100 TB you cannot afford a pairwise raw-data intersection across
+# every source pair; the sketch answer is the classical one (Flajolet
+# 2007 §5): |A ∩ B| ≈ E(A) + E(B) − E(A ∪ B), where E(A ∪ B) comes
+# FREE from the register algebra — union registers = element-wise max
+# of the two register files. This query certifies that algebra under
+# the oracle gate using q97's exact-integer estimator (no floats, so
+# both engines agree bit-for-bit).
+#
+# Scale shape: raw data is touched ONCE (the shared shingle index);
+# everything pairwise runs on register files — 512 ints per source,
+# so the P(P-1)/2 pair frame is kilobytes regardless of corpus size.
+# The exact_overlap audit column is the one data-sized branch (shingle
+# self-join, vocabulary-bounded); a deployment doing pure estimation
+# drops it and never shuffles more than registers. Pair expansion is
+# two equi-joins + a max-merge — never a broadcast-nested-loop.
+# ---------------------------------------------------------------------------
+
+
+def q148_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    sh = shingle_index(spark, sf_dir).select("doc_id", "s")
+    row = (
+        sh.join(docs, "doc_id")
+        .select("source", "s")
+        .distinct()
+        .select("source", "s", md5_prefix_int(F.col("s"), 15).alias("h"))
+        .select(
+            "source",
+            "s",
+            (F.col("h") % _M).alias("idx"),
+            _rho(F.expr(f"h div {_M}")).alias("rho"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sregs = row.groupBy("source", "idx").agg(F.max("rho").alias("m_reg"))
+    srcs = row.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("sa"))
+        .join(
+            F.broadcast(srcs.select(F.col("source").alias("sb"))),
+            F.col("sa") < F.col("sb"),
+        )
+    )
+    pregs = (
+        pairs.join(sregs.withColumnRenamed("source", "sa"), "sa")
+        .select("sa", "sb", "idx", "m_reg")
+        .unionByName(
+            pairs.join(sregs.withColumnRenamed("source", "sb"), "sb").select(
+                "sa", "sb", "idx", "m_reg"
+            )
+        )
+        .groupBy("sa", "sb", "idx")
+        .agg(F.max("m_reg").alias("m_reg"))
+    )
+    est_pair = hll_estimate_frame(pregs, _P, "sa", "sb").select(
+        "sa", "sb", F.col("hll_estimate").alias("est_union")
+    )
+    est_src = hll_estimate_frame(sregs, _P, "source").select(
+        "source", "hll_estimate"
+    )
+    inter = (
+        row.select(F.col("source").alias("sa"), "s")
+        .join(row.select(F.col("source").alias("sb"), "s"), "s")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
+    )
+    return (
+        pairs.join(
+            est_src.select(F.col("source").alias("sa"), F.col("hll_estimate").alias("est_a")),
+            "sa",
+        )
+        .join(
+            est_src.select(F.col("source").alias("sb"), F.col("hll_estimate").alias("est_b")),
+            "sb",
+        )
+        .join(est_pair, ["sa", "sb"])
+        .join(inter, ["sa", "sb"], "left")
+        .select(
+            F.col("sa").alias("src_a"),
+            F.col("sb").alias("src_b"),
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0)
+            ).cast("long").alias("overlap_est"),
+            F.coalesce("exact_overlap", F.lit(0)).alias("exact_overlap"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def _q148_sql() -> str:
+    est_exprs = f"""
+         CAST({_M} - COUNT(*) AS BIGINT) AS n_zero_registers,
+         CAST(SUM(1::BIGINT << ({_FIELD + 1} - m_reg))
+              + ({_M} - COUNT(*)) * {_S_SCALE}::BIGINT AS BIGINT) AS s_scaled"""
+    corrected = sql_hll_estimate_case(_P)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+  FROM toks
+  WHERE len(t) >= 3
+),
+rowd AS (
+  SELECT DISTINCT source, shingle FROM (SELECT source, UNNEST(s) AS shingle FROM sh)
+),
+tagged AS (
+  SELECT source, shingle, {_SQL_H} AS hv
+  FROM (SELECT source, shingle, md5(shingle) AS h FROM rowd)
+),
+rho AS (
+  SELECT source, shingle, hv % {_M} AS idx,
+         CASE WHEN hv // {_M} = 0 THEN {_FIELD + 1}
+              ELSE {_FIELD + 1} - length(bin(hv // {_M})) END AS rho
+  FROM tagged
+),
+sregs AS (
+  SELECT source, idx, MAX(rho) AS m_reg FROM rho GROUP BY source, idx
+),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM (SELECT DISTINCT source FROM rowd) a
+  JOIN (SELECT DISTINCT source FROM rowd) b ON a.source < b.source
+),
+pregs AS (
+  SELECT sa, sb, idx, MAX(m_reg) AS m_reg FROM (
+    SELECT p.sa, p.sb, r.idx, r.m_reg FROM pairs p JOIN sregs r ON r.source = p.sa
+    UNION ALL
+    SELECT p.sa, p.sb, r.idx, r.m_reg FROM pairs p JOIN sregs r ON r.source = p.sb
+  ) GROUP BY sa, sb, idx
+),
+est_src_raw AS (
+  SELECT source,{est_exprs}
+  FROM sregs GROUP BY source
+),
+est_src_r AS (
+  SELECT source, n_zero_registers,
+         CAST(CAST('{_NUM}' AS HUGEINT)
+              // ({_DEN_C}::HUGEINT * s_scaled::HUGEINT) AS BIGINT) AS raw_est
+  FROM est_src_raw
+),
+est_src AS (
+  SELECT source, CAST({corrected} AS BIGINT) AS hll_estimate FROM est_src_r
+),
+est_pair_raw AS (
+  SELECT sa, sb,{est_exprs}
+  FROM pregs GROUP BY sa, sb
+),
+est_pair_r AS (
+  SELECT sa, sb, n_zero_registers,
+         CAST(CAST('{_NUM}' AS HUGEINT)
+              // ({_DEN_C}::HUGEINT * s_scaled::HUGEINT) AS BIGINT) AS raw_est
+  FROM est_pair_raw
+),
+est_pair AS (
+  SELECT sa, sb, CAST({corrected} AS BIGINT) AS est_union FROM est_pair_r
+),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS exact_overlap
+  FROM rowd a JOIN rowd b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.sa AS src_a, p.sb AS src_b,
+       ea.hll_estimate AS est_a,
+       eb.hll_estimate AS est_b,
+       ep.est_union,
+       CAST(GREATEST(ea.hll_estimate + eb.hll_estimate - ep.est_union, 0)
+            AS BIGINT) AS overlap_est,
+       COALESCE(i.exact_overlap, 0) AS exact_overlap
+FROM pairs p
+JOIN est_src ea ON p.sa = ea.source
+JOIN est_src eb ON p.sb = eb.source
+JOIN est_pair ep ON p.sa = ep.sa AND p.sb = ep.sb
+LEFT JOIN inter i ON p.sa = i.sa AND p.sb = i.sb
+ORDER BY src_a, src_b
+"""
+
+
+QUERIES["q148_hll_source_overlap"] = q148_hll_source_overlap
+ORACLES["q148_hll_source_overlap"] = _q148_sql()

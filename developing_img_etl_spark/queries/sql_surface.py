@@ -818,3 +818,125 @@ def q120_recursive_order_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["q120_recursive_order_walk"] = q120_recursive_order_walk
 ORACLES["q120_recursive_order_walk"] = Q120_TEXT
+
+
+# ---------------------------------------------------------------------------
+# Q145 — k-core decomposition by iterative peel over the co-purchase
+# graph (the q82/q39 graph family's density primitive: the 3-core is
+# the standard "dense community" backbone used to seed dedup-cluster
+# review and graph-based curation; Seidman 1983, Batagelj-Zaversnik).
+#
+# Semantics are BOUNDED-ROUND by contract (the q103/q39 discipline):
+# exactly R=12 peel rounds of "drop every node with degree < K, keep
+# edges whose endpoints both survive", emitting one audit row per
+# round (nodes removed, nodes/edges remaining). 12 rounds converge to
+# the true 3-core at every tested SF (the pytest pins a converged
+# final row: n_removed = 0); at a scale where 12 rounds did not
+# converge, the row sequence still matches the oracle exactly — the
+# operator certifies the peel, round for round.
+#
+# Scale shape: the edge frame is rebuilt per round by two hash
+# semi-joins against the >=K degree set and re-checkpointed, so
+# lineage stays flat and each round's shuffle shrinks with the graph.
+# Driver sees only ONE 4-scalar row per round (the cluster.py
+# closure-loop contract) — never edge data. Degree counting is a
+# map-side-combinable union agg; no windows, no BNLJ, no collect of
+# anything data-sized.
+# ---------------------------------------------------------------------------
+
+_Q145_K = 3
+_Q145_ROUNDS = 12
+
+
+def q145_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    li = (
+        lineitem.filter(F.col("l_quantity") > _TRI_QTY)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rows = []
+    for r in range(1, _Q145_ROUNDS + 1):
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= _Q145_K).select("n").localCheckpoint()
+        n_before = deg.count()
+        n_kept = keep.count()
+        e = (
+            e.join(keep.withColumnRenamed("n", "u"), "u", "leftsemi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "leftsemi")
+            .localCheckpoint()
+        )
+        n_edges = e.count()
+        n_nodes = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .distinct()
+            .count()
+        )
+        rows.append((r, n_before - n_kept, n_nodes, n_edges))
+    return spark.createDataFrame(
+        rows, "round INT, n_removed BIGINT, n_nodes_after BIGINT, n_edges_after BIGINT"
+    ).orderBy("round")
+
+
+def _q145_sql() -> str:
+    parts = [
+        f"""
+li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > {_TRI_QTY}
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+    ]
+    stats = []
+    for r in range(1, _Q145_ROUNDS + 1):
+        p = r - 1
+        parts.append(f"""
+d{r} AS MATERIALIZED (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT u AS n FROM e{p} UNION ALL SELECT v AS n FROM e{p})
+  GROUP BY n
+),
+keep{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE d >= {_Q145_K}),
+e{r} AS MATERIALIZED (
+  SELECT u, v FROM e{p}
+  WHERE u IN (SELECT n FROM keep{r}) AND v IN (SELECT n FROM keep{r})
+)""")
+        stats.append(f"""
+SELECT {r} AS round,
+       (SELECT COUNT(*) FROM d{r}) - (SELECT COUNT(*) FROM keep{r}) AS n_removed,
+       (SELECT COUNT(*) FROM (SELECT u AS n FROM e{r} UNION SELECT v FROM e{r})) AS n_nodes_after,
+       (SELECT COUNT(*) FROM e{r}) AS n_edges_after""")
+    union = "\nUNION ALL".join(stats)
+    return (
+        "WITH " + ",".join(parts) + f"""
+SELECT CAST(round AS INT) AS round,
+       CAST(n_removed AS BIGINT) AS n_removed,
+       CAST(n_nodes_after AS BIGINT) AS n_nodes_after,
+       CAST(n_edges_after AS BIGINT) AS n_edges_after
+FROM ({union})
+ORDER BY round
+"""
+    )
+
+
+QUERIES["q145_kcore_peel"] = q145_kcore_peel
+ORACLES["q145_kcore_peel"] = _q145_sql()

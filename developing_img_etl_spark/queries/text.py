@@ -1745,3 +1745,219 @@ ORDER BY c.lang, c.predicted
 
 QUERIES["q139_ngram_lang_id"] = q139_ngram_lang_id
 ORACLES["q139_ngram_lang_id"] = _q139_sql()
+
+
+# ---------------------------------------------------------------------------
+# Q146 — Zipf rank-frequency audit (corpus analysis; reference test.py's
+# corpus-statistics role extended to a distribution-shape check, as the
+# Gopher/C4 data papers do before training). Per language: rank tokens
+# by frequency, keep the head, and report the rank x frequency product
+# (constant under an ideal Zipf law) plus each rank's share and its
+# product normalized to rank 1 in ppm. All-integer discipline: no
+# float logs, no OLS in doubles — the rank.freq product IS the Zipf
+# statistic in exact arithmetic, so the oracle hash is stable.
+# Scale: one explode + two shuffles (token counts, per-lang top-k);
+# top-k via row_number over a per-lang window on the *aggregated*
+# (lang, tok) frame — tiny vs the corpus. No collect, no UDF.
+# ---------------------------------------------------------------------------
+
+_Q146_TOPK = 20
+
+
+def q146_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    totals = counts.groupBy("lang").agg(F.sum("freq").alias("lang_total"))
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _Q146_TOPK)
+        .withColumn(
+            "f1", F.max(F.when(F.col("rank") == 1, F.col("freq"))).over(
+                Window.partitionBy("lang")
+            )
+        )
+    )
+    return (
+        ranked.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "rank",
+            "tok",
+            "freq",
+            (F.col("rank") * F.col("freq")).alias("rf_product"),
+            F.expr("freq * 1000000 DIV lang_total").alias("share_ppm"),
+            F.expr("rank * freq * 1000000 DIV f1").alias("rf_vs_top_ppm"),
+        )
+        .orderBy("lang", "rank")
+    )
+
+
+Q146_SQL = rf"""
+WITH toks AS (
+  SELECT lang, UNNEST(string_split_regex(lower(text), '\s+')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT lang, tok, COUNT(*) AS freq FROM toks WHERE tok <> '' GROUP BY lang, tok
+),
+totals AS (SELECT lang, SUM(freq) AS lang_total FROM counts GROUP BY lang),
+rk AS (
+  SELECT lang, tok, freq,
+         row_number() OVER (PARTITION BY lang ORDER BY freq DESC, tok ASC) AS rank
+  FROM counts
+),
+ranked AS (
+  SELECT lang, tok, freq, rank,
+         MAX(CASE WHEN rank = 1 THEN freq END) OVER (PARTITION BY lang) AS f1
+  FROM rk
+)
+SELECT r.lang,
+       CAST(rank AS BIGINT) AS rank,
+       tok,
+       CAST(freq AS BIGINT) AS freq,
+       CAST(rank * freq AS BIGINT) AS rf_product,
+       CAST(freq * 1000000 // lang_total AS BIGINT) AS share_ppm,
+       CAST(rank * freq * 1000000 // f1 AS BIGINT) AS rf_vs_top_ppm
+FROM ranked r JOIN totals t ON r.lang = t.lang
+WHERE rank <= {_Q146_TOPK}
+ORDER BY r.lang, rank
+"""
+
+QUERIES["q146_zipf_audit"] = q146_zipf_audit
+ORACLES["q146_zipf_audit"] = Q146_SQL
+
+
+# ---------------------------------------------------------------------------
+# Q147 — chi-squared token/language association (feature-selection audit
+# for corpus curation: which tokens are most language-discriminative).
+# Contingency per token: presence/absence x language over DISTINCT
+# (doc, token) pairs. The statistic is the standard chi2 = sum over
+# cells of (O - E)^2 / E with E = R*C/N, computed in the repo's
+# exact-integer form: per-cell term = (O*N - R*C)^2 * 1e6 div (R*C),
+# summed, then div N — identical DECIMAL(38,0)/HUGEINT arithmetic on
+# both engines, so the hash is exact (no float division anywhere).
+# Zero cells are materialized via a token x lang grid (tokens: top-K
+# by document frequency — a tiny broadcast frame). When a token occurs
+# in EVERY document (N = R) the absence row is empty and contributes 0.
+# Scale: the distinct (doc,tok,lang) frame is one shuffle; the grid and
+# all chi2 math run on K x 5 rows.
+# ---------------------------------------------------------------------------
+
+_Q147_TOPK = 30
+
+
+def q147_chi2_token_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    n_total = docs.groupBy().agg(F.count(F.lit(1)).alias("n")).select("n")
+    col_tot = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c_l"))
+    row_tot = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    top = row_tot.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc("df"), F.asc("tok"))),
+    ).filter(F.col("rk") <= _Q147_TOPK).drop("rk")
+    obs = dt.join(F.broadcast(top.select("tok")), "tok").groupBy(
+        "tok", "lang"
+    ).agg(F.count(F.lit(1)).alias("o"))
+    grid = (
+        F.broadcast(top)
+        .crossJoin(F.broadcast(col_tot))
+        .crossJoin(F.broadcast(n_total))
+        .join(obs, ["tok", "lang"], "left")
+        .select(
+            "tok",
+            "df",
+            "lang",
+            "c_l",
+            "n",
+            F.coalesce("o", F.lit(0)).alias("o"),
+        )
+    )
+    sq = "CAST(o AS DECIMAL(38,0)) * n - CAST(df AS DECIMAL(38,0)) * c_l"
+    term = (
+        f"(({sq}) * ({sq}) * 1000000 DIV (CAST(df AS DECIMAL(38,0)) * c_l))"
+        f" + (CASE WHEN n - df = 0 THEN CAST(0 AS DECIMAL(38,0)) ELSE "
+        f"({sq}) * ({sq}) * 1000000 DIV (CAST(n - df AS DECIMAL(38,0)) * c_l) END)"
+    )
+    return (
+        grid.withColumn("term", F.expr(term))
+        .groupBy("tok")
+        .agg(
+            F.max("df").alias("df"),
+            F.max("n").alias("n"),
+            F.sum("term").alias("terms"),
+        )
+        .select(
+            "tok",
+            F.col("df").cast("long").alias("doc_freq"),
+            F.expr("CAST(terms DIV n AS BIGINT)").alias("chi2_scaled"),
+        )
+        .orderBy(F.desc("chi2_scaled"), "tok")
+    )
+
+
+Q147_SQL = rf"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, lang, UNNEST(string_split_regex(lower(text), '\s+')) AS tok
+  FROM documents
+),
+dtc AS (SELECT doc_id, lang, tok FROM dt WHERE tok <> ''),
+n_total AS (SELECT COUNT(*) AS n FROM documents),
+col_tot AS (SELECT lang, COUNT(*) AS c_l FROM documents GROUP BY lang),
+row_tot AS (SELECT tok, COUNT(*) AS df FROM dtc GROUP BY tok),
+top AS (
+  SELECT tok, df FROM (
+    SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok ASC) AS rk
+    FROM row_tot
+  ) WHERE rk <= {_Q147_TOPK}
+),
+obs AS (
+  SELECT d.tok, d.lang, COUNT(*) AS o
+  FROM dtc d JOIN top USING (tok)
+  GROUP BY d.tok, d.lang
+),
+grid AS (
+  SELECT t.tok, t.df, c.lang, c.c_l, n.n, COALESCE(o.o, 0) AS o
+  FROM top t CROSS JOIN col_tot c CROSS JOIN n_total n
+  LEFT JOIN obs o ON t.tok = o.tok AND c.lang = o.lang
+),
+terms AS (
+  SELECT tok, df, n,
+         ((CAST(o AS HUGEINT) * n - CAST(df AS HUGEINT) * c_l)
+          * (CAST(o AS HUGEINT) * n - CAST(df AS HUGEINT) * c_l)
+          * 1000000 // (CAST(df AS HUGEINT) * c_l))
+         + (CASE WHEN n - df = 0 THEN 0 ELSE
+            (CAST(o AS HUGEINT) * n - CAST(df AS HUGEINT) * c_l)
+            * (CAST(o AS HUGEINT) * n - CAST(df AS HUGEINT) * c_l)
+            * 1000000 // (CAST(n - df AS HUGEINT) * c_l) END) AS term
+  FROM grid
+)
+SELECT tok,
+       CAST(MAX(df) AS BIGINT) AS doc_freq,
+       CAST(SUM(term) // MAX(n) AS BIGINT) AS chi2_scaled
+FROM terms
+GROUP BY tok
+ORDER BY chi2_scaled DESC, tok
+"""
+
+QUERIES["q147_chi2_token_lang"] = q147_chi2_token_lang
+ORACLES["q147_chi2_token_lang"] = Q147_SQL

@@ -102,6 +102,17 @@ BNLJ_ALLOWED = {
     # (min profile lang) onto the holdout frame — the standard 1-row
     # aggregate scalar cross
     "q139_ngram_lang_id",
+    # r10: q147 builds its contingency grid as broadcast crosses of the
+    # 30-row top-token frame × the 5-row language frame × the 1-row
+    # corpus total — every side aggregate-bounded
+    "q147_chi2_token_lang",
+    # r10: q148 pairs the ~20-row distinct-source dimension with itself
+    # (sa < sb) — a structurally bounded dimension×dimension cross; all
+    # register/sketch joins downstream are equi-joins
+    "q148_hll_source_overlap",
+    # r10: q150 runs q110's tiny-probe-set broadcast cross (the shared
+    # _vector_ranking leg)
+    "q150_rbo_rankings",
 }
 
 # no exemptions today: every declared query ships ids through hash
