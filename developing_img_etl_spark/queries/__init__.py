@@ -66,15 +66,13 @@ _MODULES = (
 # these. Rotate next round: drop names once a CORRECTNESS artifact
 # shows them green, so the uncovered tail keeps surfacing.
 _DRIVER_PRIORITY = (
-    # r9 rotation. Every query declared through r8 has appeared green
-    # in some CORRECTNESS_r*.json (r1–r8 union = 188/188), so the
-    # front-load is (a) the 7 never-driver-checked r9 additions, then
-    # (b) the queries whose PLANS changed this round (q87 single-pass
-    # rework; the pre-partitioned shingle index + q14c PPJoin filter
-    # touch every index consumer) so the driver re-certifies the new
-    # plans, then (c) the oldest-certified tail (last green r4 or
-    # earlier) so staleness keeps cycling out.
-    # (a0) new in r10 — never driver-checked
+    # r10 rotation (recomputed from the r1-r9 artifact union): (a) the
+    # 9 never-driver-checked r10 additions; (b) the shingle-index
+    # consumers whose LAYOUT changes this round (per-consumer natural/
+    # source_s choice, AB_SHINGLE_LAYOUT_R10) so the driver
+    # re-certifies the new plans; (c) the stalest-certified tail
+    # (last green r2-r4) so staleness keeps cycling out.
+    # (a) new in r10 — never driver-checked
     "m22_fmp4_frame_sample",
     "m23_mkv_frame_sample",
     "q145_kcore_peel",
@@ -83,25 +81,15 @@ _DRIVER_PRIORITY = (
     "q148_hll_source_overlap",
     "q149_ewma_revenue",
     "q150_rbo_rankings",
-    # (a) new in r9 — never driver-checked
-    "st7_transform_with_state",
-    "m21_mov_frame_sample",
-    "q139_ngram_lang_id",
-    "q140_gini_concentration",
-    "q141_cusum_changepoint",
-    "q142_l_diversity",
-    "q143_pr_curve_ap",
-    "q144_dp_noisy_release",
-    "st19_streaming_benford",
-    # (b) plans reworked in r9
-    "q87_mincost_supplier",
+    "st20_streaming_ewma",
+    # (b) index consumers re-planned in r10
     "q14c_ngram_jaccard_pairs",
-    "q83_prefix_filter_jaccard",
     "q27_decontamination",
     "q30_dedup_clusters",
     "q48_edit_distance_pairs",
     "q63_repeated_ngram_overlap",
     "q74_canonical_dedup",
+    "q83_prefix_filter_jaccard",
     "q103_label_propagation",
     "q108_minhash_audit",
     "q122_minhash_lsh_pairs",
@@ -109,43 +97,33 @@ _DRIVER_PRIORITY = (
     "q125_substring_span_pairs",
     "q132_novelty_scan",
     "st15_streaming_lsh_dedup",
-    # (c) oldest driver certification first (r2–r4 era)
-    "q20_sql_entry",
-    "m1_image_compress",
-    "m2_image_metadata",
-    "q1_incremental_antijoin",
-    "q2_grouped_agg",
-    "q3_join_chain",
-    "q4a_customers_without_urgent_orders",
-    "q5_window_suite",
-    "q6_rollup",
-    "q7_topk",
-    "q8_setops",
-    "q9a_scalar_strings",
-    "q9b_scalar_dates_math",
-    "q11b_asof_join",
-    "q12a_token_stats",
-    "q12b_json_extract",
-    "q13_brute_force_topk",
-    "q14a_exact_dedup",
-    "q16_collect_years",
-    "q17_approx_distinct",
-    "q18_local_supplier_revenue",
-    "q19_stage_dependency_dates",
-    "q99_interval_overlap_join",
-    "q111_ratio_to_parent",
-    "q115_skyline",
-    "q29_rolling_time_window",
-    "q89_distribution_ranks",
+    "q97_hll_distinct",
+    # (c) stalest driver certification first (r2-r4 era)
+    "m4_minhash_near_dups",
+    "m5_simhash_groups",
+    "m6_ann_lsh_topk",
     "m7_multimodal_bind",
+    "m8_numpy_topk",
     "m9_ann_ivf_topk",
     "m10_audio_metadata",
     "m11_video_frame_sample",
-    "st1_streaming_tumbling",
-    "st2_streaming_session",
-    "st3_streaming_late_data",
-    "st4_stream_stream_join",
-    "st5_stateful_user_totals",
+    "q21_dependency_closure",
+    "q14b_hash_canonical",
+    "q31_cosine_near_dups",
+    "q10a_unpivot",
+    "q10b_pivot",
+    "q11a_tumbling_window",
+    "q11c_range_predicate_join",
+    "q11d_bucket_range_join",
+    "q11e_session_window",
+    "q11f_sliding_window",
+    "q12c_quality_scores",
+    "q12d_langid_fingerprint",
+    "q15_selfjoin_adjacent",
+    "q22_percentiles",
+    "q23_approx_percentiles",
+    "q28_repetition_stats",
+    "q32_vocab_topk",
 )
 
 

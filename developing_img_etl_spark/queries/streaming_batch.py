@@ -2312,3 +2312,151 @@ ORDER BY digit
 
 QUERIES["st19_streaming_benford"] = st19_streaming_benford
 ORACLES["st19_streaming_benford"] = _st19_sql()
+
+
+# ---------------------------------------------------------------------------
+# ST20 — streaming EWMA level maintenance (the streaming counterpart
+# of q149, and the time-series member of the st16-st19 registry
+# family: CMS counts, exact quantiles, zonemaps, Benford — now the
+# smoothed level itself, the metric a monitoring dashboard actually
+# plots over the ingest path).
+#
+# The serial EWMA recurrence cannot be maintained incrementally
+# across out-of-order micro-batches; q149's truncated power-of-two
+# kernel CAN, because it makes the smoothed value a read-side
+# transform of PURELY ADDITIVE state: per-batch daily cents partials
+# (event_type, day, cents) append to the registry; the read side
+# MAX-reconciles per (batch_id, event_type, day) — replayed partials
+# of the SAME batch are identical, the st16-st19 exactly-once
+# discipline — SUMs across batches into the daily frame, and applies
+# the 16-day 2^(15-k) kernel there (explode + one hash agg, q149's
+# exact-integer shape). Duplicate DELIVERY (two staged copies)
+# legitimately doubles every daily total, which scales ewma_cents by
+# exactly 2 (the kernel is linear) — a property check in itself.
+# Crash-replay of batch 0 (file set from the FileStreamSource commit
+# log, the st19 rule) must not move the hash.
+#
+# Scale: per-batch state is a <=|days x types| map-side agg; the
+# registry grows O(days x types) rows per batch; the kernel runs on
+# the reconciled calendar-bounded frame, never on events.
+# ---------------------------------------------------------------------------
+
+
+def st20_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import tempfile
+
+    from ..catalog import normalize_event_ts
+    from .behavior import _Q149_H
+
+    work = tempfile.mkdtemp(prefix="st20_")
+    src, reg, ckpt = f"{work}/src", f"{work}/reg", f"{work}/ckpt"
+    _link_events_into(sf_dir, src, n_copies=2)
+
+    cents = F.round(F.col("value").cast("decimal(12,4)") * 100, 0).cast("long")
+
+    def _daily(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                "event_type", F.col("ts").cast("date").alias("day"), cents.alias("c")
+            )
+            .groupBy("event_type", "day")
+            .agg(F.sum("c").alias("cents"))
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _daily(batch_df).select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            "event_type",
+            "day",
+            "cents",
+        ).write.mode("append").parquet(reg)
+
+    stream = _raw_events_stream(spark, sf_dir, src, max_files_per_trigger=1)
+
+    def drain() -> None:
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drained(q)
+
+    with _stream_shuffle(spark):
+        drain()
+        drain()  # checkpoint restart: no new batches, registry untouched
+
+    # crash-replay batch 0's ACTUAL file set (st19's commit-log rule)
+    with open(f"{ckpt}/sources/0/0") as fh:
+        batch0_files = [
+            _json.loads(line)["path"] for line in fh if line.startswith("{")
+        ]
+    assert batch0_files, "st20: empty batch-0 file manifest in checkpoint"
+    sink(normalize_event_ts(spark.read.parquet(*batch0_files)), 0)
+
+    daily = (
+        spark.read.parquet(reg)
+        .groupBy("batch_id", "event_type", "day")
+        .agg(F.max("cents").alias("cents"))  # replayed partials identical
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    contrib = daily.select(
+        "event_type",
+        "cents",
+        F.explode(F.expr(f"sequence(0, {_Q149_H})")).alias("k"),
+        F.col("day").alias("src_day"),
+    ).select(
+        "event_type",
+        F.expr("date_add(src_day, k)").alias("day"),
+        F.expr(f"cents * shiftleft(CAST(1 AS BIGINT), {_Q149_H} - k)").alias("num"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {_Q149_H} - k)").alias("den"),
+    )
+    smoothed = contrib.groupBy("event_type", "day").agg(
+        F.sum("num").alias("num"), F.sum("den").alias("den")
+    )
+    return (
+        smoothed.join(daily.select("event_type", "day", "cents"), ["event_type", "day"])
+        .select(
+            "event_type",
+            "day",
+            F.col("cents").cast("long").alias("cents"),
+            F.expr("num DIV den").alias("ewma_cents"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def _st20_sql() -> str:
+    from .behavior import _Q149_H
+
+    return f"""
+WITH daily AS (
+  -- doubled delivery: every event arrives twice (two staged copies)
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         2 * SUM(CAST(round(CAST(value AS DECIMAL(12,4)) * 100, 0) AS BIGINT)) AS cents
+  FROM events
+  GROUP BY event_type, CAST(ts AS DATE)
+),
+contrib AS (
+  SELECT d.event_type,
+         d.day + CAST(k AS INT) AS day,
+         d.cents * (1::BIGINT << ({_Q149_H} - k)) AS num,
+         (1::BIGINT << ({_Q149_H} - k)) AS den
+  FROM daily d CROSS JOIN (SELECT UNNEST(range(0, {_Q149_H + 1})) AS k)
+),
+smoothed AS (
+  SELECT event_type, day, SUM(num) AS num, SUM(den) AS den
+  FROM contrib GROUP BY event_type, day
+)
+SELECT s.event_type, s.day, CAST(d.cents AS BIGINT) AS cents,
+       CAST(s.num // s.den AS BIGINT) AS ewma_cents
+FROM smoothed s JOIN daily d ON s.event_type = d.event_type AND s.day = d.day
+ORDER BY s.event_type, s.day
+"""
+
+
+QUERIES["st20_streaming_ewma"] = st20_streaming_ewma
+ORACLES["st20_streaming_ewma"] = _st20_sql()
