@@ -45,6 +45,12 @@ NAMES = (
     ]
 )
 SEQUENCE = ("natural", "source_s", "natural", "source_s")
+# Per-query overrides: q108's natural-layout leg OOMs the probe's 48g
+# JVM at sf10 (observed twice is not needed — the 11:39 run's heap
+# trace is in tmp/ab_layout.log): natural is NOT a viable layout for
+# q108 at this scale, so its A/B degenerates to timing the only
+# viable layout in the same session for the record.
+SEQ_OVERRIDES = {"q108_minhash_audit": ("source_s", "source_s")}
 PROGRESS = "/root/repo/tmp/ab_shingle_progress.jsonl"
 
 
@@ -58,6 +64,13 @@ def _reset(spark) -> None:
             pass
     _shingle._CACHE.clear()
     spark.catalog.clearCache()
+    # force ContextCleaner to release prior legs' shuffle files NOW:
+    # across a ~3h session they otherwise accumulate on disk until JVM
+    # GC happens to run (observed: transient ENOSPC on a 252G disk)
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001
+        pass
 
 
 def main() -> int:
@@ -80,16 +93,25 @@ def main() -> int:
     results: dict[str, dict] = {}
     for name in NAMES:
         legs: list[dict] = []
-        for i, layout in enumerate(SEQUENCE):
+        for i, layout in enumerate(SEQ_OVERRIDES.get(name, SEQUENCE)):
             if (name, i) in done:
                 legs.append({"layout": layout, "secs": done[(name, i)]})
                 continue
             _shingle.DEFAULT_LAYOUT = layout
             _reset(spark)
-            qs[name](spark, SF).toPandas()  # untimed: build + warm
-            t0 = time.time()
-            qs[name](spark, SF).toPandas()
-            secs = round(time.time() - t0, 3)
+            try:
+                qs[name](spark, SF).toPandas()  # untimed: build + warm
+                t0 = time.time()
+                qs[name](spark, SF).toPandas()
+                secs = round(time.time() - t0, 3)
+            except Exception as e:  # noqa: BLE001 — record, keep going
+                legs.append({"layout": layout, "error": f"{type(e).__name__}"})
+                with open(PROGRESS, "a") as f:
+                    f.write(
+                        json.dumps({"name": name, "leg": i, "layout": layout,
+                                    "error": type(e).__name__}) + "\n"
+                    )
+                continue
             legs.append({"layout": layout, "secs": secs})
             with open(PROGRESS, "a") as f:
                 f.write(
@@ -97,15 +119,15 @@ def main() -> int:
                     + "\n"
                 )
             print(f"  {name} [{layout}]: {secs:.2f}s", flush=True)
-        nat = [x["secs"] for x in legs if x["layout"] == "natural"]
-        srs = [x["secs"] for x in legs if x["layout"] == "source_s"]
+        nat = [x["secs"] for x in legs if x["layout"] == "natural" and "secs" in x]
+        srs = [x["secs"] for x in legs if x["layout"] == "source_s" and "secs" in x]
         results[name] = {
             "legs": legs,
-            "natural_best": min(nat),
-            "source_s_best": min(srs),
+            "natural_best": min(nat) if nat else None,
+            "source_s_best": min(srs) if srs else None,
             "source_s_vs_natural_pct": round(
                 100.0 * (min(srs) - min(nat)) / min(nat), 1
-            ),
+            ) if nat and srs else None,
         }
 
     _shingle.DEFAULT_LAYOUT = "source_s"
