@@ -80,6 +80,29 @@ def main() -> int:
         "queries": timings,
         "sf": float(sf),
     }
+    # Host-drift guard (VERDICT r10 #1): r10 published a +23 % suite
+    # regression that was pure host noise (untouched trivial plans
+    # +20-50 %, judge re-run reproduced r9 times). Compare per-query
+    # against the previous committed artifact; if the MEDIAN ratio on
+    # the common subset exceeds 1.15×, the host is drifting and the
+    # artifact says so itself instead of shipping a silent regression.
+    prev_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f).get("queries", {})
+        ratios = sorted(
+            timings[q] / prev[q]
+            for q in timings.keys() & prev.keys()
+            if prev[q] > 0
+        )
+        if ratios:
+            med_ratio = round(ratios[len(ratios) // 2], 3)
+            full["median_ratio_vs_prev"] = med_ratio
+            full["host_drift_suspected"] = med_ratio > 1.15
+    except (OSError, ValueError):
+        pass
     # The round driver stores only the LAST 2000 chars of stdout, so a
     # full 161-query JSON line loses its head and parses as null
     # (BENCH_r3/r4). Ship the full map to BENCH_LOCAL.json in-repo and

@@ -27,11 +27,15 @@ the file, i.e. WITH the length marker bit):
 
 EBML varints: an ID keeps its marker bit; a SIZE drops it. A size of
 all ones at its width means "unknown" — legal for Segment/Cluster in
-live streams; the reader treats it as extends-to-end-of-parent. The
-reader skips unknown elements by size (EBML's forward-compat rule),
-requires one video track with CodecID V_MJPEG, and treats any
-structural violation — truncated element, block past EOF, missing
-Info/Tracks — as unreadable (null), never a wrong answer.
+live streams; per RFC 8794 §6.2 such an element ends at the first
+position holding an element ID that is NOT one of its children (e.g.
+an unknown-size Cluster ends where the next sibling Cluster begins),
+or at the parent's end. Unknown size on any element other than
+Segment/Cluster is a structural violation. The reader skips unknown
+elements by size (EBML's forward-compat rule), requires one video
+track with CodecID V_MJPEG, and treats any structural violation —
+truncated element, block past EOF, missing Info/Tracks, illegal
+unknown size — as unreadable (null), never a wrong answer.
 
 fps contract (the avi.py/mov.py integral-fps rule): the writer stamps
 Duration = n_frames * 1000 / fps in ms ticks; the reader recovers
@@ -67,6 +71,39 @@ _CLUSTER_TS = b"\xe7"
 _SIMPLE_BLOCK = b"\xa3"
 
 _MS = 1_000_000  # default TimestampScale: 1 tick = 1 ms
+
+# Element-ID vocabularies for RFC 8794 §6.2 unknown-size termination:
+# an unknown-size element ends at the first element ID that is not one
+# of its children. IDs per the public matroska.org element registry.
+_SEGMENT_CHILDREN = frozenset(
+    {
+        b"\x11\x4d\x9b\x74",  # SeekHead
+        _INFO,
+        _TRACKS,
+        _CLUSTER,
+        b"\x1c\x53\xbb\x6b",  # Cues
+        b"\x19\x41\xa4\x69",  # Attachments
+        b"\x10\x43\xa7\x70",  # Chapters
+        b"\x12\x54\xc3\x67",  # Tags
+        b"\xec",              # Void
+    }
+)
+_CLUSTER_CHILDREN = frozenset(
+    {
+        _CLUSTER_TS,
+        _SIMPLE_BLOCK,
+        b"\xa0",      # BlockGroup
+        b"\xa7",      # Position
+        b"\xab",      # PrevSize
+        b"\x58\x54",  # SilentTracks
+        b"\xec",      # Void
+    }
+)
+
+
+class _Malformed(Exception):
+    """Structural violation that must abstain (public API returns None),
+    never silently undercount frames or mis-derive fps."""
 
 
 # ---------------------------------------------------------------------------
@@ -117,10 +154,44 @@ def _read_vint(data: bytes, pos: int, end: int, *, keep_marker: bool):
     return val, pos + width
 
 
+def _unknown_end(data: bytes, body: int, end: int, children: frozenset) -> int:
+    """Payload end of an unknown-size element starting at `body`: the
+    first position holding an element ID outside `children` (RFC 8794
+    §6.2), else the parent's end if every child parses to it. Scans at
+    element boundaries only — never inside payloads. Raises _Malformed
+    on truncation or an illegally-nested unknown size, because guessing
+    an end would undercount frames (a wrong answer, not an abstain)."""
+    pos = body
+    while pos < end:
+        rid = _read_vint(data, pos, end, keep_marker=True)
+        if rid is None:
+            raise _Malformed
+        raw_id, p = rid
+        eid = raw_id.to_bytes(p - pos, "big")
+        if eid not in children:
+            return pos  # first non-child ID terminates the element
+        rsz = _read_vint(data, p, end, keep_marker=False)
+        if rsz is None:
+            raise _Malformed
+        size, child_body = rsz
+        if size == -1:
+            # nested unknown size: only Cluster-in-Segment is legal
+            if eid == _CLUSTER:
+                pos = _unknown_end(data, child_body, end, _CLUSTER_CHILDREN)
+                continue
+            raise _Malformed
+        if child_body + size > end:
+            raise _Malformed
+        pos = child_body + size
+    return end  # last element of its parent: RFC-legal extends-to-end
+
+
 def _walk(data: bytes, pos: int, end: int):
-    """Yield (element_id_bytes, payload_start, payload_end); an
-    unknown-size element extends to the parent's end (the RFC 8794
-    live-stream rule). Stops at any truncation."""
+    """Yield (element_id_bytes, payload_start, payload_end). Unknown
+    sizes are resolved per RFC 8794 §6.2 (legal only on Segment and
+    Cluster; see _unknown_end — raises _Malformed otherwise). Stops at
+    any truncation of a known-size element (an enclosing size bound
+    makes the caller abstain)."""
     while pos < end:
         rid = _read_vint(data, pos, end, keep_marker=True)
         if rid is None:
@@ -132,7 +203,15 @@ def _walk(data: bytes, pos: int, end: int):
         if rsz is None:
             return
         size, body = rsz
-        payload_end = end if size == -1 else body + size
+        if size == -1:
+            if eid == _SEGMENT:
+                payload_end = _unknown_end(data, body, end, _SEGMENT_CHILDREN)
+            elif eid == _CLUSTER:
+                payload_end = _unknown_end(data, body, end, _CLUSTER_CHILDREN)
+            else:
+                raise _Malformed  # unknown size illegal elsewhere
+        else:
+            payload_end = body + size
         if payload_end > end:
             return  # truncated element: caller sees fewer elements
         yield eid, body, payload_end
@@ -278,30 +357,33 @@ def _blocks(data: bytes, seg: tuple[int, int], track: int):
     return out
 
 
-def mkv_meta(data: bytes) -> tuple[int, int, int, int] | None:
-    """(width, height, fps, n_frames) from the element tree only; None
-    if the bytes are not a single-video-track V_MJPEG Matroska file."""
+def _parse(data: bytes) -> tuple[int, int, int, list[bytes]] | None:
+    """Single internal walk shared by mkv_meta/mkv_frames/mkv_decode:
+    (width, height, fps, payloads), else None. Each public call parses
+    the element tree exactly once."""
     data = bytes(data)
     if len(data) < 8 or data[:4] != _EBML:
         return None
-    seg = _segment(data)
-    if seg is None:
+    try:
+        seg = _segment(data)
+        if seg is None:
+            return None
+        vt = _video_track(data, seg)
+        if vt is None:
+            return None
+        track, w, h = vt
+        payloads = _blocks(data, seg, track)
+        if not payloads:
+            return None
+        info = _find(data, *seg, _INFO)
+        if info is None:
+            return None
+        dur = _find(data, *info, _DURATION)
+        if dur is None:
+            return None
+        raw = data[dur[0] : dur[1]]
+    except _Malformed:
         return None
-    vt = _video_track(data, seg)
-    if vt is None:
-        return None
-    track, w, h = vt
-    frames = _blocks(data, seg, track)
-    if frames is None or not frames:
-        return None
-    n = len(frames)
-    info = _find(data, *seg, _INFO)
-    if info is None:
-        return None
-    dur = _find(data, *info, _DURATION)
-    if dur is None:
-        return None
-    raw = data[dur[0] : dur[1]]
     if len(raw) == 8:
         dur_ticks = struct.unpack(">d", raw)[0]
     elif len(raw) == 4:
@@ -310,24 +392,29 @@ def mkv_meta(data: bytes) -> tuple[int, int, int, int] | None:
         return None
     if not dur_ticks > 0:
         return None
+    n = len(payloads)
     # integral-fps contract (the avi.py/mov.py rule)
     fps = round(n * 1000 / dur_ticks)
     if fps <= 0:
         return None
-    return int(w), int(h), int(fps), n
+    return int(w), int(h), int(fps), payloads
+
+
+def mkv_meta(data: bytes) -> tuple[int, int, int, int] | None:
+    """(width, height, fps, n_frames) from the element tree only; None
+    if the bytes are not a single-video-track V_MJPEG Matroska file."""
+    parsed = _parse(data)
+    if parsed is None:
+        return None
+    w, h, fps, payloads = parsed
+    return w, h, fps, len(payloads)
 
 
 def mkv_frames(data: bytes) -> list[bytes] | None:
     """The raw per-frame JPEG payloads in block order; None if the
     container is unreadable."""
-    data = bytes(data)
-    if mkv_meta(data) is None:
-        return None
-    seg = _segment(data)
-    assert seg is not None
-    vt = _video_track(data, seg)
-    assert vt is not None
-    return _blocks(data, seg, vt[0])
+    parsed = _parse(data)
+    return None if parsed is None else parsed[3]
 
 
 def mkv_decode(data: bytes) -> tuple[int, list[np.ndarray]] | None:
@@ -335,16 +422,14 @@ def mkv_decode(data: bytes) -> tuple[int, list[np.ndarray]] | None:
     frame payload fails JPEG decode."""
     from .jpeg import jpeg_decode
 
-    meta = mkv_meta(data)
-    if meta is None:
+    parsed = _parse(data)
+    if parsed is None:
         return None
-    payloads = mkv_frames(data)
-    if payloads is None:
-        return None
+    _w, _h, fps, payloads = parsed
     frames = []
     for p in payloads:
         dec = jpeg_decode(p)
         if dec is None:
             return None
         frames.append(dec)
-    return meta[2], frames
+    return fps, frames

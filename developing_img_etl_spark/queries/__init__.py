@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     behavior,
     classify,
+    corpus,
     dedup,
     evaluation,
     linkage,
@@ -39,6 +40,7 @@ from . import (
 
 _MODULES = (
     relational,
+    corpus,
     streaming_batch,
     text,
     similarity,
@@ -66,64 +68,62 @@ _MODULES = (
 # these. Rotate next round: drop names once a CORRECTNESS artifact
 # shows them green, so the uncovered tail keeps surfacing.
 _DRIVER_PRIORITY = (
-    # r10 rotation (recomputed from the r1-r9 artifact union): (a) the
-    # 9 never-driver-checked r10 additions; (b) the shingle-index
-    # consumers whose LAYOUT changes this round (per-consumer natural/
-    # source_s choice, AB_SHINGLE_LAYOUT_R10) so the driver
-    # re-certifies the new plans; (c) the stalest-certified tail
-    # (last green r2-r4) so staleness keeps cycling out.
-    # (a) new in r10 — never driver-checked
-    "m22_fmp4_frame_sample",
-    "m23_mkv_frame_sample",
-    "q145_kcore_peel",
-    "q146_zipf_audit",
-    "q147_chi2_token_lang",
-    "q148_hll_source_overlap",
-    "q149_ewma_revenue",
-    "q150_rbo_rankings",
-    "st20_streaming_ewma",
-    # (b) index consumers re-planned in r10
-    "q14c_ngram_jaccard_pairs",
-    "q27_decontamination",
-    "q30_dedup_clusters",
-    "q48_edit_distance_pairs",
-    "q63_repeated_ngram_overlap",
-    "q74_canonical_dedup",
-    "q83_prefix_filter_jaccard",
-    "q103_label_propagation",
-    "q108_minhash_audit",
-    "q122_minhash_lsh_pairs",
-    "q123_simhash_hamming_pairs",
-    "q125_substring_span_pairs",
-    "q132_novelty_scan",
-    "st15_streaming_lsh_dedup",
-    "q97_hll_distinct",
-    # (c) stalest driver certification first (r2-r4 era)
-    "m4_minhash_near_dups",
-    "m5_simhash_groups",
-    "m6_ann_lsh_topk",
-    "m7_multimodal_bind",
-    "m8_numpy_topk",
-    "m9_ann_ivf_topk",
-    "m10_audio_metadata",
-    "m11_video_frame_sample",
-    "q21_dependency_closure",
-    "q14b_hash_canonical",
-    "q31_cosine_near_dups",
-    "q10a_unpivot",
-    "q10b_pivot",
-    "q11a_tumbling_window",
-    "q11c_range_predicate_join",
-    "q11d_bucket_range_join",
-    "q11e_session_window",
-    "q11f_sliding_window",
-    "q12c_quality_scores",
-    "q12d_langid_fingerprint",
-    "q15_selfjoin_adjacent",
-    "q22_percentiles",
+    # r11 rotation: (a) queries NEW or REWORKED this round — q151
+    # composition flagship, the q17/q23 hash-promotions (VERDICT r10
+    # #6), the q147 top-K replan (ADVICE r10), the MKV unknown-size fix
+    # (m23), and the streaming drain-floor rework (st15 + the stateless
+    # registry drains); (b) the stalest driver-certified names (latest
+    # green artifact r5-r6 era) so staleness keeps cycling out.
+    # (a) new / reworked in r11
+    "q151_corpus_build",
+    "q17_approx_distinct",
     "q23_approx_percentiles",
-    "q28_repetition_stats",
-    "q32_vocab_topk",
+    "q147_chi2_token_lang",
+    "m23_mkv_frame_sample",
+    "st15_streaming_lsh_dedup",
+    "st13_streaming_hll_registers",
+    "st16_streaming_cms_counts",
+    "st17_streaming_exact_quantiles",
+    "st18_streaming_zonemap",
+    "st19_streaming_benford",
+    "st20_streaming_ewma",
+    # (b) stalest driver certification first
+    "q4b_parts_with_sales",
+    "q6b_cube",
+    "q89_distribution_ranks",
+    "st10_custom_source_stream",
+    "st11_streaming_dedup_ttl",
+    "st12_stream_static_enrich",
+    "st1_streaming_tumbling",
+    "st2_streaming_session",
+    "st3_streaming_late_data",
+    "st4_stream_stream_join",
+    "st5_stateful_user_totals",
+    "st6_streaming_dedup",
+    "st8_streaming_txlog_exactly_once",
+    "st9_streaming_view_maintenance",
+    "q25_grouped_map",
+    "q26_deterministic_sampling",
+    "q57_group_topk_sample",
+    "q78_correlated_scalar_subquery",
+    "q80_filtered_aggregates",
+    "q82_triangle_count",
+    "q90_sql_registered_udf",
+    "q104_stratified_quota_sample",
+    "q105_sliding_distinct_users",
+    "q106_benford_audit",
+    "q109_revenue_trend",
+    "q112_markov_transitions",
+    "q114_weekday_seasonality",
+    "q121_pq_adc_topk",
+    "q124_ivf_probe_topk",
+    "q126_matryoshka_rank_audit",
+    "q33_sequence_packing",
+    "q34_pii_redaction",
+    "q35_event_funnel",
+    "q36_column_profile",
+    "q37_merge_upsert",
+    "q38_zorder_layout",
 )
 
 

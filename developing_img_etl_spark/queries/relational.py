@@ -598,17 +598,48 @@ ORDER BY o_custkey
 
 
 # ---------------------------------------------------------------------------
-# Q17 — approx_count_distinct (A5): HLL++ sketch vs exact. Approximate →
-# no value-hash oracle (rows-only); tests/test_misc_surface.py pins the
-# relative error ≤ 3×rsd.
+# Q17 — approximate distinct count (A5), promoted to hash-MATCH
+# (VERDICT r10 #6): the estimate is the repo's own from-primitives HLL
+# (q97's exact-integer estimator at p = 9 — md5-hashed registers,
+# integer alpha_m arithmetic, frozen linear-counting table), so the
+# DuckDB oracle replays the sketch bit-for-bit and the driver hashes
+# sketch AND exact side by side. Spark's builtin approx_count_distinct
+# (engine-private HLL++ registers, unhashable by construction) stays
+# error-pinned in tests/test_misc_surface.py on the same grouping.
+# Scale shape: hash/idx/rho are map-side codegen; the register shuffle
+# carries ≤ 5 priorities × 512 rows regardless of data volume; the
+# exact audit column is the one data-sized aggregation.
 # ---------------------------------------------------------------------------
 def q17_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .classify import md5_prefix_int
+    from .sketches import _M, _rho, hll_estimate_frame
+
     orders = load(spark, sf_dir, "orders")
+    row = orders.select(
+        "o_orderpriority",
+        md5_prefix_int(F.col("o_custkey").cast("string"), 15).alias("h"),
+    ).select(
+        "o_orderpriority",
+        (F.col("h") % _M).alias("idx"),
+        _rho(F.expr(f"h div {_M}")).alias("rho"),
+    )
+    regs = row.groupBy("o_orderpriority", "idx").agg(F.max("rho").alias("m_reg"))
+    est = hll_estimate_frame(regs, 9, "o_orderpriority")
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_customers")
+    )
     return (
-        orders.groupBy("o_orderpriority")
-        .agg(
-            F.countDistinct("o_custkey").alias("exact_customers"),
-            F.approx_count_distinct("o_custkey", 0.05).alias("approx_customers"),
+        est.join(exact, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.col("exact_customers").cast("long").alias("exact_customers"),
+            "n_zero_registers",
+            "s_scaled",
+            F.col("hll_estimate").alias("hll_customers"),
+            F.expr(
+                "CAST(CAST(abs(hll_estimate - exact_customers) AS DECIMAL(38,0))"
+                " * 1000000 DIV exact_customers AS BIGINT)"
+            ).alias("err_ppm"),
         )
         .orderBy("o_orderpriority")
     )
@@ -844,11 +875,23 @@ ORDER BY l_returnflag
 # Q23 — approx_percentile (the scale tier q22's comment promises):
 # KLL/GK-style sketch, mergeable map-side, ONE pass with no per-group
 # sort — the 100 TB path where q22's exact per-group sort is the
-# correctness oracle at small scale. Approximate → rows-only here;
-# tests/test_approx_ops.py pins each approx quantile within the
-# accuracy bound against the exact percentile on the same data.
+# correctness oracle at small scale. Promoted to hash-MATCH (VERDICT
+# r10 #6): the sketch value itself is engine-private, but its
+# DETERMINISTIC GUARANTEE is not — Greenwald-Khanna promises the
+# returned element's rank lies within n/accuracy of the target rank.
+# The query certifies that guarantee in-query: it joins the sketch
+# answers back to the data, computes each answer's exact rank span
+# (count <, count ≤ — one extra aggregation over the facts), and emits
+# within_bound against the [lo_rank, hi_rank] window both engines
+# derive as a pure integer function of (n_rows, quantile, accuracy).
+# The oracle replays the group counts + rank windows and asserts TRUE:
+# a Spark sketch that ever broke its bound would flip the hash. The
+# value-level accuracy check stays in tests/test_approx_ops.py.
+# Scale shape: sketch agg is one map-side-combinable pass; the rank
+# audit broadcasts the 12-row answer frame and re-scans the facts once.
 # ---------------------------------------------------------------------------
 APPROX_PCT_ACCURACY = 10_000  # 1/accuracy relative-rank error bound
+_Q23_QS_PPM = (250000, 500000, 750000, 900000)
 
 
 def q23_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -856,23 +899,143 @@ def q23_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # output): the driver harness canonicalizes via pandas sort_values,
     # which cannot hash list-typed cells. Rule: declared queries return
     # only scalar columns.
-    lineitem = load(spark, sf_dir, "lineitem")
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
     acc = APPROX_PCT_ACCURACY
+    eps_ppm = 1_000_000 // acc
+    qlist = ", ".join(f"{q / 1_000_000}" for q in _Q23_QS_PPM)
     agg = lineitem.groupBy("l_returnflag").agg(
         F.expr(
-            f"approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.9), {acc})"
+            f"approx_percentile(l_extendedprice, array({qlist}), {acc})"
         ).alias("approx_quartiles"),
         F.count(F.lit(1)).alias("n_rows"),
     )
-    return (
-        agg.select(
-            "l_returnflag",
-            "n_rows",
-            F.posexplode("approx_quartiles").alias("q_pos", "q_value"),
+    pts = agg.select(
+        "l_returnflag",
+        "n_rows",
+        F.posexplode("approx_quartiles").alias("q_pos", "q_value"),
+    ).withColumn(
+        "q_ppm",
+        F.element_at(
+            F.array(*[F.lit(q) for q in _Q23_QS_PPM]), F.col("q_pos") + 1
+        ),
+    )
+    ranked = (
+        lineitem.join(F.broadcast(pts), "l_returnflag")
+        .groupBy("l_returnflag", "q_pos", "q_ppm", "q_value", "n_rows")
+        .agg(
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("q_value"), 1).otherwise(0)
+            ).alias("rank_le"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("q_value"), 1).otherwise(0)
+            ).alias("rank_lt"),
         )
-        .select("l_returnflag", "q_pos", "q_value", "n_rows")
+    )
+    # guaranteed rank window, pure integers of (n_rows, q_ppm): the ±1
+    # absorbs the engine's open/closed target-rank convention
+    lo = (
+        f"greatest(CAST((q_ppm - {eps_ppm}) * n_rows div 1000000 AS BIGINT) - 1,"
+        " CAST(1 AS BIGINT))"
+    )
+    hi = (
+        f"least(CAST(((q_ppm + {eps_ppm}) * n_rows + 999999) div 1000000 AS BIGINT)"
+        " + 1, CAST(n_rows AS BIGINT))"
+    )
+    return (
+        ranked.select(
+            "l_returnflag",
+            F.col("q_pos").cast("int").alias("q_pos"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.expr(lo).alias("lo_rank"),
+            F.expr(hi).alias("hi_rank"),
+            (
+                (F.col("rank_le") >= F.expr(lo))
+                & ((F.col("rank_lt") + 1) <= F.expr(hi))
+            ).alias("within_bound"),
+        )
         .orderBy("l_returnflag", "q_pos")
     )
+
+
+def _q17_sql() -> str:
+    """DuckDB replay of q17's from-primitives HLL (q97's mirror shape,
+    over orders.o_custkey) — built lazily so the sketches-module import
+    stays function-local."""
+    from .classify import sql_md5_prefix_int
+    from .sketches import _DEN_C, _FIELD, _M, _NUM, _S_SCALE, sql_hll_estimate_case
+
+    h = sql_md5_prefix_int(15)
+    return f"""
+WITH rho AS (
+  SELECT o_orderpriority, hv % {_M} AS idx,
+         CASE WHEN hv // {_M} = 0 THEN {_FIELD + 1}
+              ELSE {_FIELD + 1} - length(bin(hv // {_M})) END AS rho
+  FROM (SELECT o_orderpriority, {h} AS hv
+        FROM (SELECT o_orderpriority, md5(CAST(o_custkey AS VARCHAR)) AS h
+              FROM orders))
+),
+regs AS (
+  SELECT o_orderpriority, idx, MAX(rho) AS m_reg
+  FROM rho GROUP BY o_orderpriority, idx
+),
+est AS (
+  SELECT o_orderpriority,
+         CAST({_M} - COUNT(*) AS BIGINT) AS n_zero_registers,
+         CAST(SUM(1::BIGINT << ({_FIELD + 1} - m_reg))
+              + ({_M} - COUNT(*)) * {_S_SCALE}::BIGINT AS BIGINT) AS s_scaled
+  FROM regs GROUP BY o_orderpriority
+),
+exact AS (
+  SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_customers
+  FROM orders GROUP BY o_orderpriority
+),
+raw AS (
+  SELECT e.o_orderpriority, x.exact_customers, e.n_zero_registers, e.s_scaled,
+         CAST(CAST('{_NUM}' AS HUGEINT)
+              // ({_DEN_C}::HUGEINT * e.s_scaled::HUGEINT) AS BIGINT) AS raw_est
+  FROM est e JOIN exact x USING (o_orderpriority)
+),
+corrected AS (
+  SELECT o_orderpriority, exact_customers, n_zero_registers, s_scaled,
+         CAST({sql_hll_estimate_case(9)} AS BIGINT) AS hll_customers
+  FROM raw
+)
+SELECT o_orderpriority,
+       CAST(exact_customers AS BIGINT) AS exact_customers,
+       n_zero_registers, s_scaled, hll_customers,
+       CAST(CAST(abs(hll_customers - exact_customers) AS HUGEINT)
+            * 1000000 // exact_customers AS BIGINT) AS err_ppm
+FROM corrected
+ORDER BY o_orderpriority
+"""
+
+
+_Q23_EPS_PPM = 1_000_000 // APPROX_PCT_ACCURACY
+_Q23_POSLIST = ", ".join(str(i) for i in range(len(_Q23_QS_PPM)))
+_Q23_PPMLIST = ", ".join(str(q) for q in _Q23_QS_PPM)
+
+Q23_SQL = f"""
+WITH g AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM lineitem GROUP BY l_returnflag
+),
+qs AS (
+  SELECT UNNEST([{_Q23_POSLIST}]) AS q_pos,
+         UNNEST([{_Q23_PPMLIST}]) AS q_ppm
+)
+SELECT l_returnflag,
+       CAST(q_pos AS INTEGER) AS q_pos,
+       n_rows,
+       GREATEST(CAST((q_ppm - {_Q23_EPS_PPM}) * n_rows // 1000000 AS BIGINT) - 1,
+                CAST(1 AS BIGINT)) AS lo_rank,
+       LEAST(CAST(((q_ppm + {_Q23_EPS_PPM}) * n_rows + 999999) // 1000000 AS BIGINT)
+             + 1, n_rows) AS hi_rank,
+       TRUE AS within_bound
+FROM g CROSS JOIN qs
+ORDER BY l_returnflag, q_pos
+"""
 
 
 QUERIES = {
@@ -919,6 +1082,8 @@ ORACLES = {
     "q18_local_supplier_revenue": Q18_SQL,
     "q19_stage_dependency_dates": Q19_SQL,
     "q22_percentiles": Q22_SQL,
+    "q17_approx_distinct": _q17_sql(),
+    "q23_approx_percentiles": Q23_SQL,
 }
 
 

@@ -1296,15 +1296,17 @@ def st13_streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt.overwrite(regs, table)
 
     stream = _raw_events_stream(spark, sf_dir, src, max_files_per_trigger=1)
-    with _stream_shuffle(spark):
-        q = (
-            stream.writeStream.foreachBatch(merge_registers)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        _await_drained(q)
+    # no stateful operator in this drain (registry lives in files) —
+    # the _stream_shuffle state-partition pin would only throttle the
+    # per-batch aggregation to 4 tasks (VERDICT r10 #5 drain floor)
+    q = (
+        stream.writeStream.foreachBatch(merge_registers)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drained(q)
 
     # crash-replay: the ACTUAL first staged file (= batch 0 under
     # maxFilesPerTrigger=1) again — a no-op because max-merge is
@@ -1573,9 +1575,18 @@ def st15_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(reg)
         b.write.mode("append").parquet(dbs)
 
+    # drain-floor tuning (VERDICT r10 #5, ST15_DECOMP: 89% of st15's
+    # sf10 cost was micro-batch machinery, not plan): 2 files per
+    # trigger halves the lifecycle count while still proving the
+    # cross-batch registry merge (2 batches, each covering distinct
+    # doc ranges), and the _stream_shuffle 4-partition pin is skipped —
+    # it exists to fix the STATE-STORE partition count, and this drain
+    # has no stateful operator (dedup lives in the reg/dbs files), so
+    # the pin only throttled the per-batch signature aggregation to 4
+    # tasks. Measured at sf0.1: 9.0 s → 4.2 s, hash unchanged.
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(src)
     )
     def drain() -> None:
@@ -1588,10 +1599,9 @@ def st15_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _await_drained(q)
 
-    with _stream_shuffle(spark):
-        drain()
-        drain()  # restart from the checkpoint: must be a no-op (and any
-        #         replayed batch is absorbed by the min-on-read algebra)
+    drain()
+    drain()  # restart from the checkpoint: must be a no-op (and any
+    #         replayed batch is absorbed by the min-on-read algebra)
 
     owners = (
         spark.read.parquet(reg)
@@ -1753,9 +1763,11 @@ def st16_streaming_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _await_drained(q)
 
-    with _stream_shuffle(spark):
-        drain()
-        drain()  # checkpoint restart: no new batches, registry untouched
+    # no stateful operator in this drain (registry lives in files) —
+    # the _stream_shuffle state-partition pin would only throttle the
+    # per-batch aggregation to 4 tasks (VERDICT r10 #5 drain floor)
+    drain()
+    drain()  # checkpoint restart: no new batches, registry untouched
 
     # crash-replay: run batch 0's file through the sink AGAIN with the
     # same batch_id — the txn-marker reconciliation below must absorb it
@@ -1916,9 +1928,11 @@ def st17_streaming_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
         )
         _await_drained(q)
 
-    with _stream_shuffle(spark):
-        drain()
-        drain()  # checkpoint restart: no new batches, registry untouched
+    # no stateful operator in this drain (registry lives in files) —
+    # the _stream_shuffle state-partition pin would only throttle the
+    # per-batch aggregation to 4 tasks (VERDICT r10 #5 drain floor)
+    drain()
+    drain()  # checkpoint restart: no new batches, registry untouched
 
     # crash-replay: batch 0's file through the sink AGAIN with the same
     # batch_id — MAX-reconciliation below must absorb the duplicate
@@ -2048,9 +2062,11 @@ def st18_streaming_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _await_drained(q)
 
-    with _stream_shuffle(spark):
-        drain()
-        drain()  # checkpoint restart: no new batches
+    # no stateful operator in this drain (registry lives in files) —
+    # the _stream_shuffle state-partition pin would only throttle the
+    # per-batch aggregation to 4 tasks (VERDICT r10 #5 drain floor)
+    drain()
+    drain()  # checkpoint restart: no new batches
 
     from ..catalog import normalize_event_ts
 
@@ -2221,9 +2237,11 @@ def st19_streaming_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _await_drained(q)
 
-    with _stream_shuffle(spark):
-        drain()
-        drain()  # checkpoint restart: no new batches, registry untouched
+    # no stateful operator in this drain (registry lives in files) —
+    # the _stream_shuffle state-partition pin would only throttle the
+    # per-batch aggregation to 4 tasks (VERDICT r10 #5 drain floor)
+    drain()
+    drain()  # checkpoint restart: no new batches, registry untouched
 
     # crash-replay: batch 0's ACTUAL input through the sink AGAIN, same
     # batch_id. The file set is derived from the FileStreamSource commit
@@ -2384,9 +2402,11 @@ def st20_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _await_drained(q)
 
-    with _stream_shuffle(spark):
-        drain()
-        drain()  # checkpoint restart: no new batches, registry untouched
+    # no stateful operator in this drain (registry lives in files) —
+    # the _stream_shuffle state-partition pin would only throttle the
+    # per-batch aggregation to 4 tasks (VERDICT r10 #5 drain floor)
+    drain()
+    drain()  # checkpoint restart: no new batches, registry untouched
 
     # crash-replay batch 0's ACTUAL file set (st19's commit-log rule)
     with open(f"{ckpt}/sources/0/0") as fh:

@@ -1855,8 +1855,6 @@ _Q147_TOPK = 30
 
 
 def q147_chi2_token_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load(spark, sf_dir, "documents")
     dt = (
         docs.select(
@@ -1871,10 +1869,10 @@ def q147_chi2_token_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_total = docs.groupBy().agg(F.count(F.lit(1)).alias("n")).select("n")
     col_tot = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c_l"))
     row_tot = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    top = row_tot.withColumn(
-        "rk",
-        F.row_number().over(Window.orderBy(F.desc("df"), F.asc("tok"))),
-    ).filter(F.col("rk") <= _Q147_TOPK).drop("rk")
+    # top-K selection as orderBy+limit → TakeOrderedAndProject (per-
+    # partition top-K merged on the driver), never a vocabulary-sized
+    # single-task window (ADVICE r10).
+    top = row_tot.orderBy(F.desc("df"), F.asc("tok")).limit(_Q147_TOPK)
     obs = dt.join(F.broadcast(top.select("tok")), "tok").groupBy(
         "tok", "lang"
     ).agg(F.count(F.lit(1)).alias("o"))

@@ -119,12 +119,25 @@ def test_excel_source_reads_reference_fixture(spark):
 
 
 def test_approx_count_distinct_tolerance(spark, sf_dir):
-    """A5: HLL++ estimate within 3×rsd of exact (rsd=0.05)."""
+    """A5: Spark's builtin HLL++ estimate within 3×rsd of exact
+    (rsd=0.05) — the builtin's registers are engine-private so it lives
+    here, while the DECLARED q17 carries the hash-matched
+    from-primitives HLL (VERDICT r10 #6); its err_ppm must meet the
+    q97-grade 15% bound on the same grouping."""
+    from developing_img_etl_spark.catalog import load
     from developing_img_etl_spark.queries.relational import q17_approx_distinct
 
-    for r in q17_approx_distinct(spark, sf_dir).collect():
-        rel_err = abs(r.approx_customers - r.exact_customers) / max(r.exact_customers, 1)
+    orders = load(spark, sf_dir, "orders")
+    builtin = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey", 0.05).alias("approx"),
+    )
+    for r in builtin.collect():
+        rel_err = abs(r.approx - r.exact) / max(r.exact, 1)
         assert rel_err <= 0.15, f"{r.o_orderpriority}: rel_err={rel_err:.3f}"
+    for r in q17_approx_distinct(spark, sf_dir).collect():
+        assert r.exact_customers > 0
+        assert r.err_ppm <= 150_000, f"{r.o_orderpriority}: err_ppm={r.err_ppm}"
 
 
 def test_fuzzy_resolve_unblocked_refuses_huge_listing(spark):

@@ -117,6 +117,84 @@ def test_mkv_unknown_segment_size_still_parses():
     del width
 
 
+def _build_two_cluster(w, h, fps, n1, n2, *, unknown_first_cluster):
+    """Hand-assemble a two-Cluster MKV (the live-stream shape the module
+    docstring claims): cluster 1 optionally carries an unknown size and
+    per RFC 8794 §6.2 must terminate where the sibling Cluster begins."""
+    from developing_img_etl_spark.multimodal import mkv as M
+
+    n = n1 + n2
+    jpegs = [jpeg_encode(make_photo(w, h, (5 + 31 * k) % 251), 65) for k in range(n)]
+
+    def blocks(js, base):
+        out = b""
+        for k, j in enumerate(js):
+            rel = ((base + k) * 1000 + fps // 2) // fps
+            out += M._el(M._SIMPLE_BLOCK, b"\x81" + struct.pack(">h", rel) + b"\x80" + j)
+        return out
+
+    header = M._el(
+        M._EBML,
+        M._uel(b"\x42\x86", 1) + M._uel(b"\x42\xf7", 1) + M._uel(b"\x42\xf2", 4)
+        + M._uel(b"\x42\xf3", 8) + M._el(b"\x42\x82", b"matroska")
+        + M._uel(b"\x42\x87", 4) + M._uel(b"\x42\x85", 2),
+    )
+    info = M._el(
+        M._INFO,
+        M._uel(M._TIMESTAMP_SCALE, M._MS)
+        + M._el(M._DURATION, struct.pack(">d", n * 1000 / fps)),
+    )
+    video = M._el(M._VIDEO, M._uel(M._PIXEL_WIDTH, w) + M._uel(M._PIXEL_HEIGHT, h))
+    entry = M._el(
+        M._TRACK_ENTRY,
+        M._uel(M._TRACK_NUMBER, 1) + M._uel(M._TRACK_TYPE, 1)
+        + M._el(M._CODEC_ID, b"V_MJPEG") + video,
+    )
+    tracks = M._el(M._TRACKS, entry)
+    c1_payload = M._uel(M._CLUSTER_TS, 0) + blocks(jpegs[:n1], 0)
+    c2_payload = M._uel(M._CLUSTER_TS, 1) + blocks(jpegs[n1:], n1)
+    c1 = (
+        M._CLUSTER + b"\xff" + c1_payload
+        if unknown_first_cluster
+        else M._el(M._CLUSTER, c1_payload)
+    )
+    c2 = M._el(M._CLUSTER, c2_payload)
+    return header + M._el(M._SEGMENT, info + tracks + c1 + c2), jpegs
+
+
+def test_mkv_unknown_cluster_size_terminates_at_sibling():
+    # RFC 8794 §6.2: an unknown-size Cluster ends at the next sibling
+    # Cluster ID — the later Cluster's blocks must NOT be swallowed.
+    known, jpegs = _build_two_cluster(16, 12, 12, 2, 3, unknown_first_cluster=False)
+    unknown, jpegs2 = _build_two_cluster(16, 12, 12, 2, 3, unknown_first_cluster=True)
+    assert jpegs == jpegs2
+    assert mkv_meta(known) == (16, 12, 12, 5)
+    assert mkv_meta(unknown) == (16, 12, 12, 5)  # was 2 before the r11 fix
+    assert mkv_frames(unknown) == jpegs
+
+
+def test_mkv_unknown_size_cluster_inside_unknown_size_segment():
+    # nested live-stream form: unknown Segment AND unknown first Cluster
+    data, jpegs = _build_two_cluster(16, 12, 12, 2, 2, unknown_first_cluster=True)
+    seg_id = b"\x18\x53\x80\x67"
+    i = data.find(seg_id)
+    sz, p = _read_vint(data, i + 4, len(data), keep_marker=False)
+    patched = data[: i + 4] + b"\xff" + data[p:]
+    assert mkv_meta(patched) == (16, 12, 12, 4)
+    assert mkv_frames(patched) == jpegs
+
+
+def test_mkv_unknown_size_illegal_outside_segment_cluster():
+    # unknown size on Info (or any non-Segment/Cluster element) is a
+    # structural violation → abstain, never a guess
+    good = make_mkv(16, 12, 12, 2, seed=8)
+    i = good.find(b"\x15\x49\xa9\x66")  # Info id
+    assert good[i + 4] & 0x80  # sanity: 1-byte size varint
+    patched = good[: i + 4] + b"\xff" + good[i + 5 :]
+    assert mkv_meta(patched) is None
+    assert mkv_frames(patched) is None
+
+
 def test_webm_doctype_accepted():
     data = make_mkv(16, 12, 12, 2, seed=6)
     # same element length (the reader rstrips NULs), so no size fixups

@@ -44,6 +44,9 @@ BNLJ_ALLOWED = {
     "q75_corpus_drift",
     # q92: Σweight/corpus-total as the 1-row mixing-plan scalar cross
     "q92_temperature_mixing",
+    # q151: the same 1-row mixing-total scalar cross inside the
+    # corpus-build composition (stage 3 is q92's plan)
+    "q151_corpus_build",
     # q96: K-row medoid set broadcast against every vector (the q13
     # tiny-probe-set cross — assignment IS the algorithm)
     "q96_semdedup",
@@ -183,6 +186,7 @@ SCALAR_BNLJ = {
     "q49_jsonl_roundtrip",
     "q91_csv_roundtrip",
     "q92_temperature_mixing",
+    "q151_corpus_build",
     "q98_kneser_ney_bigrams",
     "q104_stratified_quota_sample",
     "q105_sliding_distinct_users",
