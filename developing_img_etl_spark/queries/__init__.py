@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    audit,
     behavior,
     classify,
     corpus,
@@ -55,6 +56,7 @@ _MODULES = (
     sketches,
     linkage,
     evaluation,
+    audit,
 )
 
 
@@ -76,6 +78,8 @@ _DRIVER_PRIORITY = (
     # green artifact r5-r6 era) so staleness keeps cycling out.
     # (a) new / reworked in r11
     "q151_corpus_build",
+    "q152_lsh_recall_audit",
+    "q153_repetition_signals",
     "q17_approx_distinct",
     "q23_approx_percentiles",
     "q147_chi2_token_lang",

@@ -163,6 +163,12 @@ def main() -> int:
     import os
 
     oracle_utils.ORACLE_CAP_S = CAP_S
+    # bound the oracle beside the gate's own Spark JVM (and any
+    # concurrent sf10 pass): uncapped DuckDB defaults to ~80 % of RAM,
+    # which is box-fatal when two JVMs are resident; sf1 oracles fit
+    # comfortably in 24 GB with spill as the escape hatch.
+    oracle_utils.DUCK_MEMORY_LIMIT = "24GB"
+    oracle_utils.DUCK_TEMP_DIR = "/root/repo/tmp/duck-spill-sf1"
     spark = get_spark("sf1-gate", cpus=32)
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
