@@ -80,6 +80,8 @@ _DRIVER_PRIORITY = (
     "q151_corpus_build",
     "q152_lsh_recall_audit",
     "q153_repetition_signals",
+    "q154_split_leakage_audit",
+    "q155_jaccard_threshold_sweep",
     "q17_approx_distinct",
     "q23_approx_percentiles",
     "q147_chi2_token_lang",

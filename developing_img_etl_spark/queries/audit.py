@@ -46,6 +46,9 @@ from .dedup import (
     _capped_pair_edges,
     _sql_capped_pairs,
 )
+from .sampling import _BUCKETS as _SPL_BUCKETS
+from .sampling import _K as _SPL_K
+from .sampling import _SEED as _SPL_SEED
 
 # two-tier exact-Jaccard truth for the recall audit: the audit reports
 # recall on STRONG pairs (>= 0.2 Jaccard — the q14c family's working
@@ -432,12 +435,295 @@ ORDER BY source, lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Q154 — train/val/test split-leakage audit (M117): near-dup pairs that
+# STRADDLE the deterministic split are eval contamination — a test doc
+# whose near-duplicate sits in train leaks the benchmark into training
+# (Dodge et al. 2021; the reason C4/Pile decontaminate before splitting,
+# not after). The audit counts, per source: all strong near-dup pairs
+# (the q14c >= 0.2 Jaccard tier over the df-capped pair generator),
+# pairs crossing any split boundary, cross pairs touching an eval
+# (test/val) member, the DISTINCT eval docs so compromised, and the
+# leak rate in exact ppm. Split assignment is the q26/q65 portable-hash
+# arithmetic evaluated MAP-SIDE on each pair's own id columns — zero
+# extra joins beyond the pair generator itself. Corpus doubled (q122's
+# idiom) so exact-dup pairs exist — and straddle splits — at every SF.
+# ---------------------------------------------------------------------------
+_Q154_STRONG_PPM = 200_000
+
+
+def _split_of(idcol):
+    b = F.pmod(idcol * F.lit(_SPL_K) + F.lit(_SPL_SEED), F.lit(_SPL_BUCKETS))
+    return (
+        F.when(b < 100_000, F.lit("test"))
+        .when(b < 200_000, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+
+
+def q154_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shd = _doubled_index(spark, sf_dir).localCheckpoint(eager=False)
+    nsh = shd.select("doc_id", "n_sh").distinct()
+    pairs = (
+        _capped_pair_edges(shd, min_common=2)
+        .join(nsh.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(nsh.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .filter(
+            F.expr("n_common * 1000000 DIV (n_a + n_b - n_common)")
+            >= _Q154_STRONG_PPM
+        )
+        .select(
+            "source",
+            "id_a",
+            "id_b",
+            _split_of(F.col("id_a")).alias("sp_a"),
+            _split_of(F.col("id_b")).alias("sp_b"),
+        )
+        .localCheckpoint(eager=False)  # pair set reused by both aggs below
+    )
+    cross = F.col("sp_a") != F.col("sp_b")
+    eval_leak = cross & (
+        F.col("sp_a").isin("test", "val") | F.col("sp_b").isin("test", "val")
+    )
+    per_src = pairs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(cross.cast("long")).alias("n_cross"),
+        F.sum(eval_leak.cast("long")).alias("n_eval_leak"),
+    )
+    # distinct eval docs with a cross-split near-dup: a doc can appear
+    # as id_a in one pair and id_b in another, so count over the UNION
+    # of both legs, not per-column.
+    legs = pairs.filter(cross).select(
+        "source", F.col("id_a").alias("id"), F.col("sp_a").alias("sp")
+    ).unionByName(
+        pairs.filter(cross).select(
+            "source", F.col("id_b").alias("id"), F.col("sp_b").alias("sp")
+        )
+    )
+    leaked = (
+        legs.filter(F.col("sp").isin("test", "val"))
+        .select("source", "id")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_leaked_eval_docs"))
+    )
+    return (
+        per_src.join(leaked, "source", "left")
+        .select(
+            "source",
+            "n_pairs",
+            "n_cross",
+            "n_eval_leak",
+            F.coalesce("n_leaked_eval_docs", F.lit(0)).cast("long").alias(
+                "n_leaked_eval_docs"
+            ),
+            F.expr(
+                "CASE WHEN n_pairs = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE n_eval_leak * 1000000 DIV n_pairs END"
+            ).alias("leak_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_Q154 = rf"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+  FROM toks
+  WHERE len(t) >= 3
+),
+inv0 AS (
+  SELECT doc_id, source, len(s) AS n_sh, UNNEST(s) AS shingle FROM sh
+),
+inv AS (
+  SELECT * FROM inv0
+  UNION ALL
+  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), source, n_sh, shingle
+  FROM inv0
+),
+{_sql_capped_pairs(2)},
+nsh AS (SELECT DISTINCT doc_id, n_sh FROM inv),
+sp AS (
+  SELECT p.source, p.id_a, p.id_b,
+         CASE WHEN (p.id_a * {_SPL_K} + {_SPL_SEED}) % {_SPL_BUCKETS} < 100000
+                THEN 'test'
+              WHEN (p.id_a * {_SPL_K} + {_SPL_SEED}) % {_SPL_BUCKETS} < 200000
+                THEN 'val' ELSE 'train' END AS sp_a,
+         CASE WHEN (p.id_b * {_SPL_K} + {_SPL_SEED}) % {_SPL_BUCKETS} < 100000
+                THEN 'test'
+              WHEN (p.id_b * {_SPL_K} + {_SPL_SEED}) % {_SPL_BUCKETS} < 200000
+                THEN 'val' ELSE 'train' END AS sp_b
+  FROM pairs p
+  JOIN nsh na ON na.doc_id = p.id_a
+  JOIN nsh nb ON nb.doc_id = p.id_b
+  WHERE p.n_common * 1000000 // (na.n_sh + nb.n_sh - p.n_common)
+        >= {_Q154_STRONG_PPM}
+),
+per_src AS (
+  SELECT source,
+         COUNT(*) AS n_pairs,
+         SUM(CASE WHEN sp_a <> sp_b THEN 1 ELSE 0 END) AS n_cross,
+         SUM(CASE WHEN sp_a <> sp_b
+                   AND (sp_a IN ('test', 'val') OR sp_b IN ('test', 'val'))
+                  THEN 1 ELSE 0 END) AS n_eval_leak
+  FROM sp GROUP BY source
+),
+legs AS (
+  SELECT source, id_a AS id, sp_a AS sp FROM sp WHERE sp_a <> sp_b
+  UNION ALL
+  SELECT source, id_b AS id, sp_b AS sp FROM sp WHERE sp_a <> sp_b
+),
+leaked AS (
+  SELECT source, COUNT(DISTINCT id) AS n_leaked_eval_docs
+  FROM legs WHERE sp IN ('test', 'val') GROUP BY source
+)
+SELECT p.source,
+       CAST(p.n_pairs AS BIGINT) AS n_pairs,
+       CAST(p.n_cross AS BIGINT) AS n_cross,
+       CAST(p.n_eval_leak AS BIGINT) AS n_eval_leak,
+       CAST(COALESCE(l.n_leaked_eval_docs, 0) AS BIGINT) AS n_leaked_eval_docs,
+       CAST(CASE WHEN p.n_pairs = 0 THEN 0
+                 ELSE p.n_eval_leak * 1000000 // p.n_pairs END AS BIGINT)
+         AS leak_ppm
+FROM per_src p LEFT JOIN leaked l USING (source)
+ORDER BY p.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q155 — Jaccard threshold sweep (M118): the calibration curve an
+# operator reads before CHOOSING a dedup threshold — per (source,
+# jaccard decile bucket): pair count, cumulative pairs at >= that
+# bucket (the window an engine would actually delete at each candidate
+# threshold), and the distinct docs the bucket touches. Exact integer
+# ppm bucketing over the SAME df-capped pair generator as q14c/q152, on
+# the natural (undoubled) corpus — this audits the real corpus's
+# overlap distribution, not a synthetic one. The cumulative column is a
+# ~20x11-row window, driver-scale by construction.
+# ---------------------------------------------------------------------------
+_Q155_FLOOR_PPM = 10_000
+
+
+def q155_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sh = shingle_index(spark, sf_dir)
+    nsh = sh.select("doc_id", "n_sh").distinct()
+    pairs = (
+        _capped_pair_edges(sh, min_common=2)
+        .join(nsh.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(nsh.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            "source",
+            "id_a",
+            "id_b",
+            F.expr("n_common * 1000000 DIV (n_a + n_b - n_common)").alias("jacc_ppm"),
+        )
+        .filter(F.col("jacc_ppm") >= _Q155_FLOOR_PPM)
+        .select(
+            "source",
+            "id_a",
+            "id_b",
+            F.least(F.expr("jacc_ppm DIV 100000"), F.lit(10)).alias("bucket"),
+        )
+    )
+    per_bucket = pairs.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    docs_in_bucket = (
+        pairs.select("source", "bucket", F.col("id_a").alias("id"))
+        .unionByName(pairs.select("source", "bucket", F.col("id_b").alias("id")))
+        .distinct()
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per_bucket.join(docs_in_bucket, ["source", "bucket"])
+        .select(
+            "source",
+            (F.col("bucket") * 100_000).cast("long").alias("bucket_lo_ppm"),
+            "n_pairs",
+            F.sum("n_pairs").over(w).cast("long").alias("cum_pairs_at_or_above"),
+            "n_docs",
+        )
+        .orderBy("source", "bucket_lo_ppm")
+    )
+
+
+_SQL_Q155 = rf"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+  FROM toks
+  WHERE len(t) >= 3
+),
+inv AS (
+  SELECT doc_id, source, len(s) AS n_sh, UNNEST(s) AS shingle FROM sh
+),
+{_sql_capped_pairs(2)},
+nsh AS (SELECT DISTINCT doc_id, n_sh FROM inv),
+jp AS (
+  SELECT p.source, p.id_a, p.id_b,
+         p.n_common * 1000000 // (na.n_sh + nb.n_sh - p.n_common) AS jacc_ppm
+  FROM pairs p
+  JOIN nsh na ON na.doc_id = p.id_a
+  JOIN nsh nb ON nb.doc_id = p.id_b
+  WHERE p.n_common * 1000000 // (na.n_sh + nb.n_sh - p.n_common)
+        >= {_Q155_FLOOR_PPM}
+),
+bp AS (
+  SELECT source, id_a, id_b, least(jacc_ppm // 100000, 10) AS bucket FROM jp
+),
+per_bucket AS (
+  SELECT source, bucket, COUNT(*) AS n_pairs FROM bp GROUP BY source, bucket
+),
+docs_in_bucket AS (
+  SELECT source, bucket, COUNT(*) AS n_docs FROM (
+    SELECT DISTINCT source, bucket, id FROM (
+      SELECT source, bucket, id_a AS id FROM bp
+      UNION ALL
+      SELECT source, bucket, id_b AS id FROM bp
+    )
+  ) GROUP BY source, bucket
+)
+SELECT p.source,
+       CAST(p.bucket * 100000 AS BIGINT) AS bucket_lo_ppm,
+       CAST(p.n_pairs AS BIGINT) AS n_pairs,
+       CAST(SUM(p.n_pairs) OVER (PARTITION BY p.source ORDER BY p.bucket DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_pairs_at_or_above,
+       CAST(d.n_docs AS BIGINT) AS n_docs
+FROM per_bucket p JOIN docs_in_bucket d USING (source, bucket)
+ORDER BY p.source, bucket_lo_ppm
+"""
+
+
 QUERIES = {
     "q152_lsh_recall_audit": q152_lsh_recall_audit,
     "q153_repetition_signals": q153_repetition_signals,
+    "q154_split_leakage_audit": q154_split_leakage_audit,
+    "q155_jaccard_threshold_sweep": q155_jaccard_threshold_sweep,
 }
 
 ORACLES = {
     "q152_lsh_recall_audit": _sql_q152(),
     "q153_repetition_signals": _SQL_Q153,
+    "q154_split_leakage_audit": _SQL_Q154,
+    "q155_jaccard_threshold_sweep": _SQL_Q155,
 }

@@ -10,6 +10,8 @@ from developing_img_etl_spark.queries.audit import (
     _TRUTH_PPM_STRONG,
     q152_lsh_recall_audit,
     q153_repetition_signals,
+    q154_split_leakage_audit,
+    q155_jaccard_threshold_sweep,
 )
 
 
@@ -40,6 +42,55 @@ def test_q152_strong_recall_is_total_on_doubled_corpus(spark, sf_dir):
     dropped a real near-dup."""
     for r in q152_lsh_recall_audit(spark, sf_dir).collect():
         assert r.recall_strong_ppm == 1_000_000, r
+
+
+def test_q154_leakage_algebra(spark, sf_dir):
+    rows = q154_split_leakage_audit(spark, sf_dir).collect()
+    assert rows, "doubled corpus guarantees pairs in every source"
+    for r in rows:
+        # cross-split pairs are a subset of all pairs; eval-touching
+        # cross pairs a subset of those; each leak pair contributes at
+        # most 2 distinct eval docs
+        assert 0 < r.n_pairs
+        assert 0 <= r.n_cross <= r.n_pairs
+        assert 0 <= r.n_eval_leak <= r.n_cross
+        assert 0 <= r.n_leaked_eval_docs <= 2 * r.n_eval_leak
+        # a cross pair NOT counted as eval leak must be train-train —
+        # impossible (two different splits can't both be train), so
+        # n_eval_leak == n_cross by construction of a 3-way split
+        assert r.n_eval_leak == r.n_cross
+        assert r.leak_ppm == r.n_eval_leak * 1_000_000 // r.n_pairs
+
+
+def test_q154_doubled_corpus_leaks_exist_globally(spark, sf_dir):
+    """The doubled corpus plants an exact-dup pair (id, id+off) for
+    every doc; split assignment is hash-arithmetic on the id, so across
+    the whole corpus SOME pair must straddle splits (eval fractions are
+    20 % combined). A zero total would mean the split columns are not
+    actually being derived per-member."""
+    rows = q154_split_leakage_audit(spark, sf_dir).collect()
+    assert sum(r.n_cross for r in rows) > 0
+
+
+def test_q155_sweep_algebra(spark, sf_dir):
+    rows = q155_jaccard_threshold_sweep(spark, sf_dir).collect()
+    assert rows
+    by_src: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r.bucket_lo_ppm <= 1_000_000
+        assert r.bucket_lo_ppm % 100_000 == 0
+        assert 0 < r.n_pairs
+        # each pair touches exactly 2 docs; distinct docs in the bucket
+        # is bounded by that and must be at least 2
+        assert 2 <= r.n_docs <= 2 * r.n_pairs
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.bucket_lo_ppm)
+        # cumulative column decreases as the threshold rises and the
+        # lowest bucket's cumulative equals the source's total pairs
+        cums = [r.cum_pairs_at_or_above for r in rs]
+        assert cums == sorted(cums, reverse=True), src
+        assert cums[0] == sum(r.n_pairs for r in rs), src
 
 
 def test_q153_signal_bounds(spark, sf_dir):
