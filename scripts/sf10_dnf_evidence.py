@@ -730,6 +730,57 @@ COPY (
     _compare(spark_df, exp)
 
 
+def _check_q39(spark_df) -> None:
+    """Iterative temp-table PageRank replay (r11): IDENTICAL integer
+    arithmetic to Q39_SQL, but each of the 3 rounds materializes only
+    the node-sized rank table before the next starts. The one-shot CTE
+    chain plans all three edge-join rounds at once and spilled >75 GB
+    at the 16GB memory cap at sf10 — past this box's free disk, so the
+    one-shot oracle is disk-infeasible here (SF10_SPOTCHECK carries the
+    disclosed ORACLE-DNF row pointing at this evidence). Per round the
+    hash-build sides are the two node-sized frames (~2M rows) and the
+    48M-row edge table streams — bounded memory, negligible spill."""
+    con = _con()
+    con.execute("SET max_temp_directory_size='40GiB'")
+    try:
+        con.execute(
+            "CREATE TEMP TABLE e0 AS SELECT DISTINCT l_partkey * 2 AS src,"
+            " l_suppkey * 2 + 1 AS dst FROM lineitem"
+        )
+        con.execute(
+            "CREATE TEMP TABLE edges AS SELECT src, dst FROM e0"
+            " UNION ALL SELECT dst, src FROM e0"
+        )
+        con.execute("DROP TABLE e0")
+        con.execute(
+            "CREATE TEMP TABLE deg AS SELECT src, COUNT(*) AS d FROM edges GROUP BY src"
+        )
+        con.execute(
+            "CREATE TEMP TABLE pr AS SELECT src AS node,"
+            " CAST(1000000 AS BIGINT) AS r FROM deg"
+        )
+        for _ in range(3):
+            con.execute(
+                "CREATE TEMP TABLE pr_next AS "
+                "SELECT e.dst AS node, "
+                "CAST(150000 + (85 * SUM(pr.r // deg.d)) // 100 AS BIGINT) AS r "
+                "FROM edges e JOIN pr ON e.src = pr.node "
+                "JOIN deg ON e.src = deg.src GROUP BY e.dst"
+            )
+            con.execute("DROP TABLE pr")
+            con.execute("ALTER TABLE pr_next RENAME TO pr")
+        expected = con.execute(
+            "SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END"
+            " AS node_type, COUNT(*) AS n_nodes,"
+            " CAST(SUM(r) AS BIGINT) AS total_rank,"
+            " CAST(MAX(r) AS BIGINT) AS max_rank"
+            " FROM pr GROUP BY node_type ORDER BY node_type"
+        ).fetchdf()
+    finally:
+        con.close()
+    _compare(spark_df, expected)
+
+
 CHECKS = {
     "q30_dedup_clusters": _check_closure,
     "q74_canonical_dedup": _check_closure,
@@ -740,6 +791,7 @@ CHECKS = {
     "q108_minhash_audit": _check_q108,
     "q123_simhash_hamming_pairs": _check_q123,
     "q125_substring_span_pairs": _check_q125,
+    "q39_pagerank": _check_q39,
 }
 
 
@@ -817,6 +869,7 @@ def main() -> int:
                     "q108_minhash_audit": f"doc_id-chunked pair join ({N_CHUNKS} chunks) + chunked signatures",
                     "q123_simhash_hamming_pairs": f"doc_id-chunked simhash stage ({N_CHUNKS} chunks) + band join over combined sigs",
                     "q125_substring_span_pairs": f"staged capped positional grams + id_a-chunked islands ({N_CHUNKS} chunks)",
+                    "q39_pagerank": "iterative temp-table integer PageRank, 3 rounds (24GB cap + 40GiB spill bound; one-shot CTE chain spills >75GB — disk-infeasible)",
                 },
                 "statuses": statuses,
                 "seconds": secs,

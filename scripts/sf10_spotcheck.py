@@ -116,6 +116,11 @@ def main() -> int:
         "q53_winnowing_fingerprints": "48GB",
     }
     oracle_utils.DUCK_TEMP_DIR = "/root/repo/tmp/duck-spill"
+    # r11: q39's one-shot oracle spilled >75GB (past this box's free
+    # disk), starving every later oracle's spill AND Spark's scratch —
+    # the r10/r11 cascade of native bad_alloc FAILs. Bound the spill so
+    # a runaway plan dies as its own clean FAIL, never a host cascade.
+    oracle_utils.DUCK_MAX_TEMP_SIZE = "40GiB"
 
     qs0, oracles0 = all_queries(), all_oracles()
     fps = build_fingerprints(qs0, oracles0)
@@ -135,9 +140,10 @@ def main() -> int:
                     rec = json.loads(line)
                 except ValueError:
                     continue
-                if rec.get("status") == "MATCH":
+                st = rec.get("status", "")
+                if st == "MATCH" or st.startswith("ORACLE-DNF"):
                     if rec.get("fp") == fps.get(rec["name"]):
-                        statuses[rec["name"]] = "MATCH"
+                        statuses[rec["name"]] = st
                         secs[rec["name"]] = rec.get("s", 0.0)
                     else:
                         stale += 1
@@ -152,14 +158,50 @@ def main() -> int:
     spark.conf.set("spark.sql.shuffle.partitions", "64")
     qs, oracles = all_queries(), all_oracles()
     failures: list[str] = []
+    # disclosed one-shot-oracle infeasibility (VERDICT r10 #2's allowed
+    # alternative): q39's one-shot CTE-chain oracle needs >75GB of spill
+    # at ANY workable memory cap on this box — disk-infeasible. The
+    # value evidence comes from sf10_dnf_evidence.py's ITERATIVE
+    # temp-table replay (identical integer arithmetic, node-sized
+    # per-round materialization); this pass records the disclosure row
+    # and verifies that evidence exists at the CURRENT fingerprint.
+    DNF_EVIDENCE_NAMES = {"q39_pagerank"}
+
+    def _dnf_evidence_fresh(name: str) -> bool:
+        path = "/root/repo/SF10_DNF_PROGRESS.jsonl"
+        if not os.path.exists(path):
+            return False
+        ok = False
+        with open(path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if rec.get("name") == name:
+                    ok = rec.get("status") == "MATCH" and rec.get("fp") == fps.get(name)
+        return ok
+
     for name in NAMES:
-        if statuses.get(name) == "MATCH":
+        kept = statuses.get(name, "")
+        if kept == "MATCH" or kept.startswith("ORACLE-DNF"):
             continue
         t0 = time.time()
         oracle_utils.DUCK_MEMORY_LIMIT = DUCK_MEM_OVERRIDES.get(name, "16GB")
         try:
-            assert_matches(qs[name](spark, SF), oracles[name], SF)
-            statuses[name] = "MATCH"
+            if name in DNF_EVIDENCE_NAMES:
+                if not _dnf_evidence_fresh(name):
+                    raise RuntimeError(
+                        "no current-fingerprint MATCH in SF10_DNF_PROGRESS.jsonl —"
+                        " run scripts/sf10_dnf_evidence.py first"
+                    )
+                statuses[name] = (
+                    "ORACLE-DNF (disk): one-shot oracle spills >75GB;"
+                    " value-certified via iterative replay (SF10_DNF_EVIDENCE.json)"
+                )
+            else:
+                assert_matches(qs[name](spark, SF), oracles[name], SF)
+                statuses[name] = "MATCH"
         except Exception as e:  # noqa: BLE001
             statuses[name] = f"FAIL: {type(e).__name__}: {e}"
             failures.append(name)
@@ -173,6 +215,15 @@ def main() -> int:
 
             spark.catalog.clearCache()
             _shingle._CACHE.clear()
+            # a failed/interrupted oracle can leave spill files behind;
+            # never let one query's leftovers starve the next one's disk
+            import glob as _glob
+
+            for leftover in _glob.glob("/root/repo/tmp/duck-spill/*"):
+                try:
+                    os.remove(leftover)
+                except OSError:
+                    pass
         secs[name] = round(time.time() - t0, 1)
         with open(PROGRESS, "a") as f:
             f.write(

@@ -40,6 +40,12 @@ ORACLE_CAP_S: float | None = None
 # oracle). Scale probes set this so the oracle spills instead.
 DUCK_MEMORY_LIMIT: str | None = None
 DUCK_TEMP_DIR: str | None = None
+# optional spill-size bound. r11: q39's one-shot oracle plan spilled
+# >75 GB at the 16GB memory cap — past this box's free disk — taking
+# down every subsequent oracle in the pass (and nearly the host) with
+# native bad_alloc/IO errors. A bounded temp dir turns a runaway-spill
+# plan into a clean per-query OOM FAIL instead of a host-wide cascade.
+DUCK_MAX_TEMP_SIZE: str | None = None
 
 
 def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
@@ -55,6 +61,8 @@ def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
 
             _os.makedirs(DUCK_TEMP_DIR, exist_ok=True)
             con.execute(f"SET temp_directory='{DUCK_TEMP_DIR}'")
+        if DUCK_MAX_TEMP_SIZE is not None:
+            con.execute(f"SET max_temp_directory_size='{DUCK_MAX_TEMP_SIZE}'")
         for name in TABLES:
             con.execute(
                 f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
