@@ -121,6 +121,12 @@ def main() -> int:
     # the r10/r11 cascade of native bad_alloc FAILs. Bound the spill so
     # a runaway plan dies as its own clean FAIL, never a host cascade.
     oracle_utils.DUCK_MAX_TEMP_SIZE = "40GiB"
+    # r11: isolate each oracle in a fresh subprocess — an in-process
+    # OOM at the 48GB q53 cap degraded the pass process's allocator
+    # (every later oracle died with 2-32KB bad_alloc; the process then
+    # segfaulted in libc). Isolation also RETURNS each oracle's memory
+    # to the OS instead of letting the pass's footprint ratchet.
+    oracle_utils.DUCK_SUBPROCESS = True
 
     qs0, oracles0 = all_queries(), all_oracles()
     fps = build_fingerprints(qs0, oracles0)

@@ -169,6 +169,10 @@ def main() -> int:
     # comfortably in 24 GB with spill as the escape hatch.
     oracle_utils.DUCK_MEMORY_LIMIT = "24GB"
     oracle_utils.DUCK_TEMP_DIR = "/root/repo/tmp/duck-spill-sf1"
+    # r11: bound the spill so a runaway oracle plan dies as its own
+    # clean FAIL instead of filling the disk under every later query
+    # (the q39 sf10 cascade; see scripts/sf10_spotcheck.py)
+    oracle_utils.DUCK_MAX_TEMP_SIZE = "40GiB"
     spark = get_spark("sf1-gate", cpus=32)
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()

@@ -47,10 +47,84 @@ DUCK_TEMP_DIR: str | None = None
 # plan into a clean per-query OOM FAIL instead of a host-wide cascade.
 DUCK_MAX_TEMP_SIZE: str | None = None
 
+# run each oracle in a FRESH SUBPROCESS (r11): an in-process DuckDB
+# OOM at a big memory cap degrades the host process's allocator — the
+# sf10 pass saw every later oracle die with 2-32 KB bad_alloc and the
+# process eventually segfault in libc. Isolation gives each oracle a
+# clean allocator, returns its memory to the OS afterwards, and turns
+# a native crash into that one query's FAIL instead of killing the
+# whole resumable pass. Off by default (the sf0.01 driver gate is
+# in-process and fine); scale probes turn it on.
+DUCK_SUBPROCESS = False
+
+_SUBPROC_RUNNER = r"""
+import json, sys
+import duckdb
+
+cfg = json.load(open(sys.argv[1]))
+con = duckdb.connect()
+if cfg.get("memory_limit"):
+    con.execute("SET memory_limit='%s'" % cfg["memory_limit"])
+if cfg.get("temp_dir"):
+    import os
+    os.makedirs(cfg["temp_dir"], exist_ok=True)
+    con.execute("SET temp_directory='%s'" % cfg["temp_dir"])
+if cfg.get("max_temp"):
+    con.execute("SET max_temp_directory_size='%s'" % cfg["max_temp"])
+for name in cfg["tables"]:
+    con.execute(
+        "CREATE VIEW %s AS SELECT * FROM '%s/%s.parquet'"
+        % (name, cfg["sf_dir"], name)
+    )
+con.execute(cfg["sql"]).fetchdf().to_parquet(cfg["out"])
+"""
+
+
+def _duckdb_run_subprocess(sql: str, sf_dir: str) -> pd.DataFrame:
+    import json
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="duck-oracle-") as td:
+        cfg_path = os.path.join(td, "cfg.json")
+        out_path = os.path.join(td, "result.parquet")
+        with open(cfg_path, "w") as f:
+            json.dump(
+                {
+                    "sql": sql,
+                    "sf_dir": sf_dir,
+                    "tables": list(TABLES),
+                    "memory_limit": DUCK_MEMORY_LIMIT,
+                    "temp_dir": DUCK_TEMP_DIR,
+                    "max_temp": DUCK_MAX_TEMP_SIZE,
+                    "out": out_path,
+                },
+                f,
+            )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", _SUBPROC_RUNNER, cfg_path],
+                capture_output=True,
+                text=True,
+                timeout=ORACLE_CAP_S,
+            )
+        except subprocess.TimeoutExpired as e:
+            raise OracleTimeout(f"oracle exceeded {ORACLE_CAP_S}s") from e
+        if proc.returncode != 0:
+            tail = (proc.stderr or "").strip().splitlines()[-3:]
+            raise RuntimeError(
+                f"oracle subprocess rc={proc.returncode}: {' | '.join(tail)}"
+            )
+        return pd.read_parquet(out_path)
+
 
 def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
     import threading
 
+    if DUCK_SUBPROCESS:
+        return _duckdb_run_subprocess(sql, sf_dir)
     con = duckdb.connect()
     timer = None
     try:
