@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    audio,
     audit,
     behavior,
     classify,
@@ -57,6 +58,7 @@ _MODULES = (
     linkage,
     evaluation,
     audit,
+    audio,
 )
 
 
@@ -82,6 +84,7 @@ _DRIVER_PRIORITY = (
     "q153_repetition_signals",
     "q154_split_leakage_audit",
     "q155_jaccard_threshold_sweep",
+    "m24_mp3_metadata",
     "q17_approx_distinct",
     "q23_approx_percentiles",
     "q147_chi2_token_lang",
