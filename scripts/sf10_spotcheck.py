@@ -113,6 +113,10 @@ def main() -> int:
     # the winnowing oracle gets 48GB and finishes in-memory.
     DUCK_MEM_OVERRIDES = {
         "q14c_ngram_jaccard_pairs": "28GB",
+        # q83's oracle IS the q14c join shape (lossless-filter proof) —
+        # same non-spillable UNNEST state, same 28GB need (r11: clean
+        # subprocess OOM at 16GB, "14.9 GiB/14.9 GiB used")
+        "q83_prefix_filter_jaccard": "28GB",
         "q53_winnowing_fingerprints": "48GB",
     }
     oracle_utils.DUCK_TEMP_DIR = "/root/repo/tmp/duck-spill"

@@ -173,6 +173,11 @@ def main() -> int:
     # clean FAIL instead of filling the disk under every later query
     # (the q39 sf10 cascade; see scripts/sf10_spotcheck.py)
     oracle_utils.DUCK_MAX_TEMP_SIZE = "40GiB"
+    # r11: per-oracle subprocess isolation (see sf10_spotcheck.py) —
+    # an in-process OOM degrades this process's allocator for every
+    # later oracle; isolation also returns each oracle's memory to the
+    # OS between queries instead of ratcheting the pass footprint.
+    oracle_utils.DUCK_SUBPROCESS = True
     spark = get_spark("sf1-gate", cpus=32)
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
