@@ -1230,7 +1230,13 @@ def _avi_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m20_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.av import sample_frames, video_metadata
 
-    vids = _avi_corpus(spark, sf_dir)
+    # Generation is the query's dominant cost (every frame is a full
+    # JPEG encode in _gen_avi); meta and frames both branch off `vids`,
+    # and without a pin the optimizer re-expands the scan+gen subtree
+    # into BOTH branches — the corpus was synthesized twice per run
+    # (plan-audited: two ArrowEvalPython gen nodes over two scans).
+    # The lazy localCheckpoint materializes it once and shares blocks.
+    vids = _avi_corpus(spark, sf_dir).localCheckpoint(eager=False)
     meta = vids.select(
         "video_id", video_metadata(F.col("content")).alias("m")
     )
@@ -1357,7 +1363,8 @@ def _mov_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m21_mov_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.av import sample_frames, video_metadata
 
-    vids = _mov_corpus(spark, sf_dir)
+    # single-generation pin — see m20 (two branches, one gen pass)
+    vids = _mov_corpus(spark, sf_dir).localCheckpoint(eager=False)
     meta = vids.select("video_id", video_metadata(F.col("content")).alias("m"))
     frames = sample_frames(vids, id_col="video_id", every_n=2)
     checked = frames.select(
@@ -1487,7 +1494,8 @@ def _fmp4_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m22_fmp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.av import sample_frames, video_metadata
 
-    vids = _fmp4_corpus(spark, sf_dir)
+    # single-generation pin — see m20 (two branches, one gen pass)
+    vids = _fmp4_corpus(spark, sf_dir).localCheckpoint(eager=False)
     meta = vids.select("video_id", video_metadata(F.col("content")).alias("m"))
     frames = sample_frames(vids, id_col="video_id", every_n=2)
     checked = frames.select(
@@ -1614,7 +1622,8 @@ def _mkv_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m23_mkv_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.av import sample_frames, video_metadata
 
-    vids = _mkv_corpus(spark, sf_dir)
+    # single-generation pin — see m20 (two branches, one gen pass)
+    vids = _mkv_corpus(spark, sf_dir).localCheckpoint(eager=False)
     meta = vids.select("video_id", video_metadata(F.col("content")).alias("m"))
     frames = sample_frames(vids, id_col="video_id", every_n=2)
     checked = frames.select(

@@ -866,8 +866,24 @@ def q145_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    # Fixpoint-aware peel (r11 optimization): the peel is a monotone
+    # fixpoint — once a round removes 0 nodes, keep = every node of e,
+    # the semi-joins are identity, and ALL later rounds emit the same
+    # row. Detect that (n_removed == 0) and replicate the row instead
+    # of paying ~4 more jobs/round on a converged graph; the emitted
+    # 12-row sequence is bit-identical to the unrolled oracle. Two
+    # more job eliminations vs the r10 shape: n_before (distinct nodes
+    # of e) is the PREVIOUS round's n_nodes_after, so only round 1
+    # pays a deg.count(); and keep is checkpointed eagerly so its
+    # count() is a block-manager scan, not a recompute.
     rows = []
+    n_nodes = None  # distinct nodes in current e (= next round's n_before)
+    n_edges = None
+    converged: tuple[int, int, int] | None = None
     for r in range(1, _Q145_ROUNDS + 1):
+        if converged is not None:
+            rows.append((r, *converged))
+            continue
         deg = (
             e.select(F.col("u").alias("n"))
             .unionAll(e.select(F.col("v").alias("n")))
@@ -875,8 +891,14 @@ def q145_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("d"))
         )
         keep = deg.filter(F.col("d") >= _Q145_K).select("n").localCheckpoint()
-        n_before = deg.count()
+        n_before = deg.count() if n_nodes is None else n_nodes
         n_kept = keep.count()
+        if n_kept == n_before:
+            if n_edges is None:
+                n_edges = e.count()
+            converged = (0, n_before, n_edges)
+            rows.append((r, *converged))
+            continue
         e = (
             e.join(keep.withColumnRenamed("n", "u"), "u", "leftsemi")
             .join(keep.withColumnRenamed("n", "v"), "v", "leftsemi")
