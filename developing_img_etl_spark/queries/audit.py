@@ -146,7 +146,10 @@ def q152_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "source", "bk.*")
+    ).select("doc_id", "source", "bk.*").localCheckpoint(eager=False)
+    # ^ the q122 pin: bands feeds THREE branches (keep + both bucket-join
+    # sides); unpinned, the optimizer re-expands the explode subtree
+    # into each (r11 — q122 carries the same pin for the same reason)
     bkey = ["source", "band", "r0", "r1", "r2", "r3"]
     keep = (
         bands.groupBy(*bkey)

@@ -1022,7 +1022,16 @@ def q119_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = [list(r["u"]) for r in seed_rows]
 
     assigned = None
+    prev_cents: list[list[int]] | None = None
     for _ in range(_Q119_ROUNDS):
+        if cents == prev_cents:
+            # fixed point (r11): identical centroids reproduce the
+            # identical assignment and identical new centroids every
+            # remaining round — `assigned` (built from these same
+            # centroids last round) and `cents` are already final, so
+            # the skipped rounds change nothing in the result.
+            break
+        prev_cents = cents
         dist_exprs = ", ".join(
             "aggregate(zip_with(u, array("
             + ",".join(f"CAST({v} AS BIGINT)" for v in c)

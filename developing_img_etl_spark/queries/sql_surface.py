@@ -125,6 +125,15 @@ def q21_dependency_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("depth") + 1).alias("depth"),
                 (F.col("mult") * F.col("r_mult")).alias("mult"),
             )
+            # pin each depth level (r11): `cur` feeds BOTH the next
+            # level's join and the union, and Catalyst does no CSE, so
+            # without the pin every union branch re-expanded the whole
+            # join chain from scratch — level k re-paid k-1 joins
+            # (plan-audited: 15 SortMergeJoins for a depth-7 closure
+            # instead of 6 joins). The LAZY checkpoint keeps the fast
+            # path a single driver action — levels materialize inside
+            # the one job cascade, each join now runs exactly once.
+            cur = cur.localCheckpoint(eager=False)
             closure = closure.unionByName(cur)
         return (
             closure.withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("mult"))))
@@ -890,7 +899,10 @@ def q145_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        keep = deg.filter(F.col("d") >= _Q145_K).select("n").localCheckpoint()
+        # lazy checkpoints, materialized by the counts that follow —
+        # one Spark action per frame instead of two (r11 fusion, the
+        # operators/cluster.py discipline)
+        keep = deg.filter(F.col("d") >= _Q145_K).select("n").localCheckpoint(eager=False)
         n_before = deg.count() if n_nodes is None else n_nodes
         n_kept = keep.count()
         if n_kept == n_before:
@@ -902,7 +914,7 @@ def q145_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         e = (
             e.join(keep.withColumnRenamed("n", "u"), "u", "leftsemi")
             .join(keep.withColumnRenamed("n", "v"), "v", "leftsemi")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         n_edges = e.count()
         n_nodes = (

@@ -24,9 +24,26 @@ from developing_img_etl_spark.queries import all_queries
 from developing_img_etl_spark.session import get_spark
 
 
-def profile_one(spark, name, fn, sf_dir, plans_dir=None, suffix="", plan_only=False):
+def profile_one(spark, name, fn, sf_dir, plans_dir=None, suffix="", plan_only=False,
+                jobs_only=False):
     sc = spark.sparkContext
     tracker = sc.statusTracker()
+
+    if jobs_only:
+        sc.setJobGroup(f"opt:{name}", f"opt_profile {name}")
+        t0 = time.time()
+        df2 = fn(spark, sf_dir)
+        t_mid = time.time()
+        df2.write.format("noop").mode("overwrite").save()
+        t_noop = time.time() - t_mid
+        jobs = set(tracker.getJobIdsForGroup(f"opt:{name}"))
+        sc.setJobGroup("", "")
+        return {
+            "query": name,
+            "t_build": round(t_mid - t0, 3),
+            "t_noop": round(t_noop, 3),
+            "n_jobs": len(jobs),
+        }
 
     # --- plan capture (also pays analysis cost once) ---
     t0 = time.time()
@@ -90,6 +107,8 @@ def main() -> int:
     ap.add_argument("--suffix", default="")
     ap.add_argument("--out", default=None)
     ap.add_argument("--plan-only", action="store_true")
+    ap.add_argument("--jobs-only", action="store_true",
+                    help="one noop execution per query: n_jobs + t_noop only")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,7 +126,7 @@ def main() -> int:
         try:
             row = profile_one(
                 spark, name, q[name], sf_dir, args.plans, args.suffix,
-                plan_only=args.plan_only,
+                plan_only=args.plan_only, jobs_only=args.jobs_only,
             )
         except Exception as e:  # keep going; report the failure
             row = {"query": name, "error": f"{type(e).__name__}: {e}"}
