@@ -635,6 +635,11 @@ def q155_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             F.least(F.expr("jacc_ppm DIV 100000"), F.lit(10)).alias("bucket"),
         )
+        # pair set feeds three subtrees (per_bucket + both legs of
+        # docs_in_bucket) — pinned like q154's, else the inverted-index
+        # pair generation re-expands into each (r11; was 3 computations
+        # of the capped self-join per run, 134-exchange plan)
+        .localCheckpoint(eager=False)
     )
     per_bucket = pairs.groupBy("source", "bucket").agg(
         F.count(F.lit(1)).alias("n_pairs")

@@ -86,7 +86,13 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sampled corpus frame (doc_id, source, lang, n_chars, text) —
     shared by q151's manifest and the S12 shard-writer pytest, so the
     declared hash and the written shards certify the SAME pipeline."""
-    cur = _curated(spark, sf_dir)
+    # stage-boundary pin (r11): `cur` feeds the index filter, both pair
+    # annotation legs, and the kept anti-join — unpinned, Catalyst
+    # re-expanded the scan + full funnel predicate chain (regex
+    # quality/lang-id/PII) into every branch (plan-audited: 22 base
+    # scans / 29 exchanges for the whole chain; the docstring's
+    # 6-shuffle story assumes each stage is computed once).
+    cur = _curated(spark, sf_dir).localCheckpoint(eager=False)
     cur_ids = cur.select("doc_id", "n_chars")
 
     # near-dup canonical keep-one (dominance rule) over curated docs:
@@ -112,7 +118,10 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    kept = cur.join(losers, "doc_id", "left_anti")
+    # same pin for stage 2's output: `kept` feeds the per-source counts
+    # AND the final mixing join — without it the capped-pair loser
+    # derivation ran twice
+    kept = cur.join(losers, "doc_id", "left_anti").localCheckpoint(eager=False)
 
     # q92 temperature mixing over the keepers
     per_src = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -1654,6 +1654,10 @@ def q139_ngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= _Q139_K)
         .select(F.col("lang").alias("cand"), "g")
+        # pinned (r11): prof feeds the hits join AND the 1-row fallback
+        # agg — unpinned, the train-side gram explode + doc-frequency
+        # agg (the query's dominant pass) re-expanded into both
+        .localCheckpoint(eager=False)
     )
 
     hits = (
