@@ -46,19 +46,28 @@ def connected_components(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
     und = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    nodes = und.select(F.col("u").alias("node")).distinct()
+    # Materialize the symmetrized edge list FIRST — the upstream pair
+    # generation (an inverted-index self-join for the dedup consumers)
+    # must run exactly once; everything below derives from these
+    # blocks. (r11 regression lesson: deriving nodes/self-loops from
+    # the UNcheckpointed subtree re-ran that self-join 3x at loop
+    # start — bench q30/q74 +1.5-2.5 s — invisible in the isolated A/B
+    # whose edges were pre-pinned.)
+    und = und.localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    ).localCheckpoint(eager=True)
     # r11 round-cost fusion, part 1: append a self-loop per node, so the
     # per-round "min label among self + neighbors" is ONE edge join +
     # min-agg — the previous shape needed a second (node-keyed) left
     # join to fold the node's own label back in. Same labels, same
     # round count (measured: 9 rounds either way on the sf0.1 shingle
     # graph; identical label checksums), one fewer shuffle per round.
-    # Reused every round: materialize once, lineage-free.
+    # Built from the two checkpointed frames above (block reads, no
+    # recompute); lazy — round 1's propagate job materializes it.
     und = und.union(
-        nodes.select(F.col("node").alias("u"), F.col("node").alias("v"))
-    ).localCheckpoint(eager=True)
-
-    labels = nodes.withColumn("lbl", F.col("node")).localCheckpoint(eager=True)
+        labels.select(F.col("node").alias("u"), F.col("node").alias("v"))
+    ).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     if prev_sum is None:  # empty edge list
         return labels.select("node", F.col("lbl").alias("component"))
