@@ -113,7 +113,7 @@ def q21_dependency_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mult").alias("r_mult"),
         )
         cur = closure
-        for _ in range(max_depth - 1):
+        for lvl in range(max_depth - 1):
             cur = cur.join(
                 step,
                 (F.col("orderkey") == F.col("r_orderkey"))
@@ -125,15 +125,25 @@ def q21_dependency_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("depth") + 1).alias("depth"),
                 (F.col("mult") * F.col("r_mult")).alias("mult"),
             )
-            # pin each depth level (r11): `cur` feeds BOTH the next
-            # level's join and the union, and Catalyst does no CSE, so
-            # without the pin every union branch re-expanded the whole
-            # join chain from scratch — level k re-paid k-1 joins
-            # (plan-audited: 15 SortMergeJoins for a depth-7 closure
-            # instead of 6 joins). The LAZY checkpoint keeps the fast
-            # path a single driver action — levels materialize inside
-            # the one job cascade, each join now runs exactly once.
-            cur = cur.localCheckpoint(eager=False)
+            # pin every SECOND depth level (r12, VERDICT r11 #1):
+            # `cur` feeds BOTH the next level's join and the union, and
+            # Catalyst does no CSE, so with no pins every union branch
+            # re-expanded the whole join chain from scratch — level k
+            # re-paid k-1 joins (plan-audited r11: 15 SortMergeJoins
+            # for a depth-7 closure instead of 6). r11 pinned EVERY
+            # level (joins exactly linear) but the driver bench
+            # regressed 0.777 and it reproduced at 8 cores — at small
+            # SF each lazy-checkpoint level pays a block
+            # materialization plus lost codegen fusion. The r12
+            # four-variant probe (scripts/q21_pin_probe.py, min-of-4
+            # paired, identical checksums): none 2.32 s / alt 2.58 s /
+            # all 2.92 s / persist 2.98 s at sf0.1. Pinning alternate
+            # levels keeps the join count ~1.5x linear (an unpinned
+            # arm re-expands at most one extra join back to the last
+            # pin — 7 joins for depth 6, vs 15 unpinned) with half the
+            # materialization barriers; still one driver action.
+            if lvl % 2 == 1:
+                cur = cur.localCheckpoint(eager=False)
             closure = closure.unionByName(cur)
         return (
             closure.withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("mult"))))
@@ -883,8 +893,9 @@ def q145_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 12-row sequence is bit-identical to the unrolled oracle. Two
     # more job eliminations vs the r10 shape: n_before (distinct nodes
     # of e) is the PREVIOUS round's n_nodes_after, so only round 1
-    # pays a deg.count(); and keep is checkpointed eagerly so its
-    # count() is a block-manager scan, not a recompute.
+    # pays a deg.count(); and keep's checkpoint is LAZY, materialized
+    # by the keep.count() that follows (r11 fusion — one action pins
+    # the blocks the semi-joins then read).
     rows = []
     n_nodes = None  # distinct nodes in current e (= next round's n_before)
     n_edges = None

@@ -9,7 +9,7 @@ from __future__ import annotations
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from developing_img_etl_spark.queries import all_oracles, all_queries
 from developing_img_etl_spark.session import get_spark
