@@ -87,6 +87,14 @@ def connected_components(
             .agg(F.min("v_lbl").alias("lbl"))
             .withColumnRenamed("u", "node")
         )
+        # `merged` feeds both sides of the pointer-jump join, so the
+        # propagate join+min-agg computes twice inside the fixpoint
+        # action (ADVICE r11). A lazy localCheckpoint here was A/B'd
+        # in r12 (paired knob probe, min-of-4, sf0.1): q30 3.78->4.87,
+        # q74 4.13->4.53 — REJECTED: 9 rounds x one extra block
+        # materialization cost more than the duplicated propagate over
+        # already-pinned inputs. Revisit only if the per-round edge
+        # volume grows enough that the propagate dominates.
         # 2. pointer jump: lbl ← lbl(lbl). A label is always itself a
         # node id, so the lookup is a left join that always matches.
         parent = merged.select(F.col("node").alias("p"), F.col("lbl").alias("p_lbl"))

@@ -81,6 +81,19 @@ def lsh_candidate_pairs(signatures: DataFrame, *, bands: int = 16, rows: int = 4
             ])
         ).alias("g"),
     ).select("doc_id", F.col("g.band_id").alias("band_id"), F.col("g.bh").alias("bh"))
+    # pin the band-explode frame (r12, VERDICT r11 #8 — the q122/q152
+    # band-pin pattern applied to the production operator): `long`
+    # feeds BOTH sides of the bucket self-join, and neither Catalyst
+    # CSE nor physical ReuseExchange dedups it here, so without the
+    # pin the whole upstream subtree — the 64-column groupBy-min
+    # signature aggregation plus the band explode — was computed twice
+    # per run (plan-audited: two full min(h0..h63) HashAggregate
+    # subtrees, 16 -> 8 HashAggregates with the pin). Local timing is
+    # a wash at sf0.1 (paired knob probes, both orders: medians
+    # 2.32/2.23 pinned vs 2.66/2.55 unpinned, mins within 0.25 s) —
+    # the pin is kept for the halved signature pass, which is the
+    # operator's dominant cost at real corpus sizes.
+    long = long.localCheckpoint(eager=False)
     a = long.select("band_id", "bh", F.col("doc_id").alias("id_a"))
     b = long.select("band_id", "bh", F.col("doc_id").alias("id_b"))
     return (

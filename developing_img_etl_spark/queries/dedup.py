@@ -252,6 +252,22 @@ ORACLES["q27_decontamination"] = Q27_SQL
 _PAIR_DF_CAP = 64
 
 
+def _df_capped_postings(sh: DataFrame) -> DataFrame:
+    """The df-capped posting list (source, s, doc_id): only shingles
+    whose per-source document frequency is in [2, _PAIR_DF_CAP] survive
+    — the skew guard that keeps pair generation from going quadratic
+    on a hot shingle. Kept as its own (unpinned) frame so the plan
+    audit can see the pair_df guard that _capped_pair_edges' lineage
+    pin would otherwise hide."""
+    keep = (
+        sh.groupBy("source", "s")
+        .agg(F.count(F.lit(1)).alias("pair_df"))
+        .filter((F.col("pair_df") >= 2) & (F.col("pair_df") <= _PAIR_DF_CAP))
+        .select("source", "s")
+    )
+    return sh.select("source", "s", "doc_id").join(keep, ["source", "s"])
+
+
 def _capped_pair_edges(sh: DataFrame, min_common: int) -> DataFrame:
     """(source, id_a, id_b, n_common) near-dup edges: within-source
     pairs sharing >= ``min_common`` distinct shingles, generated only
@@ -259,13 +275,18 @@ def _capped_pair_edges(sh: DataFrame, min_common: int) -> DataFrame:
     [2, _PAIR_DF_CAP]. The ONE edge home shared by q30 / q74 / q103 /
     q48 so the skew guard can never drift between consumers (closure
     consumers select just the id pair; q48 keeps source + n_common)."""
-    keep = (
-        sh.groupBy("source", "s")
-        .agg(F.count(F.lit(1)).alias("pair_df"))
-        .filter((F.col("pair_df") >= 2) & (F.col("pair_df") <= _PAIR_DF_CAP))
-        .select("source", "s")
-    )
-    idx = sh.select("source", "s", "doc_id").join(keep, ["source", "s"])
+    # pin the df-capped posting list (r12): `idx` feeds BOTH sides of
+    # the pair self-join, so without the pin the df-cap agg + join ran
+    # twice per consumer (cheap map-side work over the co-partitioned
+    # cached index, but paid by 8 consumers). Paired knob probe
+    # (min-of-4, one session, sf0.1): q30 5.24->4.76, q74 4.71->4.11,
+    # q48 2.85->2.74, q152 median 7.23->6.77 — pin better in 7 of 8
+    # (min, median) stats. LogicalRDD keeps the (source, s)
+    # partitioning, so the self-join stays exchange-free. The pin
+    # hides the pair_df guard from the final plan, so the df-cap
+    # audit (tests/test_plan_audit.py) inspects _df_capped_postings —
+    # the pre-pin frame — directly.
+    idx = _df_capped_postings(sh).localCheckpoint(eager=False)
     a = idx.select("source", "s", F.col("doc_id").alias("id_a"))
     b = idx.select("source", "s", F.col("doc_id").alias("id_b"))
     return (
@@ -1092,10 +1113,18 @@ def q122_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # optimizer re-expands the md5 + 16-min-agg subtree into every
     # branch (measured: 15 MiB task binaries, 49 s at sf0.01; with the
     # pins the same query is ~3 s).
-    hashed = shd.select("doc_id", "source", md5_prefix_int(F.col("s"), 7).alias("base"))
+    hashed = shd.select(
+        "doc_id", "source", "n_sh", md5_prefix_int(F.col("s"), 7).alias("base")
+    )
+    # n_sh rides the signature agg (r12): it is constant per doc, so
+    # F.first() in the same groupBy replaces the former separate
+    # nsh = shd.distinct() pass over the doubled index AND its two
+    # final joins — one fewer full index scan, two fewer joins in the
+    # assembly (plan: 7-join chain -> 5).
     sigs = (
         hashed.groupBy("doc_id", "source")
         .agg(
+            F.first("n_sh").alias("n_sh"),
             *[
                 F.min((F.lit(a) * F.col("base") + F.lit(b)) % _Q122_P).alias(f"mh{i}")
                 for i, (a, b) in enumerate(_Q122_AB)
@@ -1162,12 +1191,15 @@ def q122_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    nsh = shd.select("doc_id", "n_sh").distinct()
     sa = sigs.select(
-        F.col("doc_id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_Q122_K)]
+        F.col("doc_id").alias("id_a"),
+        F.col("n_sh").alias("n_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_Q122_K)],
     )
     sb = sigs.select(
-        F.col("doc_id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_Q122_K)]
+        F.col("doc_id").alias("id_b"),
+        F.col("n_sh").alias("n_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_Q122_K)],
     )
     matches = F.expr(
         "CAST("
@@ -1180,8 +1212,6 @@ def q122_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .join(common, ["source", "id_a", "id_b"], "left")
-        .join(nsh.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(nsh.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
         .select(
             "source",
             "id_a",
@@ -1364,6 +1394,11 @@ def q123_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(_Q123_BITS)
     )
     sim0 = per_doc.select("doc_id", "source", F.expr(simexpr).alias("simhash"))
+    # NOT pinned (r12 probe): sim0 feeds both corpus-doubling union
+    # branches, but the branches are canonically identical subtrees,
+    # so physical ReuseExchange already deduplicates the tokenize +
+    # 48-sum aggregation — a lazy localCheckpoint measured a wash
+    # (paired noop A/B, min-of-4: 1.70 s unpinned vs 1.72 s pinned).
     # dup-id offset derived from the data (r6 ADVICE — see q122)
     off = docs.agg((F.max("doc_id") + 1).cast("long").alias("off"))
     sim = (

@@ -526,7 +526,22 @@ def q148_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    sregs = row.groupBy("source", "idx").agg(F.max("rho").alias("m_reg"))
+    # pin the per-source register fold (r12, VERDICT r11 #4): sregs
+    # feeds THREE consumers (both pair-expansion legs of pregs and
+    # est_src) — without the pin each consumer re-ran the
+    # groupBy(source, idx) shuffle+agg over the pinned row blocks.
+    # The fold itself is already two-phase (partial_max map-side, then
+    # final max after the exchange — Spark's built-in agg); the pin
+    # makes the driver-bound stage chain pay it once. Register frames
+    # are P sources x 512 idx rows — kilobytes at any corpus size.
+    # Evidence: plan HashAggregates 60 -> 44, Exchanges 52 -> 44
+    # (plans/r12); paired knob probes, both orders, mins 3.40 vs 3.53
+    # and 3.06 vs 3.12 s pinned vs unpinned at sf0.1.
+    sregs = (
+        row.groupBy("source", "idx")
+        .agg(F.max("rho").alias("m_reg"))
+        .localCheckpoint(eager=False)
+    )
     srcs = row.select("source").distinct()
     pairs = (
         srcs.select(F.col("source").alias("sa"))

@@ -204,6 +204,18 @@ SCALAR_BNLJ = {
 }
 
 
+def test_m4_single_signature_pass(spark):
+    """r12: lsh_candidate_pairs pins its band-explode frame, so the
+    64-column groupBy-min signature aggregation is built ONCE — the
+    m4 plan must not regrow the duplicated min(h0..h63) subtree the
+    unpinned self-join produced (16 HashAggregates; 8 with the pin)."""
+    from developing_img_etl_spark.queries.multimodal import m4_minhash_near_dups
+
+    df = m4_minhash_near_dups(spark, SF_DIR)
+    plan_str = df._jdf.queryExecution().executedPlan().toString()
+    assert plan_str.count("partial_min(h0#") <= 1, plan_str
+
+
 def test_pair_edges_are_df_capped(spark, monkeypatch):
     """q30/q74/q103's near-dup edge generation must route through the
     shingle document-frequency cap (VERDICT r4 #4), so a future edit
@@ -216,9 +228,24 @@ def test_pair_edges_are_df_capped(spark, monkeypatch):
     from developing_img_etl_spark.queries import dedup
     from developing_img_etl_spark.queries._shingle import shingle_index
 
-    edges = dedup._capped_pair_edges(shingle_index(spark, SF_DIR), 2)
-    plan_str = edges._jdf.queryExecution().executedPlan().toString()
+    # (1) the guard filter, audited on the pre-pin posting frame (the
+    # r12 lineage pin in _capped_pair_edges hides it from the final
+    # plan, so the audit reads the frame the pin is applied to)
+    idx = dedup._df_capped_postings(shingle_index(spark, SF_DIR))
+    plan_str = idx._jdf.queryExecution().executedPlan().toString()
     assert "pair_df" in plan_str and "<= 64" in plan_str, plan_str
+
+    # (1b) the pair generator actually routes through that frame
+    postings_calls: list[bool] = []
+    orig_postings = dedup._df_capped_postings
+
+    def postings_spy(sh):
+        postings_calls.append(True)
+        return orig_postings(sh)
+
+    monkeypatch.setattr(dedup, "_df_capped_postings", postings_spy)
+    dedup._capped_pair_edges(shingle_index(spark, SF_DIR), 2)
+    assert postings_calls, "_capped_pair_edges no longer uses the df-capped postings"
 
     calls: list[int] = []
     orig = dedup._capped_pair_edges
