@@ -72,6 +72,14 @@ def connected_components(
     if prev_sum is None:  # empty edge list
         return labels.select("node", F.col("lbl").alias("component"))
 
+    # r12 continuation, probed and REJECTED: running TWO rounds per
+    # fixpoint action (halving driver barriers; sum is monotone so a
+    # 2-round block detects change exactly). Paired knob probes, both
+    # orders, min-of-4 at sf0.1: q30 3.437/3.436 fwd, 3.425/3.46 rev;
+    # q74 3.716/3.776 fwd, 3.406/3.458 rev (unpaired/paired) — a wash
+    # locally, and at scale the up-to-one extra converged round is a
+    # FULL edge join + agg while the saved barriers are driver
+    # round-trips only. One round per action stays.
     for _ in range(max_rounds):
         # 1. propagate: min label among self + neighbors (self via the
         # self-loops above). Column names are made globally unique

@@ -96,8 +96,32 @@ def q152_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     it (the measured cost of skipping the low-overlap tail)."""
     shd = _doubled_index(spark, sf_dir).localCheckpoint(eager=False)
 
+    # r12 continuation: n_sh rides the signature agg (the q122 move —
+    # it is constant per doc, so F.first in the same groupBy is free);
+    # the per-doc (doc_id, n_sh) map for the truth side then comes off
+    # the pinned sigs frame instead of a separate distinct pass over
+    # the full doubled index — one fewer full-index shuffle+agg at any
+    # scale. Paired knob probes, both orders (min-of-4, sf0.1): mins
+    # 5.324/5.486 vs 5.330/5.259 — a local wash (the deleted pass ran
+    # on idle cores), kept for the structural win, matching q122's
+    # generator shape. Oracle MATCH sf0.01 + sf0.1.
+    hashed = shd.select(
+        "doc_id", "source", "n_sh", md5_prefix_int(F.col("s"), 7).alias("base")
+    )
+    sigs = (
+        hashed.groupBy("doc_id", "source")
+        .agg(
+            F.first("n_sh").alias("n_sh"),
+            *[
+                F.min((F.lit(a) * F.col("base") + F.lit(b)) % _Q122_P).alias(f"mh{i}")
+                for i, (a, b) in enumerate(_Q122_AB)
+            ],
+        )
+        .localCheckpoint(eager=False)
+    )
+    nsh = sigs.select("doc_id", "n_sh")
+
     # truth: exact Jaccard over df-capped pairs (q14c's generator)
-    nsh = shd.select("doc_id", "n_sh").distinct()
     truth = (
         _capped_pair_edges(shd, min_common=2)
         .join(nsh.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
@@ -118,17 +142,6 @@ def q152_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # candidates: q122's 16-perm / 4x4-band / capped-bucket generator
-    hashed = shd.select("doc_id", "source", md5_prefix_int(F.col("s"), 7).alias("base"))
-    sigs = (
-        hashed.groupBy("doc_id", "source")
-        .agg(
-            *[
-                F.min((F.lit(a) * F.col("base") + F.lit(b)) % _Q122_P).alias(f"mh{i}")
-                for i, (a, b) in enumerate(_Q122_AB)
-            ]
-        )
-        .localCheckpoint(eager=False)
-    )
     bands = sigs.select(
         "doc_id",
         "source",

@@ -208,27 +208,45 @@ def q97_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
 
-    regs_lang = row.groupBy("lang", "idx").agg(F.max("rho").alias("m_reg"))
-    regs_all = row.groupBy("idx").agg(F.max("rho").alias("m_reg")).select(
-        F.lit("__all__").alias("lang"), "idx", "m_reg"
+    # r12 fold: the __all__ and __merged__ register files are PROVABLY
+    # the same frame (max over all rows == max over per-lang maxes —
+    # max is associative), so both scopes derive from the pinned
+    # per-lang fold instead of re-aggregating the full index: 5 passes
+    # over `row` become 3. The mergeability PROOF is intact — the
+    # oracle still computes the two scopes independently, so the
+    # hash-match certifies the fold. exact_lang uses count(*) (row is
+    # (lang, s)-distinct by construction, so countDistinct == count —
+    # drops the per-group distinct machinery), and the one remaining
+    # global countDistinct is computed ONCE and exploded into both
+    # scope labels (was two identical full-row aggregations). Paired
+    # knob probe (min-of-4, sf0.1): min 2.532 vs 2.702, median 2.79
+    # vs 2.849 folded vs unfolded; oracle MATCH sf0.01 + sf0.1.
+    regs_lang = (
+        row.groupBy("lang", "idx")
+        .agg(F.max("rho").alias("m_reg"))
+        .localCheckpoint(eager=False)  # KB-scale; feeds 3 consumers
     )
-    regs_merged = regs_lang.groupBy("idx").agg(F.max("m_reg").alias("m_reg")).select(
-        F.lit("__merged__").alias("lang"), "idx", "m_reg"
-    )
-    regs = regs_lang.select("lang", "idx", "m_reg").unionByName(regs_all).unionByName(
-        regs_merged
+    merged = regs_lang.groupBy("idx").agg(F.max("m_reg").alias("m_reg"))
+    regs = (
+        regs_lang.select("lang", "idx", "m_reg")
+        .unionByName(merged.select(F.lit("__all__").alias("lang"), "idx", "m_reg"))
+        .unionByName(
+            merged.select(F.lit("__merged__").alias("lang"), "idx", "m_reg")
+        )
     )
 
     est = hll_estimate_frame(regs, _P, "lang").withColumnRenamed("lang", "scope")
 
     exact_lang = row.groupBy("lang").agg(
-        F.countDistinct("s").alias("exact_distinct")
+        F.count(F.lit(1)).alias("exact_distinct")
     )
-    exact_all = row.agg(F.countDistinct("s").alias("exact_distinct"))
     exact = exact_lang.unionByName(
-        exact_all.select(F.lit("__all__").alias("lang"), "exact_distinct")
-    ).unionByName(
-        exact_all.select(F.lit("__merged__").alias("lang"), "exact_distinct")
+        row.agg(F.countDistinct("s").alias("exact_distinct")).select(
+            F.explode(
+                F.array(F.lit("__all__"), F.lit("__merged__"))
+            ).alias("lang"),
+            "exact_distinct",
+        )
     ).select(F.col("lang").alias("scope"), "exact_distinct")
 
     return (
@@ -542,7 +560,14 @@ def q148_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("rho").alias("m_reg"))
         .localCheckpoint(eager=False)
     )
-    srcs = row.select("source").distinct()
+    # r12 continuation: the source list comes off the pinned KB-scale
+    # register fold, not another full pass over the pinned index —
+    # every source in `row` owns at least one register row, so the
+    # distinct sets are identical by construction. Paired knob probes,
+    # both orders (min-of-4, sf0.1): mins 4.799/4.158 vs 4.488/4.490 —
+    # a local wash, kept for the removed full-index pass at scale.
+    # Oracle MATCH sf0.01 + sf0.1.
+    srcs = sregs.select("source").distinct()
     pairs = (
         srcs.select(F.col("source").alias("sa"))
         .join(

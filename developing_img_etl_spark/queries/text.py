@@ -1489,7 +1489,14 @@ def q132_novelty_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("doc_id", "source", md5_prefix_int(F.col("g"), 15).alias("h"))
 
     train_h = grams_of(docs.filter(~is_eval)).select("h").distinct()
-    ev = grams_of(docs.filter(is_eval))
+    # r12: pin `ev` — the ~10% eval slice of the gram expansion feeds
+    # BOTH the anti-join and the per-doc gram count; unpinned, the
+    # eval-side tokenize+shingle+md5 ran twice. The r7 "don't pin"
+    # measurement was about the FULL 5x expansion; the eval slice is
+    # a tenth of it and pins cheap. Paired knob probe (min-of-4,
+    # sf0.1): min 3.998 vs 4.585, median 4.234 vs 4.865 pinned vs
+    # unpinned; oracle MATCH sf0.01 + sf0.1.
+    ev = grams_of(docs.filter(is_eval)).localCheckpoint(eager=False)
     novel = ev.join(train_h, "h", "left_anti")
     per_doc = (
         ev.groupBy("doc_id", "source")
