@@ -124,9 +124,11 @@ def _mp3_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def m24_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal import _pin_for_sort
+
     audio = _mp3_corpus(spark, sf_dir)
     meta = audio.select("audio_id", _mp3_meta(F.col("content")).alias("m"))
-    return (
+    return _pin_for_sort(
         meta.select(
             F.col("audio_id").alias("p_partkey"),
             F.when(F.col("m.sample_rate").isNull(), F.lit("unreadable"))
@@ -139,8 +141,7 @@ def m24_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.has_id3").alias("has_id3"),
             F.col("m.stream_bytes").alias("stream_bytes"),
         )
-        .orderBy("p_partkey")
-    )
+    ).orderBy("p_partkey")
 
 
 # the oracle re-derives every walked field from the generation

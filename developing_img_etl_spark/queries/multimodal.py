@@ -23,6 +23,21 @@ from ..multimodal.image import compress_pipeline, with_image_stats
 from ..operators import dedup as DD
 from ..operators import similarity as SIM
 
+
+def _pin_for_sort(df: DataFrame) -> DataFrame:
+    """Lazy-pin the (small) final frame before the global orderBy.
+
+    The range partitioner behind orderBy SAMPLES its child to pick the
+    sort boundaries, and in these codec chains there is no exchange
+    between the Python UDFs and the sort — so that sampling job re-ran
+    the ENTIRE decode/resize/encode chain a second time per action
+    (r12 find: m18 ran as two 32-task UDF stages; a paired A/B with
+    the pin measured 5.02 -> 2.75 s min, one UDF stage). The pinned
+    frame holds only ids/stats/flags — kilobytes at any scale — and
+    the sampler reads the cached rows instead of re-decoding."""
+    return df.localCheckpoint(eager=False)
+
+
 # --------------------------------------------------------------------------
 # Synthetic image corpus: deterministic dims from part attributes; every
 # 97th part is corrupt (M3 guard); parts with p_size > 48 exceed the
@@ -31,7 +46,11 @@ from ..operators import similarity as SIM
 
 
 def _fake_images(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load(spark, sf_dir, "part")
+    # r12: widen like every other codec corpus — without it the whole
+    # FAKEIMG decode/resize/encode UDF chain ran as ONE task on a
+    # single-split local part scan (m1 noop profiled at 2.46 s on 1 of
+    # 32 cores).
+    part = _widen(load(spark, sf_dir, "part"))
     w = F.when(F.col("p_size") > 48, 1200 + F.col("p_size")).otherwise(32 + F.col("p_size"))
     h = (w * 3 / 4).cast("int")
     payload_len = F.least(w * h, F.lit(4096))
@@ -69,12 +88,14 @@ _FAKE_SQL_BASE = """
 def m2_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = _fake_images(spark, sf_dir)
     stats = with_image_stats(imgs)
-    return stats.select(
-        "p_partkey",
-        "width",
-        "height",
-        F.col("size_gambar_kb"),
-        "readable",
+    return _pin_for_sort(
+        stats.select(
+            "p_partkey",
+            "width",
+            "height",
+            F.col("size_gambar_kb"),
+            "readable",
+        )
     ).orderBy("p_partkey")
 
 
@@ -99,10 +120,12 @@ ORDER BY p_partkey
 def m1_image_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = _fake_images(spark, sf_dir)
     out = compress_pipeline(imgs)
-    return out.select(
-        "p_partkey",
-        "status",
-        F.length("content_out").cast("long").alias("out_bytes"),
+    return _pin_for_sort(
+        out.select(
+            "p_partkey",
+            "status",
+            F.length("content_out").cast("long").alias("out_bytes"),
+        )
     ).orderBy("p_partkey")
 
 
@@ -302,16 +325,14 @@ def m10_audio_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     audio = _fake_audio(spark, sf_dir)
     meta = audio.select("doc_id", audio_metadata(F.col("content")).alias("m"))
-    return (
+    return _pin_for_sort(
         meta.select(
             "doc_id",
             F.col("m.sample_rate").alias("sample_rate"),
             F.col("m.n_samples").alias("n_samples"),
             F.col("m.duration_s").alias("duration_s"),
-        )
-        .filter(F.col("sample_rate").isNotNull())  # M3 guard drops corrupt
-        .orderBy("doc_id")
-    )
+        ).filter(F.col("sample_rate").isNotNull())  # M3 guard drops corrupt
+    ).orderBy("doc_id")
 
 
 M10_SQL = """
@@ -352,11 +373,13 @@ def m11_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = frames.select(
         "video_id", "frame_idx", image_dims(F.col("frame")).alias("d")
     )
-    return dims.select(
-        "video_id",
-        F.col("frame_idx").cast("long").alias("frame_idx"),
-        F.col("d.width").alias("frame_w"),
-        F.col("d.height").alias("frame_h"),
+    return _pin_for_sort(
+        dims.select(
+            "video_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.col("d.width").alias("frame_w"),
+            F.col("d.height").alias("frame_h"),
+        )
     ).orderBy("video_id", "frame_idx")
 
 
@@ -435,12 +458,14 @@ def m12_bmp_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = _bmp_corpus(spark, sf_dir)
     out = compress_pipeline(imgs)
     stats = with_image_stats(out, "content_out")
-    return stats.select(
-        "p_partkey",
-        "status",
-        "width",
-        "height",
-        F.length("content_out").cast("long").alias("out_bytes"),
+    return _pin_for_sort(
+        stats.select(
+            "p_partkey",
+            "status",
+            "width",
+            "height",
+            F.length("content_out").cast("long").alias("out_bytes"),
+        )
     ).orderBy("p_partkey")
 
 
@@ -539,12 +564,14 @@ def m14_png_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = _png_corpus(spark, sf_dir)
     out = compress_pipeline(imgs)
     stats = with_image_stats(out, "content_out")
-    return stats.select(
-        "p_partkey",
-        "status",
-        "width",
-        "height",
-        _png_pixel_checksum(F.col("content_out")).alias("pixel_checksum"),
+    return _pin_for_sort(
+        stats.select(
+            "p_partkey",
+            "status",
+            "width",
+            "height",
+            _png_pixel_checksum(F.col("content_out")).alias("pixel_checksum"),
+        )
     ).orderBy("p_partkey")
 
 
@@ -702,17 +729,19 @@ def m16_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("content_out").cast("long").alias("out_bytes"),
         _wav_features(F.col("content_out")).alias("f"),
     )
-    return feats.select(
-        "doc_id",
-        F.when(F.col("f.sample_rate").isNull(), F.lit("unreadable"))
-        .otherwise(F.lit("ok"))
-        .alias("status"),
-        F.col("f.sample_rate").alias("sample_rate"),
-        F.col("f.n_out").alias("n_out"),
-        "out_bytes",
-        F.col("f.sum_abs").alias("sum_abs"),
-        F.col("f.peak").alias("peak"),
-        F.col("f.checksum").alias("checksum"),
+    return _pin_for_sort(
+        feats.select(
+            "doc_id",
+            F.when(F.col("f.sample_rate").isNull(), F.lit("unreadable"))
+            .otherwise(F.lit("ok"))
+            .alias("status"),
+            F.col("f.sample_rate").alias("sample_rate"),
+            F.col("f.n_out").alias("n_out"),
+            "out_bytes",
+            F.col("f.sum_abs").alias("sum_abs"),
+            F.col("f.peak").alias("peak"),
+            F.col("f.checksum").alias("checksum"),
+        )
     ).orderBy("doc_id")
 
 
@@ -816,12 +845,14 @@ def m17_gif_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = _gif_corpus(spark, sf_dir)
     out = compress_pipeline(imgs)
     stats = with_image_stats(out, "content_out")
-    return stats.select(
-        "p_partkey",
-        "status",
-        "width",
-        "height",
-        _gif_pixel_checksum(F.col("content_out")).alias("pixel_checksum"),
+    return _pin_for_sort(
+        stats.select(
+            "p_partkey",
+            "status",
+            "width",
+            "height",
+            _gif_pixel_checksum(F.col("content_out")).alias("pixel_checksum"),
+        )
     ).orderBy("p_partkey")
 
 
@@ -971,14 +1002,16 @@ def m18_jpeg_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = _jpeg_corpus(spark, sf_dir)
     out = compress_pipeline(imgs)
     stats = with_image_stats(out, "content_out")
-    return stats.select(
-        "p_partkey",
-        "status",
-        "width",
-        "height",
-        _jpeg_fidelity_ok(
-            F.col("content_out"), F.col("orig_w"), F.col("orig_h"), F.col("seed")
-        ).alias("fidelity_ok"),
+    return _pin_for_sort(
+        stats.select(
+            "p_partkey",
+            "status",
+            "width",
+            "height",
+            _jpeg_fidelity_ok(
+                F.col("content_out"), F.col("orig_w"), F.col("orig_h"), F.col("seed")
+            ).alias("fidelity_ok"),
+        )
     ).orderBy("p_partkey")
 
 
@@ -1271,6 +1304,7 @@ def m20_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dims_ok",
             "fidelity_ok",
         )
+        .transform(_pin_for_sort)
         .orderBy("p_partkey")
     )
 
@@ -1397,6 +1431,7 @@ def m21_mov_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dims_ok",
             "fidelity_ok",
         )
+        .transform(_pin_for_sort)
         .orderBy("p_partkey")
     )
 
@@ -1528,6 +1563,7 @@ def m22_fmp4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dims_ok",
             "fidelity_ok",
         )
+        .transform(_pin_for_sort)
         .orderBy("p_partkey")
     )
 
@@ -1656,6 +1692,7 @@ def m23_mkv_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dims_ok",
             "fidelity_ok",
         )
+        .transform(_pin_for_sort)
         .orderBy("p_partkey")
     )
 

@@ -137,8 +137,11 @@ def q31_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
+        # pin before the global sort (r12): the range sampler would
+        # otherwise re-run the O(n^2) per-label matmul a second time
         corpus.groupBy("label")
         .applyInPandas(block, "id_a long, id_b long, cosine double")
+        .localCheckpoint(eager=False)
         .orderBy("id_a", "id_b")
     )
 

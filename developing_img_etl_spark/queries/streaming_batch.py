@@ -1523,6 +1523,13 @@ def st15_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = docs.unionByName(
         docs.select((F.col("doc_id") + F.lit(off)).alias("doc_id"), "source", "text")
     )
+    # r12: pin the doubled corpus — the staging loop below runs
+    # _ST15_FILES filtered write jobs and the final assembly joins
+    # `doubled` again, so each of those 5 consumers re-scanned the
+    # parquet + union without the pin. Paired knob probes, both orders
+    # (min-of-4, sf0.1): mins 5.213/4.838 vs 5.533/5.062 pinned vs
+    # unpinned. Oracle MATCH sf0.01 + sf0.1.
+    doubled = doubled.localCheckpoint(eager=False)
     # contiguous doc_id ranges per staged file: arrival order == id
     # order, so the registry's owners match at-ingest greedy decisions
     hi = mx + off + 1

@@ -64,15 +64,15 @@ def _n_over_median_cents(price: pd.Series) -> int:
 
 
 def q24_udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .multimodal import _pin_for_sort
+
     lineitem = load(spark, sf_dir, "lineitem")
-    return (
-        lineitem.groupBy("l_returnflag")
-        .agg(
+    return _pin_for_sort(
+        lineitem.groupBy("l_returnflag").agg(
             _sum_cents(F.col("l_extendedprice")).alias("sum_cents"),
             _n_over_median_cents(F.col("l_extendedprice")).alias("n_over_median"),
         )
-        .orderBy("l_returnflag")
-    )
+    ).orderBy("l_returnflag")
 
 
 Q24_SQL = """
@@ -111,13 +111,14 @@ def q25_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf["rk"] = np.arange(1, len(pdf) + 1, dtype=np.int64)
         return pdf[["source", "doc_id", "n_chars", "rk"]]
 
-    return (
+    from .multimodal import _pin_for_sort
+
+    return _pin_for_sort(
         docs.select("source", "doc_id", "n_chars")
         .groupBy("source")
         .applyInPandas(rank_in_source, "source string, doc_id long, n_chars long, rk long")
         .filter(F.col("rk") <= 10)
-        .orderBy("source", "rk")
-    )
+    ).orderBy("source", "rk")
 
 
 Q25_SQL = """

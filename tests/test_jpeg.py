@@ -195,3 +195,53 @@ def test_grayscale_2x2_sampling_is_non_interleaved():
     assert (dec[:, :, 0] == dec[:, :, 1]).all()  # gray replicated
     err = np.abs(dec[:, :, 0].astype(int) - gray.astype(int))
     assert float(err.mean()) <= 3.0  # scrambled MCU order scores ~4.6+
+
+
+def test_vectorized_entropy_coder_matches_scalar_reference():
+    """The r12 vectorized entropy coder (_entropy_encode) must emit a
+    BYTE-IDENTICAL stream to the per-symbol reference path
+    (_entropy_encode_scalar) — same symbols, same canonical codes, same
+    interleave, stuffing and flush padding — across sizes, qualities
+    and content seeds (including 1x1 and non-multiple-of-8 dims)."""
+    from developing_img_etl_spark.multimodal.jpeg import (
+        ZIGZAG,
+        _AC_CHROMA,
+        _AC_LUMA,
+        _DC_CHROMA,
+        _DC_LUMA,
+        _canonical_codes,
+        _code_arrays,
+        _encode_plane_coeffs,
+        _entropy_encode,
+        _entropy_encode_scalar,
+    )
+
+    dc_l = _canonical_codes(*_DC_LUMA)
+    ac_l = _canonical_codes(*_AC_LUMA)
+    dc_c = _canonical_codes(*_DC_CHROMA)
+    ac_c = _canonical_codes(*_AC_CHROMA)
+    dicts = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+    arrs = [
+        (_code_arrays(dc_l, 17), _code_arrays(ac_l, 256)),
+        (_code_arrays(dc_c, 17), _code_arrays(ac_c, 256)),
+        (_code_arrays(dc_c, 17), _code_arrays(ac_c, 256)),
+    ]
+    for (w, h, seed, q) in [
+        (1, 1, 0, 65), (7, 5, 2, 10), (16, 8, 1, 1), (96, 96, 7, 80),
+        (129, 65, 4, 30), (200, 150, 11, 50), (64, 64, 9, 100),
+    ]:
+        img = make_photo(w, h, seed).astype(np.float64)
+        r, g, b = img[:, :, 0], img[:, :, 1], img[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        ql, qc = quant_tables(q)
+        ql_z, qc_z = ql[ZIGZAG], qc[ZIGZAG]
+        coeffs = [
+            _encode_plane_coeffs(y, ql_z),
+            _encode_plane_coeffs(cb, qc_z),
+            _encode_plane_coeffs(cr, qc_z),
+        ]
+        assert _entropy_encode(coeffs, arrs) == _entropy_encode_scalar(
+            coeffs, dicts
+        ), (w, h, seed, q)
